@@ -1,0 +1,123 @@
+"""Uniform-grid trilinear interpolation — the tracer's hot op.
+
+Design notes (TPU-first):
+
+* The reference interpolates with a vendored searchsorted-based
+  ``RegularGridInterpolator`` (reference src/simulator/utils.py:124-214) and
+  — worse — recomputes ``jnp.gradient`` of the full grid on every RHS
+  evaluation (propagator.py:79-89). Its own evaluation work found a clip-based
+  O(1) uniform-grid lookup faster (evaluation/interpolator_testing/
+  interpolations_alternatives.py:15-60); we adopt that index arithmetic.
+
+* All per-point fields are packed into one (nx, ny, nz, C) channel array so a
+  single 8-corner gather fetches every channel the RHS needs (acceleration,
+  attenuation, phase, Faraday). One gather of (N, C) per corner instead of
+  C separate interpolation calls — 8 gathers total per evaluation.
+
+* Indices are flattened to 1-D so XLA emits a single gather HLO per corner.
+  int32 covers grids up to 2^31 elements (1280^3); larger grids must be
+  sharded across devices (see synthpy_tpu.parallel).
+
+Out-of-bounds queries return ``fill_value`` exactly like scipy's
+RegularGridInterpolator with bounds_error=False (the semantics the physics
+relies on: zero force/attenuation outside the box).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+
+
+def trilinear(
+    values: jnp.ndarray,
+    pos: jnp.ndarray,
+    origin: jnp.ndarray,
+    inv_spacing: jnp.ndarray,
+    fill_value: float | jnp.ndarray = 0.0,
+) -> jnp.ndarray:
+    """Trilinear interpolation of a packed channel grid at query points.
+
+    Args:
+        values: (nx, ny, nz, C) channel grid (or (nx, ny, nz) for C implied 1).
+        pos: (N, 3) query points in physical coordinates.
+        origin: (3,) coordinate of grid node (0, 0, 0).
+        inv_spacing: (3,) reciprocal grid spacing per axis.
+        fill_value: value returned for out-of-bounds queries (scalar or (C,)).
+
+    Returns:
+        (N, C) interpolated channels ((N,) if ``values`` was 3-D).
+    """
+    squeeze = values.ndim == 3
+    if squeeze:
+        values = values[..., None]
+    nx, ny, nz, C = values.shape
+    dims = jnp.array([nx, ny, nz], dtype=pos.dtype)
+
+    t = (pos - origin) * inv_spacing  # fractional index coordinates
+    inside = jnp.all((t >= 0.0) & (t <= dims - 1.0), axis=-1)
+
+    i = jnp.clip(jnp.floor(t).astype(jnp.int32), 0,
+                 jnp.array([nx - 2, ny - 2, nz - 2], dtype=jnp.int32))
+    f = t - i.astype(pos.dtype)
+    # Clamp fractions so clipped out-of-bounds queries stay finite; the
+    # `inside` mask makes their value irrelevant.
+    f = jnp.clip(f, 0.0, 1.0)
+
+    ix, iy, iz = i[:, 0], i[:, 1], i[:, 2]
+    fx, fy, fz = f[:, 0:1], f[:, 1:2], f[:, 2:3]
+    gx, gy, gz = 1.0 - fx, 1.0 - fy, 1.0 - fz
+
+    flat = values.reshape(nx * ny * nz, C)
+    base = (ix * ny + iy) * nz + iz
+
+    def corner(dx: int, dy: int, dz: int) -> jnp.ndarray:
+        idx = base + (dx * ny + dy) * nz + dz
+        return jnp.take(flat, idx, axis=0, mode="clip")
+
+    out = (
+        gx * gy * gz * corner(0, 0, 0)
+        + gx * gy * fz * corner(0, 0, 1)
+        + gx * fy * gz * corner(0, 1, 0)
+        + gx * fy * fz * corner(0, 1, 1)
+        + fx * gy * gz * corner(1, 0, 0)
+        + fx * gy * fz * corner(1, 0, 1)
+        + fx * fy * gz * corner(1, 1, 0)
+        + fx * fy * fz * corner(1, 1, 1)
+    )
+
+    fill = jnp.broadcast_to(jnp.asarray(fill_value, dtype=out.dtype), (C,))
+    out = jnp.where(inside[:, None], out, fill)
+    if squeeze:
+        out = out[:, 0]
+    return out
+
+
+def grid_geometry(coords: Sequence[jnp.ndarray]):
+    """(origin, inv_spacing) for per-axis uniform coordinate vectors.
+
+    Spacing is taken from the first interval of each axis; the reference only
+    ever builds grids with linspace so uniformity holds by construction
+    (domain.py:283-303, full_solver.py:119).
+    """
+    origin = jnp.stack([c[0] for c in coords])
+    inv_spacing = jnp.stack([1.0 / (c[1] - c[0]) for c in coords])
+    return origin, inv_spacing
+
+
+def regular_grid_interpolator(
+    points: Sequence[jnp.ndarray],
+    values: jnp.ndarray,
+    xi: jnp.ndarray,
+    fill_value: float = 0.0,
+) -> jnp.ndarray:
+    """scipy-style convenience wrapper (parity: reference utils.py:124-214).
+
+    Args:
+        points: (x, y, z) uniform per-axis coordinate vectors.
+        values: (nx, ny, nz) scalar grid.
+        xi: (N, 3) query points.
+    """
+    origin, inv_spacing = grid_geometry(points)
+    return trilinear(values, xi, origin, inv_spacing, fill_value=fill_value)
