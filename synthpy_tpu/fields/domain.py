@@ -1,0 +1,316 @@
+"""Scene state: the gridded plasma domain and its trace-ready packing.
+
+``ScalarDomain`` mirrors the user-facing surface of the reference's scene
+container (src/simulator/domain.py:62 and src/solvers-legacy/
+full_solver.py:96-209 / minimal_solver.py:192-213): coordinate grids,
+electron density, optional B / Te / Z fields, physics switches, analytic
+test fields, and external-field loading.
+
+The execution-side design differs deliberately:
+
+* Non-cubic grids are first-class (per-axis coordinate vectors) instead of
+  the reference's NaN-padding hack (domain.py:283-303).
+* ``build_pack`` precomputes the three gradient grids ONCE and packs every
+  channel the ODE right-hand side needs into a single (nx, ny, nz, C)
+  array. This follows the legacy solver's precompute semantics
+  (full_solver.py:228-234) and fixes the modern reference's regression of
+  recomputing jnp.gradient on every RHS evaluation (propagator.py:79-89).
+* No host-memory auto-batching (domain.py:137-227): a 512^3 float32 pack
+  fits comfortably in one TPU's HBM; larger grids are handled by sharding
+  (synthpy_tpu.parallel), not host-side slab regeneration.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+
+from synthpy_tpu import constants
+from synthpy_tpu.ops.interp import grid_geometry
+
+AXES = ("x", "y", "z")
+
+
+def _as_triple(v, name: str) -> Tuple:
+    if isinstance(v, (int, float)):
+        return (v, v, v)
+    v = tuple(v)
+    if len(v) != 3:
+        raise ValueError(f"{name} must be a scalar or length-3 sequence")
+    return v
+
+
+class ScalarDomain:
+    """Gridded plasma scene: n_e (+ optional B, Te, Z) on a uniform grid.
+
+    Create either from (lengths, dims) — coordinates become
+    linspace(-L/2, L/2, n) per axis like the reference (domain.py:230-232) —
+    or from explicit coordinate vectors (legacy full_solver.py:102 style).
+
+    Args:
+        lengths: physical edge length(s) [m], scalar or (Lx, Ly, Lz).
+        dims: grid point count(s), scalar or (nx, ny, nz).
+        x, y, z: explicit uniform coordinate vectors (alternative to
+            lengths/dims).
+        ne_type: optional analytic profile name to generate immediately
+            ("test_null", "test_slab", "test_linear_cos",
+            "test_exponential_cos", "test_lens", "test_liner").
+        inv_brems / phaseshift / B_on: physics switches (amplitude
+            attenuation, refractive phase accumulation, Faraday rotation).
+        probing_direction: 'x', 'y' or 'z'.
+    """
+
+    def __init__(
+        self,
+        lengths: Union[float, Sequence[float], None] = None,
+        dims: Union[int, Sequence[int], None] = None,
+        *,
+        x=None,
+        y=None,
+        z=None,
+        ne_type: Optional[str] = None,
+        inv_brems: bool = False,
+        phaseshift: bool = False,
+        B_on: bool = False,
+        probing_direction: str = "z",
+        dtype=jnp.float32,
+    ):
+        if probing_direction not in AXES:
+            raise ValueError("probing_direction must be 'x', 'y' or 'z'")
+        self.dtype = dtype
+        if x is not None:
+            self.x = jnp.asarray(x, dtype)
+            self.y = jnp.asarray(y, dtype)
+            self.z = jnp.asarray(z, dtype)
+            self.lengths = tuple(
+                float(c[-1] - c[0]) for c in (self.x, self.y, self.z))
+            self.dims = (self.x.shape[0], self.y.shape[0], self.z.shape[0])
+        else:
+            if lengths is None or dims is None:
+                raise ValueError("pass (lengths, dims) or explicit x/y/z")
+            self.lengths = tuple(float(v) for v in _as_triple(lengths, "lengths"))
+            self.dims = tuple(int(v) for v in _as_triple(dims, "dims"))
+            self.x = jnp.linspace(-self.lengths[0] / 2, self.lengths[0] / 2,
+                                  self.dims[0], dtype=dtype)
+            self.y = jnp.linspace(-self.lengths[1] / 2, self.lengths[1] / 2,
+                                  self.dims[1], dtype=dtype)
+            self.z = jnp.linspace(-self.lengths[2] / 2, self.lengths[2] / 2,
+                                  self.dims[2], dtype=dtype)
+
+        self.inv_brems = inv_brems
+        self.phaseshift = phaseshift
+        self.B_on = B_on
+        self.probing_direction = probing_direction
+
+        self.ne: Optional[jnp.ndarray] = None
+        self.B: Optional[jnp.ndarray] = None
+        self.Te: Optional[jnp.ndarray] = None
+        self.Z: Optional[jnp.ndarray] = None
+
+        if ne_type is not None:
+            generator = getattr(self, ne_type, None)
+            if generator is None:
+                raise ValueError(f"unknown ne_type {ne_type!r}")
+            generator()
+
+    # -- geometry ----------------------------------------------------------
+
+    @property
+    def probe_axis(self) -> int:
+        return AXES.index(self.probing_direction)
+
+    @property
+    def extent(self) -> float:
+        """Half-length along the probing axis [m] (the exit-plane coord)."""
+        coords = (self.x, self.y, self.z)[self.probe_axis]
+        return float(coords[-1])
+
+    def _mesh(self, *needed: str):
+        """Broadcastable coordinate grids without meshgrid materialisation."""
+        grids = {
+            "x": self.x[:, None, None],
+            "y": self.y[None, :, None],
+            "z": self.z[None, None, :],
+        }
+        return tuple(grids[n] for n in needed)
+
+    # -- analytic test fields (the reference's built-in validation suite) ---
+
+    def test_null(self):
+        """Empty cube — rays must pass undeflected (full_solver.py:130)."""
+        self.ne = jnp.zeros(self.dims, self.dtype)
+        return self
+
+    def test_slab(self, s: float = 1.0, ne_0: float = 2e23):
+        """Linear x-gradient slab: deflects rays in x (full_solver.py:136)."""
+        (X,) = self._mesh("x")
+        self.ne = (ne_0 * (1.0 + s * X / self.extent)
+                   ) * jnp.ones(self.dims, self.dtype)
+        return self
+
+    def test_linear_cos(self, s1: float = 0.1, s2: float = 0.1,
+                        ne_0: float = 2e23, Ly: float = 1.0):
+        """Linearly growing sinusoid (full_solver.py:148)."""
+        X, Y = self._mesh("x", "y")
+        f = ne_0 * (1.0 + s1 * X / self.extent) * (
+            1.0 + s2 * jnp.cos(2 * jnp.pi * Y / Ly))
+        self.ne = jnp.broadcast_to(f, self.dims).astype(self.dtype)
+        return self
+
+    def test_exponential_cos(self, ne_0: float = 1e24, Ly: float = 1e-3,
+                             s: float = 2e-3):
+        """Exponentially growing sinusoid (full_solver.py:159)."""
+        X, Y = self._mesh("x", "y")
+        f = ne_0 * 10 ** (X / s) * (1.0 + jnp.cos(2 * jnp.pi * Y / Ly))
+        self.ne = jnp.broadcast_to(f, self.dims).astype(self.dtype)
+        return self
+
+    def test_lens(self, ne_0: float = 1e24, LR: float = 1e-3):
+        """Gaussian column along z — a plasma lens (minimal_solver.py:192)."""
+        X, Y = self._mesh("x", "y")
+        f = ne_0 * jnp.exp(-(X**2 + Y**2) / LR**2)
+        self.ne = jnp.broadcast_to(f, self.dims).astype(self.dtype)
+        return self
+
+    def test_liner(self, ne_0: float = 1e24, LR: float = 1e-3):
+        """Gaussian column along y (minimal_solver.py:203)."""
+        X, Z = self._mesh("x", "z")
+        f = ne_0 * jnp.exp(-(X**2 + Z**2) / LR**2)
+        self.ne = jnp.broadcast_to(f, self.dims).astype(self.dtype)
+        return self
+
+    def test_B(self, Bmax: float = 1.0):
+        """Bz with linear x-gradient (full_solver.py:201)."""
+        (X,) = self._mesh("x")
+        B = jnp.zeros((*self.dims, 3), self.dtype)
+        self.B = B.at[..., 2].set(
+            jnp.broadcast_to(Bmax * X / self.extent, self.dims))
+        self.B_on = True
+        return self
+
+    # -- external field loading --------------------------------------------
+
+    def external_ne(self, ne):
+        self.ne = jnp.asarray(ne, self.dtype)
+        if self.ne.shape != tuple(self.dims):
+            raise ValueError(
+                f"ne shape {self.ne.shape} != grid dims {self.dims}")
+        return self
+
+    def external_B(self, B):
+        self.B = jnp.asarray(B, self.dtype)
+        self.B_on = True
+        return self
+
+    def external_Te(self, Te, Te_min: float = 1.0):
+        self.Te = jnp.maximum(jnp.asarray(Te, self.dtype), Te_min)
+        return self
+
+    def external_Z(self, Z):
+        self.Z = jnp.asarray(Z, self.dtype)
+        return self
+
+    # -- export --------------------------------------------------------------
+
+    def export_scalar_field(self, property: str = "ne",
+                            fname: Optional[str] = None) -> str:
+        """Write the density grid as .vti + .pvti (see synthpy_tpu.io.vti)."""
+        from synthpy_tpu.io import vti
+
+        if property != "ne":
+            raise NotImplementedError("only 'ne' export is supported")
+        if self.ne is None:
+            raise RuntimeError("no electron density loaded")
+        return vti.export_scalar_field(
+            self.ne, (self.x, self.y, self.z), fname=fname, name="rnec")
+
+    # -- trace packing -------------------------------------------------------
+
+    def build_pack(self, lwl: float = constants.DEFAULT_LWL) -> "TracePack":
+        return build_pack(self, lwl)
+
+
+class ChannelLayout(NamedTuple):
+    """Static description of what lives in each pack channel (hashable)."""
+
+    inv_brems: bool
+    phaseshift: bool
+    B_on: bool
+
+    @property
+    def n_channels(self) -> int:
+        return 3 + self.inv_brems + self.phaseshift + 3 * self.B_on
+
+    @property
+    def kappa_index(self) -> int:
+        return 3
+
+    @property
+    def phase_index(self) -> int:
+        return 3 + self.inv_brems
+
+    @property
+    def faraday_index(self) -> int:
+        return 3 + self.inv_brems + self.phaseshift
+
+
+class TracePack(NamedTuple):
+    """Immutable, jit-friendly bundle consumed by the tracer.
+
+    channels: (nx, ny, nz, C) with C = 3 gradient components
+        (-c^2/2 * d(ne/nc)/dx_i, the acceleration field), then optionally
+        kappa [1/s], omega*(n-1) [rad/s], and Verdet*ne*B [rad/m * s/m].
+        All channels are exactly zero outside the box, so a single
+        fill_value=0 interpolation covers every term.
+    """
+
+    channels: jnp.ndarray
+    origin: jnp.ndarray
+    inv_spacing: jnp.ndarray
+    omega: float
+
+
+def build_pack(domain: ScalarDomain,
+               lwl: float = constants.DEFAULT_LWL) -> TracePack:
+    """Precompute the packed RHS channel grid for a domain.
+
+    Gradients use second-order central differences (one-sided at the
+    boundary), matching numpy.gradient as used by the legacy precompute
+    (full_solver.py:228-230).
+    """
+    if domain.ne is None:
+        raise RuntimeError("domain has no electron density")
+    omega = float(constants.omega_from_lwl(lwl))
+    nc = float(constants.critical_density(omega))
+    ne_nc = domain.ne / nc
+
+    # Scalar spacings (grids are uniform by construction): the plain central
+    # difference cancels exactly for constant fields, unlike the
+    # coordinate-array quadratic formula which leaves f32 rounding residue.
+    spacings = [float(c[1] - c[0]) for c in (domain.x, domain.y, domain.z)]
+    grads = jnp.gradient(ne_nc, *spacings)
+    chans = [(-0.5 * constants.C**2) * g for g in grads]
+
+    if domain.inv_brems:
+        if domain.Te is None or domain.Z is None:
+            raise RuntimeError("inv_brems requires Te and Z grids")
+        chans.append(constants.kappa(domain.ne, domain.Te, domain.Z, omega))
+    if domain.phaseshift:
+        chans.append(omega * (constants.n_refrac(domain.ne, omega) - 1.0))
+    if domain.B_on:
+        if domain.B is None:
+            raise RuntimeError("B_on requires a B grid")
+        verdet = constants.verdet_constant(lwl)
+        for i in range(3):
+            chans.append(verdet * domain.ne * domain.B[..., i])
+
+    channels = jnp.stack(
+        [c.astype(domain.dtype) for c in chans], axis=-1)
+    origin, inv_spacing = grid_geometry((domain.x, domain.y, domain.z))
+    return TracePack(channels, origin.astype(domain.dtype),
+                     inv_spacing.astype(domain.dtype), omega)
+
+
+def layout_of(domain: ScalarDomain) -> ChannelLayout:
+    return ChannelLayout(domain.inv_brems, domain.phaseshift, domain.B_on)

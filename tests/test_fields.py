@@ -1,0 +1,166 @@
+"""Tests for ScalarDomain, trace packing, GRF generators, and spectra."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synthpy_tpu import constants
+from synthpy_tpu.fields import ScalarDomain, build_pack, grf, layout_of
+from synthpy_tpu.fields.spectrum import fit_spectral_slope, radial_spectrum
+
+
+def test_domain_coords_and_extent():
+    d = ScalarDomain(10e-3, 33)
+    assert d.dims == (33, 33, 33)
+    np.testing.assert_allclose(float(d.x[0]), -5e-3)
+    np.testing.assert_allclose(float(d.x[-1]), 5e-3)
+    assert d.extent == pytest.approx(5e-3)
+    # non-cubic works without padding hacks
+    d2 = ScalarDomain((10e-3, 8e-3, 20e-3), (17, 15, 33),
+                      probing_direction="z")
+    assert d2.dims == (17, 15, 33)
+    assert d2.extent == pytest.approx(10e-3)
+
+
+def test_domain_explicit_coords_matches_legacy_style():
+    ext = 5e-3
+    x = np.linspace(-ext, ext, 21)
+    d = ScalarDomain(x=x, y=x, z=x)
+    assert d.dims == (21, 21, 21)
+    assert d.extent == pytest.approx(ext)
+
+
+def test_analytic_fields_values():
+    d = ScalarDomain(10e-3, 21).test_slab(s=1.0, ne_0=2e23)
+    ne = np.asarray(d.ne)
+    # slab: ne = ne_0 (1 + s x/extent): at x = -extent -> 0, x=+extent -> 2ne0
+    np.testing.assert_allclose(ne[0, 0, 0], 0.0, atol=1e17)
+    np.testing.assert_allclose(ne[-1, 0, 0], 4e23, rtol=1e-5)
+
+    d.test_lens(ne_0=1e24, LR=1e-3)
+    ne = np.asarray(d.ne)
+    i0 = 10  # centre index
+    np.testing.assert_allclose(ne[i0, i0, 0], 1e24, rtol=1e-5)
+    assert ne[0, i0, 0] < 1e24 * np.exp(-20)
+
+    d.test_null()
+    assert float(jnp.abs(d.ne).max()) == 0.0
+
+
+def test_build_pack_gradient_matches_numpy():
+    d = ScalarDomain(10e-3, 25).test_slab(s=2.0, ne_0=1e24)
+    pack = build_pack(d, lwl=1064e-9)
+    assert pack.channels.shape == (25, 25, 25, 3)
+    nc = float(constants.critical_density(pack.omega))
+    expect = -0.5 * constants.C**2 * np.gradient(
+        np.asarray(d.ne) / nc, np.asarray(d.x), axis=0)
+    np.testing.assert_allclose(np.asarray(pack.channels[..., 0]), expect,
+                               rtol=1e-4)
+    # slab has no y/z gradient
+    assert float(jnp.abs(pack.channels[..., 1]).max()) == 0.0
+    assert float(jnp.abs(pack.channels[..., 2]).max()) == 0.0
+
+
+def test_build_pack_channel_layout():
+    d = ScalarDomain(10e-3, 9).test_slab()
+    d.phaseshift = True
+    pack = build_pack(d)
+    lay = layout_of(d)
+    assert lay.n_channels == 4 and lay.phase_index == 3
+    assert pack.channels.shape[-1] == 4
+    # omega*(n-1) is negative inside plasma
+    assert float(pack.channels[..., 3].min()) < 0
+
+    d2 = ScalarDomain(10e-3, 9).test_slab()
+    d2.test_B(Bmax=2.0)
+    pack2 = build_pack(d2)
+    assert pack2.channels.shape[-1] == 6
+    lay2 = layout_of(d2)
+    assert lay2.faraday_index == 3
+
+
+def test_grf_domain_fft_properties():
+    key = jax.random.PRNGKey(3)
+    coords, field = grf.grf_domain_fft(
+        key, grf.power_law(11.0 / 3.0), l_max=2e-3, l_min=1e-4,
+        extent=1e-3, res=32)
+    assert field.shape == (64, 64, 64)
+    np.testing.assert_allclose(float(jnp.abs(field).max()), 1.0, rtol=1e-5)
+    assert len(coords) == 3 and coords[0].shape == (64,)
+    # anisotropic stretch
+    coords2, field2 = grf.grf_domain_fft(
+        key, grf.kolmogorov, l_max=2e-3, l_min=1e-4, extent=1e-3, res=16,
+        factor=2.0)
+    assert field2.shape == (32, 32, 64)
+    assert coords2[2].shape == (64,)
+
+
+def test_grf_spectrum_slope_recovery():
+    """Generated band-limited GRF must exhibit the imposed power-law slope."""
+    key = jax.random.PRNGKey(7)
+    p = 11.0 / 3.0
+    extent, res = 1e-3, 64
+    coords, field = grf.grf_domain_fft(
+        key, grf.power_law(p), l_max=extent, l_min=extent / 16,
+        extent=extent, res=res)
+    k, E, cnt = radial_spectrum(field, 2 * extent, nbins=48, log_bins=True)
+    k_lo = 2 * np.pi / extent * 1.5
+    k_hi = 2 * np.pi / (extent / 16) * 0.7
+    slope = fit_spectral_slope(k, E, cnt, k_lo, k_hi)
+    assert slope == pytest.approx(-p, abs=0.45)
+
+
+def test_grf_fft_zero_mean_and_shape():
+    key = jax.random.PRNGKey(11)
+    f = grf.grf_fft(key, 16, grf.kolmogorov, ndim=3)
+    assert f.shape == (33, 33, 33)
+    assert abs(float(f.mean())) < 1e-6 * float(jnp.abs(f).max())
+
+
+def test_grf_cos_3d_matches_loop_reference():
+    """The einsum contraction must equal the direct mode-sum formula."""
+    key = jax.random.PRNGKey(5)
+    nx = ny = nz = 6
+    nmodes = 20
+    coords, field = grf.grf_cos_3d(key, grf.kolmogorov, 1.0, 1.0, 1.0,
+                                   nx, ny, nz, nmodes, wn1=2 * np.pi)
+    # rebuild with explicit numpy loop using identical modes
+    from synthpy_tpu.fields.grf import _cos_modes
+    wn, A_m, psis, (theta, phi) = _cos_modes(
+        key, grf.kolmogorov, 2 * np.pi, np.pi / (1.0 / nx), nmodes, 3)
+    wn, A_m = np.asarray(wn), np.asarray(A_m)
+    psis = [np.asarray(p) for p in psis]
+    theta, phi = np.asarray(theta), np.asarray(phi)
+    kx = np.sin(theta) * np.cos(phi) * wn
+    ky = np.sin(theta) * np.sin(phi) * wn
+    kz = np.cos(theta) * wn
+    xc = np.asarray(coords[0]); yc = np.asarray(coords[1]); zc = np.asarray(coords[2])
+    ref = np.zeros((nx, ny, nz))
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                a1 = kx * xc[i] + ky * yc[j] + kz * zc[k] + psis[0]
+                a2 = kx * xc[i] + ky * yc[j] - kz * zc[k] + psis[1]
+                a3 = kx * xc[i] - ky * yc[j] + kz * zc[k] + psis[2]
+                a4 = kx * xc[i] - ky * yc[j] - kz * zc[k] + psis[3]
+                bm = A_m * np.sqrt(2.0) * (np.cos(a1) + np.cos(a2)
+                                           + np.cos(a3) + np.cos(a4))
+                ref[i, j, k] = bm.sum()
+    np.testing.assert_allclose(np.asarray(field), ref, rtol=1e-4, atol=1e-6)
+
+
+def test_grf_cos_1d_2d_shapes():
+    key = jax.random.PRNGKey(1)
+    (xc,), f1 = grf.grf_cos_1d(key, grf.kolmogorov, 1.0, 32, 50, 2 * np.pi)
+    assert f1.shape == (32,)
+    (xc, yc), f2 = grf.grf_cos_2d(key, grf.kolmogorov, 1.0, 1.0, 16, 24,
+                                  50, 2 * np.pi)
+    assert f2.shape == (16, 24)
+
+
+def test_gaussian3d_class_wrapper():
+    g = grf.gaussian3D(grf.kolmogorov, seed=0)
+    f = g.domain_fft(l_max=2.0, l_min=0.1, extent=1.0, res=8)
+    assert f.shape == (16, 16, 16)
+    assert g.ne is f
