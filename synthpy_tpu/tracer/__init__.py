@@ -1,0 +1,11 @@
+"""Ray tracing: beam initialisation and the RK4 propagator."""
+
+from synthpy_tpu.tracer.beam import BEAM_TYPES, Beam, init_beam  # noqa: F401
+from synthpy_tpu.tracer.propagator import (  # noqa: F401
+    TraceResult,
+    back_propagate,
+    default_n_steps,
+    ray_to_Jonesvector,
+    solve,
+    trace_rk4,
+)

@@ -1,0 +1,271 @@
+"""The ray-trace core: fixed-step RK4 over a packed gradient field.
+
+Physics (reference full_solver.py:1-8, PhysRevE.61.895):
+
+    dx/dt = v
+    dv/dt = -grad( c^2/2 * n_e/n_c )          (precomputed channel 0..2)
+    da/dt = -kappa * a                        (inverse bremsstrahlung)
+    dphi/dt = omega * (n - 1)                 (refractive phase)
+    dpol/dt = VerdetConst * n_e * (B . v)     (Faraday rotation)
+
+Execution design (deliberately different from the reference):
+
+  * The gradient grids are computed ONCE at pack time (legacy semantics,
+    full_solver.py:228-234) — not re-derived per RHS evaluation like the
+    modern reference (propagator.py:79-89, its dominant cost).
+  * Fixed-step RK4 under lax.scan instead of diffrax-adaptive Tsit5
+    (propagator.py:536-576): the RHS is smooth, fixed stepping fuses into
+    one XLA loop with deterministic cost, and the step count is derived
+    from the grid resolution (the reference's commented dtmax heuristic,
+    propagator.py:556). Equivalence vs an adaptive scipy oracle is enforced
+    in tests, mirroring the reference's solver_comparisons.py:64-85.
+  * Rays are rows of an (Np, 9) matrix — ready for 1-D mesh sharding; a
+    single trilinear gather per RK stage fetches every RHS channel.
+  * Everything lives on-device; only wall-clock timing touches the host.
+
+Sign note: the reference integrates da/dt = +kappa*a (full_solver.py:540,
+propagator.py:138) which makes "attenuation" grow the amplitude; we use the
+physically attenuating sign. Set ``atten_sign=+1.0`` for bug-compatible
+behaviour.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from synthpy_tpu.constants import C
+from synthpy_tpu.fields.domain import (
+    ChannelLayout,
+    ScalarDomain,
+    TracePack,
+    build_pack,
+    layout_of,
+)
+from synthpy_tpu.ops.interp import trilinear
+
+
+# ---------------------------------------------------------------------------
+# Right-hand side and RK4 stepping (pure, jit-safe)
+# ---------------------------------------------------------------------------
+
+def _rhs(s, channels, origin, inv_spacing, layout: ChannelLayout,
+         atten_sign: float):
+    """ds/dt for an (N, 9) ray block; one fused gather per call."""
+    pos = s[:, 0:3]
+    v = s[:, 3:6]
+    vals = trilinear(channels, pos, origin, inv_spacing)
+    acc = vals[:, 0:3]
+
+    N = s.shape[0]
+    zeros = jnp.zeros((N, 1), s.dtype)
+    if layout.inv_brems:
+        amp = s[:, 6:7]
+        d_amp = atten_sign * vals[:, layout.kappa_index:layout.kappa_index
+                                  + 1] * amp
+    else:
+        d_amp = zeros
+    if layout.phaseshift:
+        d_phase = vals[:, layout.phase_index:layout.phase_index + 1]
+    else:
+        d_phase = zeros
+    if layout.B_on:
+        W = vals[:, layout.faraday_index:layout.faraday_index + 3]
+        d_pol = jnp.sum(W * v, axis=1, keepdims=True)
+    else:
+        d_pol = zeros
+
+    return jnp.concatenate([v, acc, d_amp, d_phase, d_pol], axis=1)
+
+
+@partial(jax.jit,
+         static_argnames=("layout", "n_steps", "ray_chunk", "atten_sign"))
+def trace_rk4(
+    s_rows: jnp.ndarray,
+    channels: jnp.ndarray,
+    origin: jnp.ndarray,
+    inv_spacing: jnp.ndarray,
+    dt: jnp.ndarray,
+    *,
+    layout: ChannelLayout,
+    n_steps: int,
+    ray_chunk: Optional[int] = None,
+    atten_sign: float = -1.0,
+) -> jnp.ndarray:
+    """Integrate (Np, 9) rays for n_steps of RK4 with step dt.
+
+    ``ray_chunk`` bounds the in-flight working set by scanning over ray
+    chunks (the TPU-native version of the reference's Np_ray_split=5e5
+    loops, example_ParallelisationGuide.py:108-126).
+    """
+    def step(s, _):
+        k1 = _rhs(s, channels, origin, inv_spacing, layout, atten_sign)
+        k2 = _rhs(s + 0.5 * dt * k1, channels, origin, inv_spacing, layout,
+                  atten_sign)
+        k3 = _rhs(s + 0.5 * dt * k2, channels, origin, inv_spacing, layout,
+                  atten_sign)
+        k4 = _rhs(s + dt * k3, channels, origin, inv_spacing, layout,
+                  atten_sign)
+        return s + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+    def run(block):
+        out, _ = jax.lax.scan(step, block, None, length=n_steps)
+        return out
+
+    if ray_chunk is None or s_rows.shape[0] <= ray_chunk:
+        return run(s_rows)
+
+    Np = s_rows.shape[0]
+    n_chunks = -(-Np // ray_chunk)
+    pad = n_chunks * ray_chunk - Np
+    padded = jnp.pad(s_rows, ((0, pad), (0, 0)))
+    blocks = padded.reshape(n_chunks, ray_chunk, 9)
+    out = jax.lax.map(run, blocks)
+    return out.reshape(n_chunks * ray_chunk, 9)[:Np]
+
+
+# ---------------------------------------------------------------------------
+# Exit-plane resolution
+# ---------------------------------------------------------------------------
+
+_AXIS_OF = {"x": 0, "y": 1, "z": 2}
+
+
+def ray_to_Jonesvector(rays, ne_extent, *, probing_direction: str = "z",
+                       keep_current_plane: bool = False,
+                       return_E: bool = False):
+    """9 x N exit state -> 4 x N RTM rays [x, theta, y, phi] (+ Jones E).
+
+    Back-projects each ray to the plane at coordinate ``ne_extent`` along
+    the probing axis, then reports transverse positions and angles. Axis
+    ordering per direction follows the modern reference
+    (propagator.py:178-298), including the y-probing x/z swap.
+    """
+    ax = _AXIS_OF[probing_direction]
+    trans = {"x": (1, 2), "y": (2, 0), "z": (0, 1)}[probing_direction]
+
+    p_par = rays[ax]
+    v_par = rays[3 + ax]
+    t_bp = (p_par - ne_extent) / v_par
+
+    comps = []
+    for a in trans:
+        p, v = rays[a], rays[3 + a]
+        comps.append(p if keep_current_plane else p - v * t_bp)
+        comps.append(jnp.arctan(v / v_par))
+    ray_p = jnp.stack([comps[0], comps[1], comps[2], comps[3]])
+
+    if not return_E:
+        return ray_p, None
+
+    amp, phase, pol = rays[6], rays[7], rays[8]
+    # Initial polarisation along y; rotate by pol, scale by amp, advance by
+    # phase (reference propagator.py:269-288).
+    e_phase = amp * (jnp.cos(phase) + 1.0j * jnp.sin(phase))
+    ray_J = jnp.stack([e_phase * (-jnp.sin(pol)), e_phase * jnp.cos(pol)])
+    return ray_p, ray_J
+
+
+def back_propagate(rays, ne_extent, probing_direction: str = "z"):
+    """Snap rays back onto the plane at ``ne_extent`` along the probing axis
+    (used between streamed slabs; reference propagator.py:300-349)."""
+    ax = _AXIS_OF[probing_direction]
+    p_par = rays[ax]
+    v_par = rays[3 + ax]
+    t_bp = (p_par - ne_extent) / v_par
+    out = rays
+    for a in range(3):
+        if a == ax:
+            out = out.at[a].set(jnp.full_like(p_par, ne_extent))
+        else:
+            out = out.at[a].set(rays[a] - rays[3 + a] * t_bp)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# High-level solve
+# ---------------------------------------------------------------------------
+
+class TraceResult(NamedTuple):
+    rf: jnp.ndarray            # (4, N) [x, theta, y, phi] exit rays [m, rad]
+    Jf: Optional[jnp.ndarray]  # (2, N) complex Jones vector, or None
+    sf: jnp.ndarray            # (9, N) raw final ODE state
+    duration: float            # trace wall time [s], excluding compile
+
+
+def default_n_steps(domain: ScalarDomain, probing_depth: float,
+                    steps_per_cell: float = 1.0) -> int:
+    """Step count from the CFL-like cell-crossing heuristic.
+
+    Integration time is sqrt(8)*depth/c (the reference's escape fudge,
+    propagator.py:454); one step per ``1/steps_per_cell`` probing-axis cells
+    gives n = steps_per_cell * sqrt(8) * depth / cell_size.
+    """
+    ax = domain.probe_axis
+    cell = domain.lengths[ax] / (domain.dims[ax] - 1)
+    return max(int(jnp.ceil(steps_per_cell * jnp.sqrt(8.0) * probing_depth
+                            / cell)), 8)
+
+
+def solve(
+    s0: jnp.ndarray,
+    domain: ScalarDomain,
+    probing_depth: Optional[float] = None,
+    *,
+    lwl: float = 1064e-9,
+    return_E: bool = False,
+    n_steps: Optional[int] = None,
+    steps_per_cell: float = 1.0,
+    ray_chunk: Optional[int] = None,
+    atten_sign: float = -1.0,
+    pack: Optional[TracePack] = None,
+    keep_current_plane: bool = False,
+) -> TraceResult:
+    """Trace a ray bundle through a domain to the exit plane.
+
+    Args:
+        s0: (9, Np) initial state (reference layout).
+        domain: the scene; its switches select the physics channels.
+        probing_depth: exit-plane coordinate along the probing axis [m];
+            defaults to the domain half-extent like the legacy solver
+            (full_solver.py:381-399).
+        return_E: also build the complex Jones vectors (needed by coherent
+            diagnostics).
+        n_steps / steps_per_cell: integrator resolution (see
+            default_n_steps).
+        ray_chunk: optional ray micro-batch size.
+        pack: reuse a precomputed TracePack (skips gradient precompute).
+
+    Returns:
+        TraceResult(rf, Jf, sf, duration).
+    """
+    if probing_depth is None:
+        probing_depth = domain.extent
+    if pack is None:
+        pack = build_pack(domain, lwl)
+    layout = layout_of(domain)
+    if n_steps is None:
+        n_steps = default_n_steps(domain, probing_depth, steps_per_cell)
+
+    t_end = jnp.sqrt(8.0) * probing_depth / C
+    dt = jnp.asarray(t_end / n_steps, dtype=s0.dtype)
+
+    s_rows = jnp.asarray(s0).T  # (Np, 9)
+
+    start = time.perf_counter()
+    sf_rows = trace_rk4(
+        s_rows, pack.channels, pack.origin, pack.inv_spacing, dt,
+        layout=layout, n_steps=n_steps, ray_chunk=ray_chunk,
+        atten_sign=atten_sign)
+    sf_rows.block_until_ready()
+    duration = time.perf_counter() - start
+
+    sf = sf_rows.T
+    rf, Jf = ray_to_Jonesvector(
+        sf, probing_depth, probing_direction=domain.probing_direction,
+        keep_current_plane=keep_current_plane, return_E=return_E)
+    return TraceResult(rf, Jf, sf, duration)
