@@ -1,0 +1,10 @@
+"""Optical trains and synthetic diagnostics."""
+
+from synthpy_tpu.optics.diagnostics import (  # noqa: F401
+    Diagnostic,
+    Interferometry,
+    Refractometry,
+    Schlieren,
+    Shadowgraphy,
+)
+from synthpy_tpu.optics import rtm  # noqa: F401
