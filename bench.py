@@ -1,0 +1,89 @@
+"""Headline benchmark: rays/sec/chip through a 512^3 field, RK4, shadowgram.
+
+Mirrors BASELINE.json: the metric is ray-trace throughput on one chip for
+the flagship configuration (512^3 n_e grid, 9-component RK4 push, full
+shadowgraphy detector synthesis). The reference publishes no numbers
+(BASELINE.md), so ``vs_baseline`` is reported against the driver's
+north-star target of 1e8 rays -> finished shadowgram in 60 s on a v5e-8,
+i.e. 1.667e6 rays/s/chip == 1.0 per chip.
+
+Prints exactly one JSON line. Environment overrides:
+    BENCH_DIM (default 512), BENCH_RAYS (default 2_000_000),
+    BENCH_STEPS_PER_CELL (default 1.0), BENCH_DIAg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from synthpy_tpu.constants import C
+    from synthpy_tpu.fields import ScalarDomain, build_pack, layout_of
+    from synthpy_tpu.pipeline import synth_image
+    from synthpy_tpu.tracer import init_beam
+    from synthpy_tpu.tracer.propagator import default_n_steps
+
+    backend = jax.default_backend()
+    dim = int(os.environ.get("BENCH_DIM", 512 if backend == "tpu" else 64))
+    rays = int(os.environ.get(
+        "BENCH_RAYS", 2_000_000 if backend == "tpu" else 20_000))
+    spc = float(os.environ.get("BENCH_STEPS_PER_CELL", 1.0))
+
+    ext = 5e-3
+    domain = ScalarDomain(2 * ext, dim).test_lens(ne_0=5e24, LR=1.5e-3)
+    pack = build_pack(domain)
+    layout = layout_of(domain)
+    n_steps = default_n_steps(domain, ext, spc)
+
+    s0 = init_beam(jax.random.PRNGKey(0), rays, 2e-3, 0.0, ext, "circular")
+    s_rows = jnp.asarray(s0).T
+    dt = jnp.float32(jnp.sqrt(8.0) * ext / C / n_steps)
+    depth = jnp.float32(ext)
+
+    def run():
+        return synth_image(s_rows, pack.channels, pack.origin,
+                           pack.inv_spacing, dt, depth, layout=layout,
+                           n_steps=n_steps, bins=(431, 321))
+
+    # compile
+    H = run()
+    H.block_until_ready()
+
+    # timed runs (best of 2: first timed run can still hit caches cold)
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        H = run()
+        H.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+
+    rays_per_sec = rays / elapsed
+    target = 1e8 / 60.0  # north-star: 1e8 rays end-to-end in 60 s
+    result = {
+        "metric": f"rays/sec/chip ({dim}^3 n_e grid, RK4 {n_steps} steps, "
+                  "shadowgram synthesis)",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / target, 4),
+        "detail": {
+            "backend": backend,
+            "dim": dim,
+            "rays": rays,
+            "n_steps": n_steps,
+            "elapsed_s": round(elapsed, 4),
+            "extrapolated_1e8_rays_s": round(1e8 / rays_per_sec, 2),
+            "checksum": float(jnp.asarray(H).sum()),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,10 @@
+"""Device-mesh sharding and distributed execution."""
+
+from synthpy_tpu.parallel.mesh import (  # noqa: F401
+    grid_ray_mesh,
+    make_gridsharded_tracer,
+    ray_mesh,
+    replicate,
+    shard_rays,
+    sharded_histogram,
+)

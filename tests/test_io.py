@@ -1,0 +1,166 @@
+"""I/O round-trips: VTI/PVTI, FLASH HDF5, PROPACEOS, ray dumps, imaging."""
+
+import numpy as np
+import pytest
+
+from synthpy_tpu.analysis import Image
+from synthpy_tpu.io import (
+    export_pvti,
+    export_scalar_field,
+    hdf_readin,
+    load_histograms,
+    load_rays,
+    read_integral_quantities,
+    read_propaceos,
+    read_pvti,
+    read_vti,
+    save_histograms,
+    save_rays,
+    write_vti,
+)
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_vti_roundtrip(tmp_path, compress):
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(12, 10, 8)).astype(np.float64)
+    fname = str(tmp_path / "field.vti")
+    write_vti(fname, arr, spacing=(0.5, 1.0, 2.0), compress=compress)
+    cells, shape, spacing = read_vti(fname)
+    assert shape == (12, 10, 8)
+    np.testing.assert_allclose(spacing, [0.5, 1.0, 2.0])
+    np.testing.assert_array_equal(cells, arr)
+
+
+def test_pvti_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = rng.normal(size=(16, 16, 16)).astype(np.float32)
+    coords = tuple(np.linspace(-1e-3, 1e-3, 16) for _ in range(3))
+    pvti = export_scalar_field(arr, coords,
+                               fname=str(tmp_path / "plasma"))
+    cells, shape, spacing = read_pvti(pvti)
+    assert shape == (16, 16, 16)
+    np.testing.assert_array_equal(cells, arr)
+
+
+def test_export_pvti_reference_signature(tmp_path):
+    arr = np.ones((8, 8, 8))
+    pvti = export_pvti(arr, fname=str(tmp_path / "ref"), extent_x=1e-3,
+                       extent_y=1e-3, extent_z=2e-3)
+    cells, shape, _ = read_pvti(pvti)
+    assert shape == (8, 8, 8)
+    np.testing.assert_array_equal(cells, arr)
+
+
+def test_domain_export_roundtrip(tmp_path):
+    from synthpy_tpu.fields import ScalarDomain
+
+    d = ScalarDomain(2e-3, 12).test_lens(ne_0=1e24, LR=0.5e-3)
+    pvti = d.export_scalar_field(fname=str(tmp_path / "dom"))
+    cells, shape, _ = read_pvti(pvti)
+    np.testing.assert_allclose(cells, np.asarray(d.ne), rtol=1e-6)
+
+
+def test_flash_hdf_readin(tmp_path):
+    """Synthetic 2-block FLASH-like file at two refinement levels."""
+    import h5py
+
+    nb = 2  # two leaf blocks tiling the domain along x
+    nxb = nyb = nzb = 4
+    fname = str(tmp_path / "flash_hdf5_plt_cnt_0000")
+    with h5py.File(fname, "w") as f:
+        f["node type"] = np.array([1, 1])
+        f["refine level"] = np.array([1, 1])
+        # domain [0,1]x[0,1]x[0,1]; two base blocks split x in half
+        bbox = np.zeros((nb, 3, 2))
+        bbox[0] = [[0, 0.5], [0, 1], [0, 1]]
+        bbox[1] = [[0.5, 1], [0, 1], [0, 1]]
+        f["bounding box"] = bbox
+        dens = np.zeros((nb, nzb, nyb, nxb))
+        dens[0] = 1.0
+        dens[1] = 2.0
+        f["dens"] = dens
+        f["ye"] = np.full((nb, nzb, nyb, nxb), 0.5)
+        f["sumy"] = np.full((nb, nzb, nyb, nxb), 1.0)
+
+    ne, dims, spacing = hdf_readin(fname)
+    assert tuple(dims) == (8, 4, 4)
+    expect_lo = 6.022e23 * 1.0 * 0.5
+    expect_hi = 6.022e23 * 2.0 * 0.5
+    np.testing.assert_allclose(ne[:4], expect_lo)
+    np.testing.assert_allclose(ne[4:], expect_hi)
+
+
+def test_read_propaceos(tmp_path):
+    """Craft a minimal PROPACEOS-format file and parse it back."""
+    n_temp, n_dens, n_groups = 10, 20, 9
+    temps = np.linspace(1, 100, n_temp)
+    dens = np.logspace(16, 20, n_dens)
+    groups = np.linspace(0.1, 10, n_groups + 1)
+    zf = np.arange(n_temp * n_dens, dtype=float).reshape(n_temp, n_dens)
+
+    def lines10(vals):
+        out = []
+        vals = list(vals)
+        for i in range(0, len(vals), 10):
+            out.append(" ".join(f"{v:.6e}" for v in vals[i:i + 10]))
+        return out
+
+    content = ["header"] * 38
+    content.append(str(n_temp))
+    content += lines10(temps)
+    content.append(str(n_dens))
+    content += lines10(dens)
+    # skipped duplicated grid section: n_temp//10 + n_dens//10 + 2 + 5 lines
+    content += ["skip"] * (n_temp // 10 + n_dens // 10 + 2 + 5)
+    content.append(str(n_groups))
+    content.append("skip")
+    content += lines10(groups)
+    content.append("ZF table")
+    for t in range(n_temp):
+        content += lines10(zf[t])
+    fname = str(tmp_path / "prp")
+    with open(fname, "w") as f:
+        f.write("\n".join(content) + "\n")
+
+    data = read_propaceos(fname, need_zf_table=True)
+    np.testing.assert_allclose(data["temperatures"], temps, rtol=1e-5)
+    np.testing.assert_allclose(data["densities"], dens, rtol=1e-5)
+    np.testing.assert_allclose(data["rad_groups"], groups, rtol=1e-5)
+    np.testing.assert_allclose(data["zf_table"], zf, rtol=1e-5)
+
+
+def test_integral_quantities(tmp_path):
+    fname = str(tmp_path / "iq.txt")
+    with open(fname, "w") as f:
+        f.write("#time[s] #energy[J] #mass[g]\n")
+        f.write("0.0 1.5 2.0\n1.0 2.5 3.0\n")
+    data = read_integral_quantities(fname)
+    np.testing.assert_allclose(data["time"], [0.0, 1.0])
+    np.testing.assert_allclose(data["energy"], [1.5, 2.5])
+
+
+def test_ray_and_histogram_dumps(tmp_path):
+    s = np.arange(36).reshape(9, 4).astype(np.float32)
+    f = save_rays(str(tmp_path / "rays"), s)
+    np.testing.assert_array_equal(load_rays(f), s)
+    H = np.ones((4, 5))
+    f2 = save_histograms(str(tmp_path / "h"), shadow=H, schlieren=2 * H)
+    out = load_histograms(f2)
+    np.testing.assert_array_equal(out["schlieren"], 2 * H)
+
+
+def test_image_analysis():
+    ny, nx = 64, 96
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    data = np.exp(-((xx - 48) ** 2 + (yy - 32) ** 2) / 100.0)
+    img = Image(data, mm_per_px=0.1)
+    # origin at centre: px (48, 32) -> (0, 0) mm
+    x_mm, y_mm = img.px_to_mm(48, 32)
+    assert abs(x_mm - 0.05) < 0.06 and abs(y_mm) < 0.06
+    s, vals = img.profile_line((-2.0, 0.0), (2.0, 0.0), n=81)
+    assert abs(int(vals.argmax()) - 40) <= 1  # peak at line centre
+    assert s[-1] == pytest.approx(4.0)
+    norm = img.normalised()
+    assert norm.data.max() == pytest.approx(1.0)
+    assert img.rotate90().data.shape == (96, 64)

@@ -1,0 +1,131 @@
+"""Sharding equivalence tests on the 8-fake-device CPU mesh.
+
+The gate the reference never had: N-device results must match 1-device
+results (SURVEY.md section 4 implication (5))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synthpy_tpu.fields import ScalarDomain, build_pack, layout_of
+from synthpy_tpu.parallel import (
+    grid_ray_mesh,
+    make_gridsharded_tracer,
+    ray_mesh,
+    replicate,
+    shard_rays,
+    sharded_histogram,
+)
+from synthpy_tpu import pipeline
+from synthpy_tpu.tracer import init_beam, solve, trace_rk4
+from synthpy_tpu.tracer.propagator import default_n_steps
+
+EXT = 5e-3
+
+
+def test_eight_fake_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_ray_sharded_trace_matches_single_device():
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    pack = build_pack(d)
+    s0 = init_beam(jax.random.PRNGKey(0), 256, 1.5e-3, 0.0, EXT, "circular")
+    s_rows = jnp.asarray(s0).T
+
+    n_steps = 64
+    dt = jnp.float32(jnp.sqrt(8.0) * EXT / 2.99792458e8 / n_steps)
+    ref = np.asarray(trace_rk4(s_rows, pack.channels, pack.origin,
+                               pack.inv_spacing, dt,
+                               layout=layout_of(d), n_steps=n_steps))
+
+    mesh = ray_mesh()
+    s_sh = shard_rays(s_rows, mesh)
+    ch = replicate(pack.channels, mesh)
+    out = np.asarray(trace_rk4(s_sh, ch, pack.origin, pack.inv_spacing, dt,
+                               layout=layout_of(d), n_steps=n_steps))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-9)
+
+
+def test_gridsharded_trace_matches_replicated():
+    """Field sharded along x over 4 devices + halo exchange == replicated."""
+    d = ScalarDomain(2 * EXT, 32).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    pack = build_pack(d)
+    layout = layout_of(d)
+    s0 = init_beam(jax.random.PRNGKey(1), 64, 2.0e-3, 1e-3, EXT, "circular")
+    s_rows = jnp.asarray(s0).T
+
+    n_steps = 48
+    dt = jnp.float32(jnp.sqrt(8.0) * EXT / 2.99792458e8 / n_steps)
+    ref = np.asarray(trace_rk4(s_rows, pack.channels, pack.origin,
+                               pack.inv_spacing, dt,
+                               layout=layout, n_steps=n_steps))
+
+    mesh = grid_ray_mesh(n_grid=4, n_rays=2)
+    tracer = make_gridsharded_tracer(mesh, layout, n_steps,
+                                     nx_global=d.dims[0])
+    out = np.asarray(tracer(s_rows, pack.channels, pack.origin,
+                            pack.inv_spacing, dt))
+    # different f32 reduction order (local interp + psum) accumulates
+    # last-ulp differences over the scan; compare per-column at 1e-4 of the
+    # column scale
+    for col in range(9):
+        scale = max(np.abs(ref[:, col]).max(), 1e-30)
+        np.testing.assert_allclose(out[:, col] / scale, ref[:, col] / scale,
+                                   atol=1e-4)
+
+
+def test_sharded_histogram_matches_numpy():
+    mesh = ray_mesh()
+    rng = np.random.default_rng(0)
+    N = 8000
+    x = rng.uniform(-9, 9, N).astype(np.float32)
+    y = rng.uniform(-6.75, 6.75, N).astype(np.float32)
+    w = np.ones(N, np.float32)
+    hist = sharded_histogram(mesh, (64, 48), ((-9.0, 9.0), (-6.75, 6.75)))
+    H = np.asarray(hist(jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)))
+    Href, _, _ = np.histogram2d(x, y, bins=[64, 48],
+                                range=[[-9, 9], [-6.75, 6.75]])
+    np.testing.assert_allclose(H, Href.T, atol=0)
+
+
+def test_fused_pipeline_shadowgraphy_and_coherent():
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(2), 2048, 2e-3, 0.0, EXT, "circular")
+    H = np.asarray(pipeline.run(d, s0, diagnostic="shadowgraphy",
+                                bins=(108, 80)))
+    assert H.shape == (80, 108)
+    assert H.sum() > 0.9 * 2048  # nearly all rays land on the detector
+
+    d.phaseshift = True
+    H2 = np.asarray(pipeline.run(d, s0, diagnostic="interferometry",
+                                 bins=(108, 80)))
+    assert H2.shape == (80, 108) and np.isfinite(H2).all() and H2.max() > 0
+
+
+def test_fused_pipeline_sharded_equals_unsharded():
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    pack = build_pack(d)
+    s0 = init_beam(jax.random.PRNGKey(3), 512, 2e-3, 0.0, EXT, "circular")
+    H_ref = np.asarray(pipeline.run(d, s0, pack=pack, bins=(54, 40)))
+
+    mesh = ray_mesh()
+    s_sh = shard_rays(jnp.asarray(s0).T, mesh)
+    n_steps = default_n_steps(d, EXT, 1.0)
+    dt = jnp.float32(jnp.sqrt(8.0) * EXT / 2.99792458e8 / n_steps)
+    H_sh = np.asarray(pipeline.synth_image(
+        s_sh, replicate(pack.channels, mesh), pack.origin, pack.inv_spacing,
+        dt, jnp.float32(EXT), layout=layout_of(d), n_steps=n_steps,
+        bins=(54, 40)))
+    np.testing.assert_allclose(H_sh, H_ref, atol=1e-3)
+
+
+def test_solve_with_sharded_input_runs():
+    """tracer.solve accepts pre-sharded rays transparently (GSPMD)."""
+    d = ScalarDomain(2 * EXT, 21).test_null()
+    s0 = init_beam(jax.random.PRNGKey(4), 64, 1e-3, 0.0, EXT, "circular")
+    mesh = ray_mesh()
+    s_sh = shard_rays(jnp.asarray(s0).T, mesh).T
+    res = solve(s_sh, d, n_steps=16)
+    assert np.isfinite(np.asarray(res.rf)).all()
