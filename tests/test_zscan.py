@@ -1,0 +1,110 @@
+"""z-scan (slab-marching) tracer: equivalence with the time-domain tracer.
+
+The reparameterisation t -> p is exact, so exit states must agree with the
+general tracer and the scipy oracle within integrator resolution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synthpy_tpu.fields import ScalarDomain
+from synthpy_tpu.tracer import init_beam, solve
+from synthpy_tpu.tracer.zscan import solve_zscan
+
+from oracle import OracleTracer
+
+EXT = 5e-3
+
+
+def test_zscan_null():
+    d = ScalarDomain(2 * EXT, 21).test_null()
+    s0 = init_beam(jax.random.PRNGKey(0), 64, 2e-3, 0.0, EXT, "circular")
+    res = solve_zscan(s0, d)
+    rf = np.asarray(res.rf)
+    np.testing.assert_allclose(rf[1], 0.0, atol=1e-12)
+    np.testing.assert_allclose(rf[0], np.asarray(s0[0]), atol=1e-9)
+
+
+def test_zscan_matches_time_tracer_lens():
+    d = ScalarDomain(2 * EXT, 41).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    s0 = init_beam(jax.random.PRNGKey(1), 64, 1.5e-3, 1e-3, EXT, "circular")
+    rt = solve(s0, d, steps_per_cell=4.0, return_E=True)
+    rz = solve_zscan(s0, d, substeps=4, return_E=True)
+    rf_t, rf_z = np.asarray(rt.rf), np.asarray(rz.rf)
+    np.testing.assert_allclose(rf_z[0], rf_t[0], atol=5e-8)
+    np.testing.assert_allclose(rf_z[2], rf_t[2], atol=5e-8)
+    # the time tracer is the less accurate of the two (its fixed steps
+    # cross interpolation kinks mid-step; z-scan stages align with grid
+    # planes), so the agreement tolerance is the TIME tracer's error level
+    np.testing.assert_allclose(rf_z[1], rf_t[1], rtol=2e-2, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(rz.sf[7]), np.asarray(rt.sf[7]),
+                               rtol=2e-2, atol=1e-3)
+
+
+def test_zscan_matches_oracle():
+    d = ScalarDomain(2 * EXT, 41).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(2), 40, 1.5e-3, 0.0, EXT, "circular")
+    oracle = OracleTracer(np.asarray(d.x), np.asarray(d.y), np.asarray(d.z),
+                          np.asarray(d.ne))
+    sf_o = oracle.solve(np.asarray(s0), EXT)
+    res = solve_zscan(s0, d, substeps=4)
+    sf = np.asarray(res.sf)
+    np.testing.assert_allclose(sf[0], sf_o[0] - sf_o[3]
+                               * (sf_o[2] - EXT) / sf_o[5], atol=4e-7)
+    # z-scan hits the f32 floor (~60 m/s on ~4e6 m/s) already at substeps=4
+    np.testing.assert_allclose(sf[3], sf_o[3], rtol=1e-4, atol=80.0)
+
+
+def test_zscan_all_switches_match_time_tracer():
+    d = ScalarDomain(2 * EXT, 31).test_lens(ne_0=1e25, LR=2e-3)
+    d.external_Te(50.0 * np.ones(d.dims))
+    d.external_Z(2.0 * np.ones(d.dims))
+    d.inv_brems = True
+    d.phaseshift = True
+    d.test_B(Bmax=10.0)
+    s0 = init_beam(jax.random.PRNGKey(3), 32, 1.5e-3, 0.0, EXT, "circular")
+    rt = solve(s0, d, steps_per_cell=4.0)
+    rz = solve_zscan(s0, d, substeps=4)
+    sf_t, sf_z = np.asarray(rt.sf), np.asarray(rz.sf)
+    np.testing.assert_allclose(sf_z[6], sf_t[6], rtol=2e-2)  # amp
+    np.testing.assert_allclose(sf_z[7], sf_t[7], rtol=2e-2)  # phase
+    np.testing.assert_allclose(sf_z[8], sf_t[8], rtol=5e-2,
+                               atol=np.abs(sf_t[8]).max() * 2e-2)  # pol
+
+
+@pytest.mark.parametrize("direction", ["x", "y", "z"])
+def test_zscan_probing_directions(direction):
+    d = ScalarDomain(2 * EXT, 21, probing_direction=direction).test_null()
+    s0 = init_beam(jax.random.PRNGKey(4), 32, 1e-3, 0.0, EXT, "circular",
+                   direction)
+    res = solve_zscan(s0, d)
+    rf = np.asarray(res.rf)
+    ref = solve(s0, d, n_steps=16)
+    np.testing.assert_allclose(rf, np.asarray(ref.rf), atol=1e-9)
+
+
+def test_zscan_deflecting_nonprobe_gradient():
+    """Slab with x-gradient probed along z AND along x: both must agree
+    with the time tracer (checks the axis permutation of channels)."""
+    for direction in ("z", "x"):
+        d = ScalarDomain(2 * EXT, 33, probing_direction=direction)
+        d.test_slab(s=1.0, ne_0=2e23)
+        s0 = init_beam(jax.random.PRNGKey(5), 32, 1e-3, 0.0, EXT, "circular",
+                       direction)
+        rt = solve(s0, d, steps_per_cell=3.0)
+        rz = solve_zscan(s0, d, substeps=3)
+        np.testing.assert_allclose(np.asarray(rz.rf[1]),
+                                   np.asarray(rt.rf[1]),
+                                   rtol=2e-2, atol=1e-9)
+
+
+def test_zscan_ray_chunking():
+    d = ScalarDomain(2 * EXT, 21).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(6), 100, 1.5e-3, 0.0, EXT, "circular")
+    r_full = solve_zscan(s0, d)
+    r_chunk = solve_zscan(s0, d, ray_chunk=32)
+    np.testing.assert_allclose(np.asarray(r_full.sf), np.asarray(r_chunk.sf),
+                               rtol=1e-6, atol=1e-9)
