@@ -1,0 +1,123 @@
+"""CLI ray-trace driver (parity: examples/jobs/run_scripts/
+test_SynthRayTrace.py:1-101 and pvti_trace_mpi.py).
+
+Usage:
+    python -m synthpy_tpu.cli.trace -d 128 -r 100000 [-p z] [-s 1.0]
+        [--ne-type test_exponential_cos | --pvti FILE]
+        [--diagnostic shadowgraphy] [--solver zscan|time]
+        [-o out_prefix] [--seed 0]
+
+Builds the domain (analytic profile or .pvti field), initialises a
+circular beam, traces, runs the requested diagnostic, and writes the
+detector image (.npz) plus optional exit rays (.npy).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-d", "--domain", type=int, default=128,
+                   help="grid cells per axis")
+    p.add_argument("-r", "--rays", type=float, default=1e5,
+                   help="number of rays")
+    p.add_argument("-l", "--length", type=float, default=10e-3,
+                   help="domain edge length [m]")
+    p.add_argument("-p", "--probing", default="z", choices="xyz")
+    p.add_argument("-s", "--steps-per-cell", type=float, default=1.0)
+    p.add_argument("--lwl", type=float, default=1064e-9,
+                   help="probe wavelength [m]")
+    p.add_argument("--ne-type", default="test_exponential_cos",
+                   help="analytic profile name (see ScalarDomain)")
+    p.add_argument("--pvti", default=None,
+                   help="load n_e from a .pvti file instead")
+    p.add_argument("--beam", default="circular")
+    p.add_argument("--beam-size", type=float, default=None,
+                   help="beam radius [m]; default 0.4 * half-extent")
+    p.add_argument("--divergence", type=float, default=0.0)
+    p.add_argument("--diagnostic", default="shadowgraphy",
+                   help="shadowgraphy | shadowgraphy_single | schlieren_df"
+                        " | schlieren_lf | refractometry"
+                        " | refractometry_coherent | interferometry | none")
+    p.add_argument("--solver", default="zscan", choices=("zscan", "time"))
+    p.add_argument("--bin-scale", type=int, default=8)
+    p.add_argument("--phaseshift", action="store_true")
+    p.add_argument("-o", "--output", default=None,
+                   help="output prefix (writes <prefix>.npz)")
+    p.add_argument("--save-rays", default=None,
+                   help="write exit rays to this .npy")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.fields import ScalarDomain
+    from synthpy_tpu.io import read_pvti, save_histograms, save_rays
+    from synthpy_tpu.tracer import init_beam, solve
+    from synthpy_tpu.tracer.zscan import solve_zscan
+
+    t0 = time.perf_counter()
+    if args.pvti:
+        ne, shape, spacing = read_pvti(args.pvti)
+        lengths = tuple(shape[i] * spacing[i] for i in range(3))
+        domain = ScalarDomain(lengths, shape,
+                              probing_direction=args.probing)
+        domain.external_ne(ne)
+    else:
+        domain = ScalarDomain(args.length, args.domain,
+                              ne_type=args.ne_type,
+                              probing_direction=args.probing)
+    coherent = args.diagnostic in ("interferometry",
+                                   "refractometry_coherent")
+    domain.phaseshift = args.phaseshift or coherent
+
+    ext = domain.extent
+    beam_size = args.beam_size or 0.4 * ext
+    s0 = init_beam(jax.random.PRNGKey(args.seed), int(args.rays), beam_size,
+                   args.divergence, ext, args.beam, args.probing)
+
+    if args.diagnostic == "none":
+        solver = solve_zscan if args.solver == "zscan" else solve
+        res = solver(s0, domain, lwl=args.lwl)
+        H = None
+        trace_s = res.duration
+        if args.save_rays:
+            save_rays(args.save_rays, np.asarray(res.rf))
+    else:
+        t1 = time.perf_counter()
+        H = pipeline.run(domain, s0, diagnostic=args.diagnostic,
+                         lwl=args.lwl,
+                         steps_per_cell=args.steps_per_cell,
+                         solver=args.solver,
+                         bins=(3448 // args.bin_scale,
+                               2574 // args.bin_scale))
+        H.block_until_ready()
+        trace_s = time.perf_counter() - t1
+        if args.output:
+            save_histograms(args.output, **{args.diagnostic: np.asarray(H)})
+
+    summary = {
+        "domain": domain.dims,
+        "rays": int(args.rays),
+        "diagnostic": args.diagnostic,
+        "solver": args.solver,
+        "trace_seconds": round(trace_s, 4),
+        "total_seconds": round(time.perf_counter() - t0, 4),
+        "image_sum": None if H is None else float(np.asarray(H).sum()),
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

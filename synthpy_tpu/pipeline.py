@@ -6,6 +6,11 @@ one XLA program with no host round-trips. The reference runs these stages
 as separate Python phases with host transfers and (for MPI) pickled field
 broadcasts between them (pvti_trace_mpi.py:144-170); here the whole thing
 is a single compiled function that GSPMD shards over a ray mesh axis.
+
+Two tracer back-ends:
+  * "time"  — the general fixed-step RK4 time integrator
+    (tracer.propagator.trace_rk4);
+  * "zscan" — the fast slab-marching path (tracer.zscan), default.
 """
 
 from __future__ import annotations
@@ -16,6 +21,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from synthpy_tpu.constants import C
 from synthpy_tpu.fields.domain import (
     ChannelLayout,
     ScalarDomain,
@@ -31,6 +37,7 @@ from synthpy_tpu.optics.diagnostics import (
     Shadowgraphy,
 )
 from synthpy_tpu.tracer.propagator import ray_to_Jonesvector, trace_rk4
+from synthpy_tpu.tracer.zscan import _AXIS_OF, make_zscan_pack, trace_zscan
 
 DIAGNOSTICS = {
     "shadowgraphy": (Shadowgraphy, "two_lens_solve", False),
@@ -41,6 +48,24 @@ DIAGNOSTICS = {
     "refractometry_coherent": (Refractometry, "coherent_solve", True),
     "interferometry": (Interferometry, "two_lens_solve", True),
 }
+
+
+def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
+                   bins, lwl, L, R, Lx, Ly, focal_plane):
+    """Exit state -> optics -> detector (traced, shared by both solvers)."""
+    cls, method, coherent = DIAGNOSTICS[diagnostic]
+    rf, Jf = ray_to_Jonesvector(sf, probing_depth,
+                                probing_direction=probing_direction,
+                                return_E=coherent)
+    diag = cls(lwl, rf, Jf, focal_plane=focal_plane, L=L, R=R, Lx=Lx, Ly=Ly)
+    getattr(diag, method)()
+    if coherent:
+        return complex_histogram(diag.rf[0, :], diag.rf[2, :],
+                                 diag.Jf[0, :], diag.Jf[1, :],
+                                 bins[0] + 1, bins[1] + 1, Lx, Ly)
+    H, _, _ = histogram2d(diag.rf[0, :], diag.rf[2, :], bins,
+                          ((-Lx / 2, Lx / 2), (-Ly / 2, Ly / 2)))
+    return H
 
 
 @partial(jax.jit, static_argnames=(
@@ -67,30 +92,64 @@ def synth_image(
     Ly: float = 13.5,
     focal_plane: float = 0.0,
 ) -> jnp.ndarray:
-    """Trace (Np, 9) rays and synthesise a detector image, fully fused.
-
-    Returns the (ny, nx) detector image H. For coherent diagnostics
-    (interferometry, coherent refractometry) H is the complex-amplitude
-    image; otherwise it is the ray-count histogram.
-    """
-    cls, method, coherent = DIAGNOSTICS[diagnostic]
-
+    """Time-tracer pipeline on (Np, 9) ray rows. Returns (ny, nx) image."""
     sf_rows = trace_rk4(s_rows, channels, origin, inv_spacing, dt,
                         layout=layout, n_steps=n_steps, ray_chunk=ray_chunk)
-    rf, Jf = ray_to_Jonesvector(sf_rows.T, probing_depth,
-                                probing_direction=probing_direction,
-                                return_E=coherent)
+    return _image_from_sf(
+        sf_rows.T, probing_depth, diagnostic=diagnostic,
+        probing_direction=probing_direction, bins=bins, lwl=lwl, L=L, R=R,
+        Lx=Lx, Ly=Ly, focal_plane=focal_plane)
 
-    diag = cls(lwl, rf, Jf, focal_plane=focal_plane, L=L, R=R, Lx=Lx, Ly=Ly)
-    getattr(diag, method)()
 
-    if coherent:
-        return complex_histogram(diag.rf[0, :], diag.rf[2, :],
-                                 diag.Jf[0, :], diag.Jf[1, :],
-                                 bins[0] + 1, bins[1] + 1, Lx, Ly)
-    H, _, _ = histogram2d(diag.rf[0, :], diag.rf[2, :], bins,
-                          ((-Lx / 2, Lx / 2), (-Ly / 2, Ly / 2)))
-    return H
+@partial(jax.jit, static_argnames=(
+    "layout", "n_slabs", "substeps", "diagnostic", "probing_direction",
+    "bins", "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane", "p0",
+    "dp_static"))
+def synth_image_zscan(
+    s0: jnp.ndarray,
+    planes: jnp.ndarray,
+    origin_ab: jnp.ndarray,
+    inv_ab: jnp.ndarray,
+    probing_depth: jnp.ndarray,
+    *,
+    layout: ChannelLayout,
+    n_slabs: int,
+    p0: float,
+    dp_static: float,
+    substeps: int = 1,
+    diagnostic: str = "shadowgraphy",
+    probing_direction: str = "z",
+    bins: Tuple[int, int] = (431, 321),
+    ray_chunk: Optional[int] = None,
+    lwl: float = 1064e-9,
+    L: float = 400.0,
+    R: float = 25.0,
+    Lx: float = 18.0,
+    Ly: float = 13.5,
+    focal_plane: float = 0.0,
+) -> jnp.ndarray:
+    """z-scan pipeline on a (9, Np) initial state. Returns (ny, nx) image."""
+    p_ax = _AXIS_OF[probing_direction]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+    u = jnp.stack([s0[a_ax], s0[b_ax], s0[3 + a_ax], s0[3 + b_ax],
+                   s0[3 + p_ax], s0[6], s0[7], s0[8]], axis=1)
+    dp = jnp.asarray(dp_static, u.dtype)
+    uf = trace_zscan(u, planes, origin_ab, inv_ab, dp, layout=layout,
+                     n_slabs=n_slabs, substeps=substeps,
+                     ray_chunk=ray_chunk)
+    p_end = p0 + n_slabs * dp_static
+    N = uf.shape[0]
+    cols = [None] * 9
+    cols[a_ax], cols[b_ax] = uf[:, 0], uf[:, 1]
+    cols[p_ax] = jnp.full((N,), p_end, uf.dtype)
+    cols[3 + a_ax], cols[3 + b_ax], cols[3 + p_ax] = (uf[:, 2], uf[:, 3],
+                                                      uf[:, 4])
+    cols[6], cols[7], cols[8] = uf[:, 5], uf[:, 6], uf[:, 7]
+    sf = jnp.stack(cols)
+    return _image_from_sf(
+        sf, probing_depth, diagnostic=diagnostic,
+        probing_direction=probing_direction, bins=bins, lwl=lwl, L=L, R=R,
+        Lx=Lx, Ly=Ly, focal_plane=focal_plane)
 
 
 def run(
@@ -98,6 +157,7 @@ def run(
     s0: jnp.ndarray,
     *,
     diagnostic: str = "shadowgraphy",
+    solver: str = "zscan",
     lwl: float = 1064e-9,
     n_steps: Optional[int] = None,
     steps_per_cell: float = 1.0,
@@ -108,21 +168,33 @@ def run(
     **bench_kwargs,
 ) -> jnp.ndarray:
     """Convenience wrapper: pack the domain and run the fused pipeline."""
-    from synthpy_tpu.constants import C
     from synthpy_tpu.tracer.propagator import default_n_steps
 
     if pack is None:
         pack = build_pack(domain, lwl)
     if probing_depth is None:
         probing_depth = domain.extent
+    layout = layout_of(domain)
+    s0 = jnp.asarray(s0)
+    depth = jnp.asarray(probing_depth, s0.dtype)
+
+    if solver == "zscan":
+        zp = make_zscan_pack(pack, layout, domain.probing_direction)
+        return synth_image_zscan(
+            s0, zp.planes, zp.origin_ab, zp.inv_spacing_ab, depth,
+            layout=layout, n_slabs=zp.planes.shape[0] - 1, p0=zp.p0,
+            dp_static=zp.dp, substeps=max(int(round(steps_per_cell)), 1),
+            diagnostic=diagnostic,
+            probing_direction=domain.probing_direction, bins=bins,
+            ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs)
+
     if n_steps is None:
         n_steps = default_n_steps(domain, probing_depth, steps_per_cell)
-    s_rows = jnp.asarray(s0).T
+    s_rows = s0.T
     dt = jnp.asarray(jnp.sqrt(8.0) * probing_depth / C / n_steps,
                      dtype=s_rows.dtype)
     return synth_image(
-        s_rows, pack.channels, pack.origin, pack.inv_spacing, dt,
-        jnp.asarray(probing_depth, s_rows.dtype),
-        layout=layout_of(domain), n_steps=n_steps, diagnostic=diagnostic,
+        s_rows, pack.channels, pack.origin, pack.inv_spacing, dt, depth,
+        layout=layout, n_steps=n_steps, diagnostic=diagnostic,
         probing_direction=domain.probing_direction, bins=bins,
         ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs)

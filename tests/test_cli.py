@@ -1,0 +1,47 @@
+"""CLI smoke tests for the trace and turb_gen drivers."""
+
+import numpy as np
+
+from synthpy_tpu.cli import trace as trace_cli
+from synthpy_tpu.cli import turb_gen as turb_cli
+from synthpy_tpu.io import load_histograms, read_pvti
+
+
+def test_turb_gen_and_trace_pipeline(tmp_path):
+    out_field = str(tmp_path / "field")
+    summary = turb_cli.main([
+        "-p", "3.6667", "-e", "1e-3", "-r", "16", "--ne0", "1e24",
+        "-o", out_field, "--spectrum-check"])
+    assert summary["shape"] == [32, 32, 32]
+    assert -6.0 < summary["fitted_slope"] < -1.5
+
+    ne, shape, spacing = read_pvti(summary["output"])
+    assert shape == (32, 32, 32)
+    assert ne.min() > 0  # ne0 + amplitude*f stays positive-ish for f in [-1,1]
+
+    out_img = str(tmp_path / "shadow")
+    res = trace_cli.main([
+        "-d", "16", "-r", "2000", "--pvti", summary["output"],
+        "--diagnostic", "shadowgraphy", "--bin-scale", "32",
+        "-o", out_img])
+    assert res["image_sum"] > 0
+    H = load_histograms(out_img + ".npz")["shadowgraphy"]
+    assert H.shape == (2574 // 32, 3448 // 32)
+
+
+def test_trace_cli_analytic_interferometry(tmp_path):
+    res = trace_cli.main([
+        "-d", "24", "-r", "3000", "--ne-type", "test_lens",
+        "--diagnostic", "interferometry", "--bin-scale", "32",
+        "--solver", "time"])
+    assert res["image_sum"] > 0
+
+
+def test_trace_cli_no_diagnostic(tmp_path):
+    rays_file = str(tmp_path / "rays.npy")
+    res = trace_cli.main([
+        "-d", "16", "-r", "500", "--ne-type", "test_null",
+        "--diagnostic", "none", "--save-rays", rays_file])
+    rf = np.load(rays_file)
+    assert rf.shape == (4, 500)
+    np.testing.assert_allclose(rf[1], 0.0, atol=1e-12)
