@@ -23,9 +23,8 @@ import jax.numpy as jnp
 
 
 def main() -> None:
-    from synthpy_tpu.constants import C
     from synthpy_tpu.fields import ScalarDomain, build_pack, layout_of
-    from synthpy_tpu.pipeline import synth_image
+    from synthpy_tpu import pipeline
     from synthpy_tpu.tracer import init_beam
     from synthpy_tpu.tracer.propagator import default_n_steps
 
@@ -34,22 +33,19 @@ def main() -> None:
     rays = int(os.environ.get(
         "BENCH_RAYS", 2_000_000 if backend == "tpu" else 20_000))
     spc = float(os.environ.get("BENCH_STEPS_PER_CELL", 1.0))
+    solver = os.environ.get("BENCH_SOLVER", "zscan")
 
     ext = 5e-3
     domain = ScalarDomain(2 * ext, dim).test_lens(ne_0=5e24, LR=1.5e-3)
     pack = build_pack(domain)
-    layout = layout_of(domain)
-    n_steps = default_n_steps(domain, ext, spc)
+    n_steps = (dim - 1 if solver == "zscan"
+               else default_n_steps(domain, ext, spc))
 
     s0 = init_beam(jax.random.PRNGKey(0), rays, 2e-3, 0.0, ext, "circular")
-    s_rows = jnp.asarray(s0).T
-    dt = jnp.float32(jnp.sqrt(8.0) * ext / C / n_steps)
-    depth = jnp.float32(ext)
 
     def run():
-        return synth_image(s_rows, pack.channels, pack.origin,
-                           pack.inv_spacing, dt, depth, layout=layout,
-                           n_steps=n_steps, bins=(431, 321))
+        return pipeline.run(domain, s0, pack=pack, solver=solver,
+                            steps_per_cell=spc, bins=(431, 321))
 
     # compile
     H = run()
@@ -67,13 +63,14 @@ def main() -> None:
     rays_per_sec = rays / elapsed
     target = 1e8 / 60.0  # north-star: 1e8 rays end-to-end in 60 s
     result = {
-        "metric": f"rays/sec/chip ({dim}^3 n_e grid, RK4 {n_steps} steps, "
-                  "shadowgram synthesis)",
+        "metric": f"rays/sec/chip ({dim}^3 n_e grid, RK4 {solver} "
+                  f"{n_steps} steps, shadowgram synthesis)",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / target, 4),
         "detail": {
             "backend": backend,
+            "solver": solver,
             "dim": dim,
             "rays": rays,
             "n_steps": n_steps,

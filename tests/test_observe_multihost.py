@@ -1,0 +1,51 @@
+"""Observability helpers and single-process multihost logic."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synthpy_tpu import observe
+from synthpy_tpu.parallel import multihost, ray_mesh
+
+
+def test_timer_sections():
+    t = observe.Timer()
+    with t.section("a"):
+        sum(range(1000))
+    with t.section("a"):
+        pass
+    assert t.times["a"] >= 0
+    assert "a:" in t.report()
+
+
+def test_device_memory_profile(tmp_path):
+    path = observe.save_device_memory_profile(str(tmp_path), 64, 1000)
+    assert os.path.exists(path)
+    assert "memory-domain64_rays1000-" in os.path.basename(path)
+
+
+def test_device_memory_stats_shape():
+    stats = observe.device_memory_stats()
+    assert isinstance(stats, dict)  # CPU devices may report nothing
+
+
+def test_checking_leaks_context():
+    with observe.checking_leaks():
+        _ = jnp.ones(3) * 2
+
+
+def test_multihost_single_process():
+    multihost.initialize()
+    start, count = multihost.local_ray_slice(1000)
+    assert (start, count) == (0, 1000)
+    k1 = multihost.host_local_beam_key(jax.random.PRNGKey(0))
+    assert k1.shape == (2,)
+
+
+def test_global_ray_array_roundtrip():
+    mesh = ray_mesh()
+    local = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
+    arr = multihost.global_ray_array(local, mesh)
+    np.testing.assert_array_equal(np.asarray(arr), np.asarray(local))
