@@ -230,6 +230,68 @@ class ScalarDomain:
     def build_pack(self, lwl: float = constants.DEFAULT_LWL) -> "TracePack":
         return build_pack(self, lwl)
 
+    # -- legacy-style object API --------------------------------------------
+    # The reference ships three propagator API generations (SURVEY.md
+    # section 1); this block provides the legacy OO surface
+    # (full_solver.py:211,376,405 and the solve_with_E used by
+    # interference_MPI.py:129) on top of the functional core, so reference
+    # scripts port line-for-line.
+
+    def calc_dndr(self, lwl: float = 1053e-9):
+        """Precompute the trace pack (legacy full_solver.py:211-234)."""
+        self._pack = build_pack(self, lwl)
+        self._lwl = lwl
+        return self
+
+    def _ensure_pack(self):
+        if getattr(self, "_pack", None) is None:
+            self.calc_dndr()
+        return self._pack
+
+    def solve(self, s0, return_E: bool = False, solver: str = "zscan",
+              **kwargs):
+        """Trace rays and store rf/Jf/sf (legacy full_solver.py:376-403)."""
+        pack = self._ensure_pack()
+        if solver == "zscan":
+            from synthpy_tpu.tracer.zscan import solve_zscan
+
+            res = solve_zscan(s0, self, lwl=self._lwl, return_E=True,
+                              pack=pack, **kwargs)
+        else:
+            from synthpy_tpu.tracer.propagator import solve as _solve
+
+            res = _solve(s0, self, lwl=self._lwl, return_E=True, pack=pack,
+                         **kwargs)
+        self.rf, self.Jf, self.sf = res.rf, res.Jf, res.sf
+        if return_E:
+            return self.rf, self.Jf
+        return self.rf
+
+    def solve_with_E(self, s0, **kwargs):
+        """rf + Jones vectors in one call (the API interference_MPI.py:129
+        expects but no reference source file still defines)."""
+        return self.solve(s0, return_E=True, **kwargs)
+
+    def solve_at_depth(self, s0, depth: float, **kwargs):
+        """Partial trace: integrate for t = depth/c only, then project to
+        the exit plane (legacy full_solver.py:405-425)."""
+        from synthpy_tpu.constants import C
+        from synthpy_tpu.tracer.propagator import solve as _solve
+
+        pack = self._ensure_pack()
+        res = _solve(s0, self, lwl=self._lwl, return_E=True, pack=pack,
+                     t_end=depth / C, **kwargs)
+        self.rf, self.Jf, self.sf = res.rf, res.Jf, res.sf
+        return self.rf
+
+    def clear_memory(self):
+        """Drop large intermediates (legacy full_solver.py:427-440)."""
+        self._pack = None
+        self.sf = None
+        self.rf = None
+        self.Jf = None
+        return self
+
 
 class ChannelLayout(NamedTuple):
     """Static description of what lives in each pack channel (hashable)."""

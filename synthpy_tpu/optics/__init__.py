@@ -7,4 +7,4 @@ from synthpy_tpu.optics.diagnostics import (  # noqa: F401
     Schlieren,
     Shadowgraphy,
 )
-from synthpy_tpu.optics import rtm  # noqa: F401
+from synthpy_tpu.optics import compose, rtm  # noqa: F401

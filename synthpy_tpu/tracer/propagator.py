@@ -224,6 +224,7 @@ def solve(
     atten_sign: float = -1.0,
     pack: Optional[TracePack] = None,
     keep_current_plane: bool = False,
+    t_end: Optional[float] = None,
 ) -> TraceResult:
     """Trace a ray bundle through a domain to the exit plane.
 
@@ -239,6 +240,9 @@ def solve(
             default_n_steps).
         ray_chunk: optional ray micro-batch size.
         pack: reuse a precomputed TracePack (skips gradient precompute).
+        t_end: integration-time override [s]; used by solve_at_depth-style
+            partial traces (legacy full_solver.py:405-425). Defaults to the
+            reference's sqrt(8)*depth/c escape heuristic.
 
     Returns:
         TraceResult(rf, Jf, sf, duration).
@@ -251,7 +255,8 @@ def solve(
     if n_steps is None:
         n_steps = default_n_steps(domain, probing_depth, steps_per_cell)
 
-    t_end = jnp.sqrt(8.0) * probing_depth / C
+    if t_end is None:
+        t_end = jnp.sqrt(8.0) * probing_depth / C
     dt = jnp.asarray(t_end / n_steps, dtype=s0.dtype)
 
     s_rows = jnp.asarray(s0).T  # (Np, 9)
