@@ -121,3 +121,63 @@ def regular_grid_interpolator(
     """
     origin, inv_spacing = grid_geometry(points)
     return trilinear(values, xi, origin, inv_spacing, fill_value=fill_value)
+
+
+def trilinear_nonuniform(
+    points: Sequence[jnp.ndarray],
+    values: jnp.ndarray,
+    xi: jnp.ndarray,
+    fill_value: float | jnp.ndarray = 0.0,
+) -> jnp.ndarray:
+    """Trilinear interpolation on arbitrary monotone per-axis grids.
+
+    The searchsorted-based general path (the semantics of the reference's
+    vendored interpolator, utils.py:185-213) for grids that are NOT
+    uniformly spaced — e.g. externally supplied simulation meshes. The
+    uniform O(1)-index ``trilinear`` is the hot-path choice; this exists
+    for completeness and is tested against scipy on non-uniform grids.
+    """
+    squeeze = values.ndim == len(points)
+    if squeeze:
+        values = values[..., None]
+    dims = values.shape[:-1]
+    C = values.shape[-1]
+
+    idxs = []
+    fracs = []
+    inside = jnp.ones(xi.shape[0], dtype=bool)
+    for d, coords in enumerate(points):
+        q = xi[:, d]
+        inside = inside & (q >= coords[0]) & (q <= coords[-1])
+        i = jnp.clip(jnp.searchsorted(coords, q, side="right") - 1,
+                     0, coords.shape[0] - 2)
+        lo = jnp.take(coords, i)
+        hi = jnp.take(coords, i + 1)
+        fracs.append(jnp.clip((q - lo) / (hi - lo), 0.0, 1.0))
+        idxs.append(i)
+
+    flat = values.reshape(-1, C)
+    strides = []
+    s = 1
+    for n in reversed(dims):
+        strides.append(s)
+        s *= n
+    strides = strides[::-1]
+    base = sum(idxs[d] * strides[d] for d in range(len(dims)))
+
+    out = jnp.zeros((xi.shape[0], C), dtype=values.dtype)
+    import itertools
+
+    for corner in itertools.product((0, 1), repeat=len(dims)):
+        w = jnp.ones(xi.shape[0], dtype=values.dtype)
+        off = 0
+        for d, c in enumerate(corner):
+            w = w * (fracs[d] if c else (1.0 - fracs[d]))
+            off += c * strides[d]
+        out = out + w[:, None] * jnp.take(flat, base + off, axis=0,
+                                          mode="clip")
+    fill = jnp.broadcast_to(jnp.asarray(fill_value, out.dtype), (C,))
+    out = jnp.where(inside[:, None], out, fill)
+    if squeeze:
+        out = out[:, 0]
+    return out
