@@ -1,0 +1,55 @@
+"""Adaptive DP5(4) tracer: solver-equivalence gates.
+
+The on-device analogue of the reference's solve_ivp-vs-diffrax comparison
+(solver_comparisons.py:64-85): fixed-step RK4, slab-marching z-scan, and
+adaptive RK45 must agree with each other and the scipy oracle.
+"""
+
+import jax
+import numpy as np
+
+from synthpy_tpu.fields import ScalarDomain
+from synthpy_tpu.tracer import init_beam, solve
+from synthpy_tpu.tracer.adaptive import solve_adaptive
+from synthpy_tpu.tracer.zscan import solve_zscan
+
+from oracle import OracleTracer
+
+EXT = 5e-3
+
+
+def test_adaptive_null():
+    d = ScalarDomain(2 * EXT, 21).test_null()
+    s0 = init_beam(jax.random.PRNGKey(0), 32, 1e-3, 0.0, EXT, "circular")
+    res = solve_adaptive(s0, d)
+    rf = np.asarray(res.rf)
+    np.testing.assert_allclose(rf[1], 0.0, atol=1e-10)
+    np.testing.assert_allclose(rf[0], np.asarray(s0[0]), atol=1e-8)
+
+
+def test_adaptive_matches_oracle_lens():
+    d = ScalarDomain(2 * EXT, 41).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(1), 24, 1.5e-3, 0.0, EXT, "circular")
+    oracle = OracleTracer(np.asarray(d.x), np.asarray(d.y), np.asarray(d.z),
+                          np.asarray(d.ne))
+    sf_o = oracle.solve(np.asarray(s0), EXT)
+    res = solve_adaptive(s0, d, rtol=1e-6)
+    sf = np.asarray(res.sf)
+    # accuracy limited by the kink-blind step cap (~0.1%), not rtol
+    np.testing.assert_allclose(sf[3], sf_o[3], rtol=2e-3, atol=3000.0)
+    np.testing.assert_allclose(sf[:3], sf_o[:3], atol=5e-7)
+
+
+def test_three_solvers_agree():
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    s0 = init_beam(jax.random.PRNGKey(2), 32, 1.5e-3, 1e-3, EXT, "circular")
+    r_fix = solve(s0, d, steps_per_cell=8.0)
+    r_ada = solve_adaptive(s0, d, rtol=1e-7)
+    r_z = solve_zscan(s0, d, substeps=4)
+    th_fix = np.asarray(r_fix.rf[1])
+    th_ada = np.asarray(r_ada.rf[1])
+    th_z = np.asarray(r_z.rf[1])
+    scale = np.abs(th_z).max()
+    np.testing.assert_allclose(th_ada, th_z, atol=scale * 1e-2)
+    np.testing.assert_allclose(th_fix, th_z, atol=scale * 2e-2)
