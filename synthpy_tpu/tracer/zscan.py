@@ -247,6 +247,55 @@ def trace_zscan(
     return tuple(c.reshape(n_chunks * ray_chunk)[:N] for c in out)
 
 
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=("origin_ab", "inv_ab", "shape_ab", "layout",
+                          "substeps", "atten_sign"))
+def _zscan_step(u, w0, w1, h, *, origin_ab, inv_ab, shape_ab,
+                layout: ChannelLayout, substeps: int, atten_sign: float):
+    """One slab interval as a standalone jitted program (host-loop mode).
+
+    Keeping each step a top-level XLA program keeps the interpolation
+    gathers on the compiler's fast path — on some toolchains gathers
+    embedded in lax.scan bodies lower to code orders of magnitude slower.
+    The ray state is donated, so the loop updates in place with no
+    allocation churn; dispatch is asynchronous and pipelines with device
+    execution.
+    """
+    d = lambda uu, pl: _deriv(uu, pl, origin_ab, inv_ab, shape_ab, layout,
+                              atten_sign)
+    if substeps == 1:
+        p_h = 0.5 * (w0 + w1)
+        k1 = d(u, w0)
+        k2 = d(_axpy(u, 0.5 * h, k1), p_h)
+        k3 = d(_axpy(u, 0.5 * h, k2), p_h)
+        k4 = d(_axpy(u, h, k3), w1)
+        return _rk4_combine(u, h, k1, k2, k3, k4)
+    dw = w1 - w0
+    for j in range(substeps):
+        p_0 = w0 + (j / substeps) * dw
+        p_h = w0 + ((j + 0.5) / substeps) * dw
+        p_1 = w0 + ((j + 1.0) / substeps) * dw
+        k1 = d(u, p_0)
+        k2 = d(_axpy(u, 0.5 * h, k1), p_h)
+        k3 = d(_axpy(u, 0.5 * h, k2), p_h)
+        k4 = d(_axpy(u, h, k3), p_1)
+        u = _rk4_combine(u, h, k1, k2, k3, k4)
+    return u
+
+
+def trace_zscan_hostloop(u, planes, dp, *, origin_ab, inv_ab, shape_ab,
+                         layout: ChannelLayout, n_slabs: int,
+                         substeps: int = 1, atten_sign: float = -1.0):
+    """March rays with a host loop of donated per-step programs."""
+    h = dp / substeps
+    for k in range(n_slabs):
+        u = _zscan_step(u, planes[k], planes[k + 1], h,
+                        origin_ab=origin_ab, inv_ab=inv_ab,
+                        shape_ab=shape_ab, layout=layout, substeps=substeps,
+                        atten_sign=atten_sign)
+    return u
+
+
 def solve_zscan(
     s0: jnp.ndarray,
     domain: ScalarDomain,
@@ -259,6 +308,7 @@ def solve_zscan(
     pack: Optional[TracePack] = None,
     zpack: Optional[ZScanPack] = None,
     ray_chunk: Optional[int] = None,
+    host_loop: bool = False,
 ) -> TraceResult:
     """Fast-path trace (drop-in for tracer.solve on forward-probing bundles).
 
@@ -285,10 +335,18 @@ def solve_zscan(
     dp = jnp.asarray(zpack.dp, s.dtype)
 
     start = time.perf_counter()
-    uf = trace_zscan(u, zpack.planes, dp, origin_ab=zpack.origin_ab,
-                     inv_ab=zpack.inv_spacing_ab, shape_ab=zpack.shape_ab,
-                     layout=layout, n_slabs=n_slabs, substeps=substeps,
-                     atten_sign=atten_sign, ray_chunk=ray_chunk)
+    if host_loop:
+        uf = trace_zscan_hostloop(
+            u, zpack.planes, dp, origin_ab=zpack.origin_ab,
+            inv_ab=zpack.inv_spacing_ab, shape_ab=zpack.shape_ab,
+            layout=layout, n_slabs=n_slabs, substeps=substeps,
+            atten_sign=atten_sign)
+    else:
+        uf = trace_zscan(u, zpack.planes, dp, origin_ab=zpack.origin_ab,
+                         inv_ab=zpack.inv_spacing_ab,
+                         shape_ab=zpack.shape_ab, layout=layout,
+                         n_slabs=n_slabs, substeps=substeps,
+                         atten_sign=atten_sign, ray_chunk=ray_chunk)
     jax.block_until_ready(uf)
     duration = time.perf_counter() - start
 

@@ -108,3 +108,13 @@ def test_zscan_ray_chunking():
     r_chunk = solve_zscan(s0, d, ray_chunk=32)
     np.testing.assert_allclose(np.asarray(r_full.sf), np.asarray(r_chunk.sf),
                                rtol=1e-6, atol=1e-9)
+
+
+def test_zscan_hostloop_matches_scan():
+    d = ScalarDomain(2 * EXT, 25).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    s0 = init_beam(jax.random.PRNGKey(9), 64, 1.5e-3, 1e-3, EXT, "circular")
+    r_scan = solve_zscan(s0, d, substeps=2)
+    r_host = solve_zscan(s0, d, substeps=2, host_loop=True)
+    np.testing.assert_allclose(np.asarray(r_host.sf), np.asarray(r_scan.sf),
+                               rtol=1e-6, atol=1e-9)
