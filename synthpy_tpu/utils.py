@@ -94,6 +94,47 @@ def add_integer_postfix(i: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# HPC log post-processing
+# ---------------------------------------------------------------------------
+
+_ANSI_RE = None
+
+
+def strip_ansi(text: str) -> str:
+    """Remove ANSI colour/control codes from captured logs."""
+    global _ANSI_RE
+    if _ANSI_RE is None:
+        import re
+
+        _ANSI_RE = re.compile(r"\x1b\[[0-9;]*[a-zA-Z]")
+    return _ANSI_RE.sub("", text)
+
+
+def parse_hpc_error(text: str) -> str:
+    """Decode JSON-wrapped stack traces from batch-job logs.
+
+    Parity with the reference's post-hoc error reader
+    (evaluation/error_reading/error_parser.py:1-42): cluster runners wrap
+    tracebacks in JSON with escaped newlines and ANSI colours; this
+    unwraps and strips them into a readable traceback.
+    """
+    import json
+
+    text = strip_ansi(text)
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and "Traceback" in line:
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            for v in obj.values():
+                if isinstance(v, str) and "Traceback" in v:
+                    return v.replace("\\n", "\n")
+    return text
+
+
+# ---------------------------------------------------------------------------
 # Quick-look plotting (host-side; matplotlib imported lazily)
 # ---------------------------------------------------------------------------
 

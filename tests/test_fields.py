@@ -164,3 +164,29 @@ def test_gaussian3d_class_wrapper():
     f = g.domain_fft(l_max=2.0, l_min=0.1, extent=1.0, res=8)
     assert f.shape == (16, 16, 16)
     assert g.ne is f
+
+
+def test_radial_spectrum_1d_2d():
+    p = 3.0
+    # 1-D shells hold a single mode each: average the spectrum over
+    # several realisations before fitting
+    E_acc = None
+    for seed in range(8):
+        (xc,), f1 = grf.grf_domain_fft(jax.random.PRNGKey(seed),
+                                       grf.power_law(p), l_max=2.0,
+                                       l_min=0.1, extent=1.0, res=256,
+                                       ndim=1)
+        k, E, cnt = radial_spectrum(f1, 2.0, nbins=32, log_bins=True)
+        E_acc = E if E_acc is None else E_acc + E
+    slope = fit_spectral_slope(k, E_acc, cnt, 2 * np.pi / 2.0 * 2,
+                               2 * np.pi / 0.1 * 0.6)
+    assert slope == pytest.approx(-p, abs=0.8)
+
+    coords, f2 = grf.grf_domain_fft(jax.random.PRNGKey(13),
+                                    grf.power_law(p), l_max=2.0,
+                                    l_min=0.2, extent=1.0, res=64, ndim=2)
+    assert f2.shape == (128, 128)
+    k2, E2, c2 = radial_spectrum(f2, 2.0, nbins=24, log_bins=True)
+    slope2 = fit_spectral_slope(k2, E2, c2, 2 * np.pi / 2.0 * 1.5,
+                                2 * np.pi / 0.2 * 0.6)
+    assert slope2 == pytest.approx(-p, abs=0.7)

@@ -49,3 +49,13 @@ def test_global_ray_array_roundtrip():
     local = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
     arr = multihost.global_ray_array(local, mesh)
     np.testing.assert_array_equal(np.asarray(arr), np.asarray(local))
+
+
+def test_parse_hpc_error():
+    from synthpy_tpu.utils import parse_hpc_error, strip_ansi
+
+    assert strip_ansi("\x1b[31mred\x1b[0m plain") == "red plain"
+    wrapped = ('header\n{"log": "Traceback (most recent call last):\\n  '
+               'File x\\nValueError: boom"}\nfooter')
+    out = parse_hpc_error(wrapped)
+    assert "ValueError: boom" in out and "\\n" not in out
