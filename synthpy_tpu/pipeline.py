@@ -102,21 +102,21 @@ def synth_image(
 
 
 @partial(jax.jit, static_argnames=(
-    "origin_ab", "inv_ab", "shape_ab", "layout", "n_slabs", "substeps",
-    "diagnostic", "probing_direction", "bins", "ray_chunk", "lwl", "L",
-    "R", "Lx", "Ly", "focal_plane", "p0", "dp_static"))
+    "layout", "n_slabs", "substeps", "diagnostic", "probing_direction",
+    "bins", "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane", "p0",
+    "dp_static", "sort_rays"))
 def synth_image_zscan(
     s0: jnp.ndarray,
     planes: jnp.ndarray,
+    origin_ab: jnp.ndarray,
+    inv_ab: jnp.ndarray,
     probing_depth: jnp.ndarray,
     *,
-    origin_ab: Tuple[float, float],
-    inv_ab: Tuple[float, float],
-    shape_ab: Tuple[int, int],
     layout: ChannelLayout,
     n_slabs: int,
     p0: float,
     dp_static: float,
+    sort_rays: bool = True,
     substeps: int = 1,
     diagnostic: str = "shadowgraphy",
     probing_direction: str = "z",
@@ -129,22 +129,34 @@ def synth_image_zscan(
     Ly: float = 13.5,
     focal_plane: float = 0.0,
 ) -> jnp.ndarray:
-    """z-scan pipeline on a (9, Np) initial state. Returns (ny, nx) image."""
+    """z-scan pipeline on a (9, Np) initial state. Returns (ny, nx) image.
+
+    ``sort_rays`` (default on) reorders rays by entry cell for gather
+    locality; detector histograms are permutation-invariant.
+    """
     p_ax = _AXIS_OF[probing_direction]
     a_ax, b_ax = [a for a in range(3) if a != p_ax]
-    u = (s0[a_ax], s0[b_ax], s0[3 + a_ax], s0[3 + b_ax], s0[3 + p_ax],
-         s0[6], s0[7], s0[8])
+    u = jnp.stack([s0[a_ax], s0[b_ax], s0[3 + a_ax], s0[3 + b_ax],
+                   s0[3 + p_ax], s0[6], s0[7], s0[8]], axis=1)
+    if sort_rays:
+        nb = planes.shape[2]
+        ta = (u[:, 0] - origin_ab[0]) * inv_ab[0]
+        tb = (u[:, 1] - origin_ab[1]) * inv_ab[1]
+        cell = (jnp.clip(ta.astype(jnp.int32), 0, None) * nb
+                + jnp.clip(tb.astype(jnp.int32), 0, None))
+        u = jnp.take(u, jnp.argsort(cell), axis=0)
     dp = jnp.asarray(dp_static, s0.dtype)
-    uf = trace_zscan(u, planes, dp, origin_ab=origin_ab, inv_ab=inv_ab,
-                     shape_ab=shape_ab, layout=layout, n_slabs=n_slabs,
-                     substeps=substeps, ray_chunk=ray_chunk)
+    uf = trace_zscan(u, planes, origin_ab, inv_ab, dp, layout=layout,
+                     n_slabs=n_slabs, substeps=substeps,
+                     ray_chunk=ray_chunk)
     p_end = p0 + n_slabs * dp_static
-    N = uf[0].shape[0]
+    N = uf.shape[0]
     cols = [None] * 9
-    cols[a_ax], cols[b_ax] = uf[0], uf[1]
-    cols[p_ax] = jnp.full((N,), p_end, uf[0].dtype)
-    cols[3 + a_ax], cols[3 + b_ax], cols[3 + p_ax] = uf[2], uf[3], uf[4]
-    cols[6], cols[7], cols[8] = uf[5], uf[6], uf[7]
+    cols[a_ax], cols[b_ax] = uf[:, 0], uf[:, 1]
+    cols[p_ax] = jnp.full((N,), p_end, uf.dtype)
+    cols[3 + a_ax], cols[3 + b_ax], cols[3 + p_ax] = (uf[:, 2], uf[:, 3],
+                                                      uf[:, 4])
+    cols[6], cols[7], cols[8] = uf[:, 5], uf[:, 6], uf[:, 7]
     sf = jnp.stack(cols)
     return _image_from_sf(
         sf, probing_depth, diagnostic=diagnostic,
@@ -181,8 +193,7 @@ def run(
     if solver == "zscan":
         zp = make_zscan_pack(pack, layout, domain.probing_direction)
         return synth_image_zscan(
-            s0, zp.planes, depth, origin_ab=zp.origin_ab,
-            inv_ab=zp.inv_spacing_ab, shape_ab=zp.shape_ab,
+            s0, zp.planes, zp.origin_ab, zp.inv_spacing_ab, depth,
             layout=layout, n_slabs=zp.planes.shape[0] - 1, p0=zp.p0,
             dp_static=zp.dp, substeps=max(int(round(steps_per_cell)), 1),
             diagnostic=diagnostic,

@@ -16,22 +16,26 @@ an exact change of variable), but executes far better on TPU:
 
 * All rays share the SAME p at every step, so the p-axis interpolation
   weight is one scalar per RK4 stage: the two bounding field planes are
-  blended with a scalar (VPU op) and per-ray interpolation collapses from
-  trilinear (8 gathers from the full (nx, ny, nz, C) HBM table) to
-  BILINEAR (4 gathers from one plane, a few MB).
-* The scan walks the field once, front to back, as a sequence of
-  dynamic slices — sequential HBM traffic instead of random access, and
-  the natural layout for streaming 1024^3+ fields slab-by-slab.
+  blended on the VPU and per-ray interpolation collapses from trilinear
+  (8 gathers from the full (nx, ny, nz, C) HBM table) to BILINEAR
+  (4 row-gathers from one plane, a few MB).
+* The scan walks the field once, front to back, as a sequence of dynamic
+  slices — sequential HBM traffic, and the natural layout for streaming
+  1024^3+ fields slab-by-slab.
 * Marching the grid needs (n_p - 1) * substeps steps instead of the time
   tracer's sqrt(8) * n_p (propagator.py:454's escape fudge): ~3x fewer.
-* Ray state is a structure-of-arrays tuple of (N,) vectors, not an (N, 8)
-  matrix: a trailing dimension of 8 would occupy 8 of the TPU's 128 vector
-  lanes and waste 94% of the VPU on every elementwise op. Plane channels
-  are likewise channel-major so each gather is a full-lane 1-D gather.
+* Optional entry sorting of rays by their transverse cell improves gather
+  locality (detector images are permutation-invariant, so the pipeline
+  sorts by default).
 
-Assumptions (asserted/documented): rays enter on the -extent face of the
-probing axis (how every beam type initialises, full_solver.py:574-610) and
-v_p stays positive — i.e. no reflection at a critical-density surface. The
+Layout notes (measured on v5e): the ray state is kept as an (N, 8) matrix
+with 12-byte-row gathers — a structure-of-arrays variant with (N,) 1-D
+gathers benchmarked ~9x SLOWER in scan bodies, and per-step host-loop
+dispatch is dominated by RPC latency on remotely-attached TPUs.
+
+Assumptions (documented): rays enter on the -extent face of the probing
+axis (how every beam type initialises, full_solver.py:574-610) and v_p
+stays positive — i.e. no reflection at a critical-density surface. The
 time-domain tracer remains the fully general path.
 """
 
@@ -55,147 +59,127 @@ from synthpy_tpu.tracer.propagator import TraceResult, ray_to_Jonesvector
 
 _AXIS_OF = {"x": 0, "y": 1, "z": 2}
 
-# state tuple component indices: (a, b, va, vb, vp, amp, phase, pol)
-_NSTATE = 8
-
 
 class ZScanPack(NamedTuple):
     """Trace pack permuted so the probing axis leads.
 
-    planes: (n_p, C, n_a * n_b) channel-major flattened planes, with
-        gradient channels reordered to (G_a, G_b, G_p) (and Faraday
-        channels likewise) so channel order matches the permuted state.
+    planes: (n_p, n_a, n_b, C) with gradient channels reordered to
+        (G_a, G_b, G_p) (and Faraday channels likewise) so that channel
+        order matches the permuted state layout.
     """
 
     planes: jnp.ndarray
-    origin_ab: Tuple[float, float]
-    inv_spacing_ab: Tuple[float, float]
-    shape_ab: Tuple[int, int]
+    origin_ab: jnp.ndarray        # (2,) transverse origins
+    inv_spacing_ab: jnp.ndarray   # (2,)
     p0: float
     dp: float
     omega: float
 
 
 def make_zscan_pack(pack: TracePack, layout: ChannelLayout,
-                    probing_direction: str = "z") -> ZScanPack:
-    """Permute a TracePack into probing-axis-major, channel-major layout."""
-    p_ax = _AXIS_OF[probing_direction]
-    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+                    probing_direction: str = "z",
+                    dtype=None) -> ZScanPack:
+    """Permute a TracePack into probing-axis-major plane layout.
 
-    planes = jnp.transpose(pack.channels, (p_ax, 3, a_ax, b_ax))
+    ``dtype`` optionally down-casts the stored planes (e.g. jnp.bfloat16
+    halves slab traffic at ~0.4% relative gradient precision; interpolation
+    math stays f32).
+    """
+    p_ax = _AXIS_OF[probing_direction]
+    trans = [a for a in range(3) if a != p_ax]
+    a_ax, b_ax = trans
+
+    planes = jnp.transpose(pack.channels, (p_ax, a_ax, b_ax, 3))
     # channel permutation: gradients (and Faraday W) -> (a, b, p) order
-    perm = list(range(planes.shape[1]))
+    perm = list(range(planes.shape[-1]))
     perm[0], perm[1], perm[2] = a_ax, b_ax, p_ax
     if layout.B_on:
         f = layout.faraday_index
         perm[f + 0], perm[f + 1], perm[f + 2] = f + a_ax, f + b_ax, f + p_ax
-    planes = planes[:, jnp.array(perm)]
-    n_p, C, na, nb = planes.shape
-    planes = planes.reshape(n_p, C, na * nb)
+    planes = planes[..., jnp.array(perm)]
+    if dtype is not None:
+        planes = planes.astype(dtype)
 
-    return ZScanPack(
-        planes,
-        (float(pack.origin[a_ax]), float(pack.origin[b_ax])),
-        (float(pack.inv_spacing[a_ax]), float(pack.inv_spacing[b_ax])),
-        (na, nb),
-        float(pack.origin[p_ax]),
-        float(1.0 / pack.inv_spacing[p_ax]),
-        pack.omega,
-    )
+    origin_ab = jnp.stack([pack.origin[a_ax], pack.origin[b_ax]])
+    inv_ab = jnp.stack([pack.inv_spacing[a_ax], pack.inv_spacing[b_ax]])
+    return ZScanPack(planes, origin_ab, inv_ab,
+                     float(pack.origin[p_ax]),
+                     float(1.0 / pack.inv_spacing[p_ax]), pack.omega)
 
 
-def _corner_setup(a, b, origin_ab, inv_ab, na: int, nb: int):
-    """Shared per-stage index/weight computation (all (N,) vectors)."""
-    ta = (a - origin_ab[0]) * inv_ab[0]
-    tb = (b - origin_ab[1]) * inv_ab[1]
+def _bilinear(plane, pa, pb, origin_ab, inv_ab):
+    """4-corner row-gather of all channels from one (na, nb, C) plane."""
+    na, nb, Cc = plane.shape
+    ta = (pa - origin_ab[0]) * inv_ab[0]
+    tb = (pb - origin_ab[1]) * inv_ab[1]
     inside = (ta >= 0) & (ta <= na - 1) & (tb >= 0) & (tb <= nb - 1)
     ia = jnp.clip(jnp.floor(ta).astype(jnp.int32), 0, na - 2)
     ib = jnp.clip(jnp.floor(tb).astype(jnp.int32), 0, nb - 2)
-    fa = jnp.clip(ta - ia, 0.0, 1.0)
-    fb = jnp.clip(tb - ib, 0.0, 1.0)
+    fa = jnp.clip(ta - ia, 0.0, 1.0)[:, None]
+    fb = jnp.clip(tb - ib, 0.0, 1.0)[:, None]
+    flat = plane.reshape(na * nb, Cc)
     base = ia * nb + ib
-    w00 = (1 - fa) * (1 - fb)
-    w01 = (1 - fa) * fb
-    w10 = fa * (1 - fb)
-    w11 = fa * fb
-    return base, (w00, w01, w10, w11), inside
+
+    def corner(off):
+        return jnp.take(flat, base + off, axis=0, mode="clip"
+                        ).astype(pa.dtype)
+
+    out = ((1 - fa) * (1 - fb) * corner(0)
+           + (1 - fa) * fb * corner(1)
+           + fa * (1 - fb) * corner(nb)
+           + fa * fb * corner(nb + 1))
+    return jnp.where(inside[:, None], out, 0.0)
 
 
-def _gather_channel(chan_flat, base, ws, inside, nb: int):
-    """Bilinear value of one channel at all rays: 4 full-lane 1-D gathers."""
-    g = lambda off: jnp.take(chan_flat, base + off, mode="clip")
-    val = (ws[0] * g(0) + ws[1] * g(1) + ws[2] * g(nb) + ws[3] * g(nb + 1))
-    return jnp.where(inside, val, 0.0)
-
-
-def _deriv(u, plane, origin_ab, inv_ab, shape_ab, layout: ChannelLayout,
+def _deriv(u, plane, origin_ab, inv_ab, layout: ChannelLayout,
            atten_sign: float):
-    """du/dp for the SoA state tuple; ``plane`` is (C, na*nb)."""
-    a, b, va, vb, vp, amp, phase, pol = u
-    na, nb = shape_ab
-    base, ws, inside = _corner_setup(a, b, origin_ab, inv_ab, na, nb)
+    """du/dp for permuted state u = (a, b, va, vb, vp, amp, phase, pol)."""
+    vals = _bilinear(plane, u[:, 0], u[:, 1], origin_ab, inv_ab)
+    va, vb, vp = u[:, 2:3], u[:, 3:4], u[:, 4:5]
     inv_vp = 1.0 / vp
+    G = vals[:, 0:3] * inv_vp  # (Ga, Gb, Gp)/vp
 
-    Ga = _gather_channel(plane[0], base, ws, inside, nb)
-    Gb = _gather_channel(plane[1], base, ws, inside, nb)
-    Gp = _gather_channel(plane[2], base, ws, inside, nb)
-
-    zero = jnp.zeros_like(a)
+    N = u.shape[0]
+    zeros = jnp.zeros((N, 1), u.dtype)
     if layout.inv_brems:
-        k = _gather_channel(plane[layout.kappa_index], base, ws, inside, nb)
-        d_amp = atten_sign * k * amp * inv_vp
+        k = vals[:, layout.kappa_index:layout.kappa_index + 1]
+        d_amp = atten_sign * k * u[:, 5:6] * inv_vp
     else:
-        d_amp = zero
+        d_amp = zeros
     if layout.phaseshift:
-        d_phase = _gather_channel(plane[layout.phase_index], base, ws,
-                                  inside, nb) * inv_vp
+        d_phase = vals[:, layout.phase_index:layout.phase_index + 1] * inv_vp
     else:
-        d_phase = zero
+        d_phase = zeros
     if layout.B_on:
-        fi = layout.faraday_index
-        Wa = _gather_channel(plane[fi + 0], base, ws, inside, nb)
-        Wb = _gather_channel(plane[fi + 1], base, ws, inside, nb)
-        Wp = _gather_channel(plane[fi + 2], base, ws, inside, nb)
-        d_pol = (Wa * va + Wb * vb + Wp * vp) * inv_vp
+        W = vals[:, layout.faraday_index:layout.faraday_index + 3]
+        d_pol = (W[:, 0:1] * va + W[:, 1:2] * vb + W[:, 2:3] * vp) * inv_vp
     else:
-        d_pol = zero
-
-    return (va * inv_vp, vb * inv_vp, Ga * inv_vp, Gb * inv_vp,
-            Gp * inv_vp, d_amp, d_phase, d_pol)
-
-
-def _axpy(u, h, k):
-    """u + h * k on state tuples."""
-    return tuple(ui + h * ki for ui, ki in zip(u, k))
-
-
-def _rk4_combine(u, h, k1, k2, k3, k4):
-    return tuple(
-        ui + (h / 6.0) * (a + 2 * b + 2 * c + d)
-        for ui, a, b, c, d in zip(u, k1, k2, k3, k4))
+        d_pol = zeros
+    return jnp.concatenate(
+        [va * inv_vp, vb * inv_vp, G, d_amp, d_phase, d_pol], axis=1)
 
 
 @partial(jax.jit, static_argnames=("layout", "n_slabs", "substeps",
-                                   "atten_sign", "ray_chunk", "origin_ab",
-                                   "inv_ab", "shape_ab"))
+                                   "atten_sign", "ray_chunk", "unroll"))
 def trace_zscan(
-    u: Tuple[jnp.ndarray, ...],
+    u: jnp.ndarray,
     planes: jnp.ndarray,
+    origin_ab: jnp.ndarray,
+    inv_ab: jnp.ndarray,
     dp: jnp.ndarray,
     *,
-    origin_ab: Tuple[float, float],
-    inv_ab: Tuple[float, float],
-    shape_ab: Tuple[int, int],
     layout: ChannelLayout,
     n_slabs: int,
     substeps: int = 1,
     atten_sign: float = -1.0,
     ray_chunk: Optional[int] = None,
-) -> Tuple[jnp.ndarray, ...]:
-    """March the SoA ray state across ``n_slabs`` grid intervals.
+    unroll: int = 1,
+) -> jnp.ndarray:
+    """March (N, 8) permuted rays across ``n_slabs`` grid intervals.
 
-    Within each interval the two bounding planes are sliced once; every RK4
-    stage interpolates from a scalar blend of them.
+    Within each interval the two bounding planes are sliced once and every
+    RK4 stage interpolates from them (stage planes for substeps=1 are the
+    slab faces plus one midpoint blend).
     """
     h = dp / substeps
 
@@ -203,19 +187,16 @@ def trace_zscan(
         def slab_step(uc, k):
             window = jax.lax.dynamic_slice_in_dim(planes, k, 2, axis=0)
             w0, w1 = window[0], window[1]
-
-            d = lambda uu, pl: _deriv(uu, pl, origin_ab, inv_ab, shape_ab,
-                                      layout, atten_sign)
+            d = lambda uu, pl: _deriv(uu, pl, origin_ab, inv_ab, layout,
+                                      atten_sign)
 
             if substeps == 1:
-                # stage planes are exactly the slab faces + one midpoint
-                # blend; no traced-fraction plane arithmetic
                 p_h = 0.5 * (w0 + w1)
                 k1 = d(uc, w0)
-                k2 = d(_axpy(uc, 0.5 * h, k1), p_h)
-                k3 = d(_axpy(uc, 0.5 * h, k2), p_h)
-                k4 = d(_axpy(uc, h, k3), w1)
-                return _rk4_combine(uc, h, k1, k2, k3, k4), None
+                k2 = d(uc + 0.5 * h * k1, p_h)
+                k3 = d(uc + 0.5 * h * k2, p_h)
+                k4 = d(uc + h * k3, w1)
+                return uc + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
 
             dw = w1 - w0
 
@@ -224,76 +205,27 @@ def trace_zscan(
                 p_h = w0 + ((j + 0.5) / substeps) * dw
                 p_1 = w0 + ((j + 1.0) / substeps) * dw
                 k1 = d(uc, p_0)
-                k2 = d(_axpy(uc, 0.5 * h, k1), p_h)
-                k3 = d(_axpy(uc, 0.5 * h, k2), p_h)
-                k4 = d(_axpy(uc, h, k3), p_1)
-                return _rk4_combine(uc, h, k1, k2, k3, k4), None
+                k2 = d(uc + 0.5 * h * k1, p_h)
+                k3 = d(uc + 0.5 * h * k2, p_h)
+                k4 = d(uc + h * k3, p_1)
+                return uc + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
 
             uc, _ = jax.lax.scan(substep, uc,
-                                 jnp.arange(substeps, dtype=planes.dtype))
+                                 jnp.arange(substeps, dtype=uc.dtype))
             return uc, None
 
-        out, _ = jax.lax.scan(slab_step, u0, jnp.arange(n_slabs))
+        out, _ = jax.lax.scan(slab_step, u0, jnp.arange(n_slabs),
+                              unroll=unroll)
         return out
 
-    N = u[0].shape[0]
-    if ray_chunk is None or N <= ray_chunk:
+    if ray_chunk is None or u.shape[0] <= ray_chunk:
         return run(u)
+    N = u.shape[0]
     n_chunks = -(-N // ray_chunk)
     pad = n_chunks * ray_chunk - N
-    blocks = tuple(jnp.pad(c, (0, pad)).reshape(n_chunks, ray_chunk)
-                   for c in u)
+    blocks = jnp.pad(u, ((0, pad), (0, 0))).reshape(n_chunks, ray_chunk, 8)
     out = jax.lax.map(run, blocks)
-    return tuple(c.reshape(n_chunks * ray_chunk)[:N] for c in out)
-
-
-@partial(jax.jit, donate_argnums=(0,),
-         static_argnames=("origin_ab", "inv_ab", "shape_ab", "layout",
-                          "substeps", "atten_sign"))
-def _zscan_step(u, w0, w1, h, *, origin_ab, inv_ab, shape_ab,
-                layout: ChannelLayout, substeps: int, atten_sign: float):
-    """One slab interval as a standalone jitted program (host-loop mode).
-
-    Keeping each step a top-level XLA program keeps the interpolation
-    gathers on the compiler's fast path — on some toolchains gathers
-    embedded in lax.scan bodies lower to code orders of magnitude slower.
-    The ray state is donated, so the loop updates in place with no
-    allocation churn; dispatch is asynchronous and pipelines with device
-    execution.
-    """
-    d = lambda uu, pl: _deriv(uu, pl, origin_ab, inv_ab, shape_ab, layout,
-                              atten_sign)
-    if substeps == 1:
-        p_h = 0.5 * (w0 + w1)
-        k1 = d(u, w0)
-        k2 = d(_axpy(u, 0.5 * h, k1), p_h)
-        k3 = d(_axpy(u, 0.5 * h, k2), p_h)
-        k4 = d(_axpy(u, h, k3), w1)
-        return _rk4_combine(u, h, k1, k2, k3, k4)
-    dw = w1 - w0
-    for j in range(substeps):
-        p_0 = w0 + (j / substeps) * dw
-        p_h = w0 + ((j + 0.5) / substeps) * dw
-        p_1 = w0 + ((j + 1.0) / substeps) * dw
-        k1 = d(u, p_0)
-        k2 = d(_axpy(u, 0.5 * h, k1), p_h)
-        k3 = d(_axpy(u, 0.5 * h, k2), p_h)
-        k4 = d(_axpy(u, h, k3), p_1)
-        u = _rk4_combine(u, h, k1, k2, k3, k4)
-    return u
-
-
-def trace_zscan_hostloop(u, planes, dp, *, origin_ab, inv_ab, shape_ab,
-                         layout: ChannelLayout, n_slabs: int,
-                         substeps: int = 1, atten_sign: float = -1.0):
-    """March rays with a host loop of donated per-step programs."""
-    h = dp / substeps
-    for k in range(n_slabs):
-        u = _zscan_step(u, planes[k], planes[k + 1], h,
-                        origin_ab=origin_ab, inv_ab=inv_ab,
-                        shape_ab=shape_ab, layout=layout, substeps=substeps,
-                        atten_sign=atten_sign)
-    return u
+    return out.reshape(n_chunks * ray_chunk, 8)[:N]
 
 
 def solve_zscan(
@@ -308,13 +240,16 @@ def solve_zscan(
     pack: Optional[TracePack] = None,
     zpack: Optional[ZScanPack] = None,
     ray_chunk: Optional[int] = None,
-    host_loop: bool = False,
+    sort_rays: bool = False,
+    unroll: int = 1,
 ) -> TraceResult:
     """Fast-path trace (drop-in for tracer.solve on forward-probing bundles).
 
     Marches the bundle from the entry face to the far face of the grid,
     then back-projects to the ``probing_depth`` exit plane exactly like the
-    time-domain solver.
+    time-domain solver. With ``sort_rays=True`` rays are reordered by their
+    entry cell for gather locality — output columns are then in sorted
+    order, which detector histograms don't care about.
     """
     layout = layout_of(domain)
     if probing_depth is None:
@@ -328,37 +263,38 @@ def solve_zscan(
     a_ax, b_ax = [a for a in range(3) if a != p_ax]
 
     s = jnp.asarray(s0)
-    u = (s[a_ax], s[b_ax], s[3 + a_ax], s[3 + b_ax], s[3 + p_ax],
-         s[6], s[7], s[8])
+    # permuted state u = (a, b, va, vb, vp, amp, phase, pol)
+    u = jnp.stack([s[a_ax], s[b_ax], s[3 + a_ax], s[3 + b_ax], s[3 + p_ax],
+                   s[6], s[7], s[8]], axis=1)
+    if sort_rays:
+        nb = zpack.planes.shape[2]
+        ta = (u[:, 0] - zpack.origin_ab[0]) * zpack.inv_spacing_ab[0]
+        tb = (u[:, 1] - zpack.origin_ab[1]) * zpack.inv_spacing_ab[1]
+        cell = (jnp.clip(ta.astype(jnp.int32), 0, None) * nb
+                + jnp.clip(tb.astype(jnp.int32), 0, None))
+        u = jnp.take(u, jnp.argsort(cell), axis=0)
 
     n_slabs = zpack.planes.shape[0] - 1
-    dp = jnp.asarray(zpack.dp, s.dtype)
+    dp = jnp.asarray(zpack.dp, u.dtype)
 
     start = time.perf_counter()
-    if host_loop:
-        uf = trace_zscan_hostloop(
-            u, zpack.planes, dp, origin_ab=zpack.origin_ab,
-            inv_ab=zpack.inv_spacing_ab, shape_ab=zpack.shape_ab,
-            layout=layout, n_slabs=n_slabs, substeps=substeps,
-            atten_sign=atten_sign)
-    else:
-        uf = trace_zscan(u, zpack.planes, dp, origin_ab=zpack.origin_ab,
-                         inv_ab=zpack.inv_spacing_ab,
-                         shape_ab=zpack.shape_ab, layout=layout,
-                         n_slabs=n_slabs, substeps=substeps,
-                         atten_sign=atten_sign, ray_chunk=ray_chunk)
-    jax.block_until_ready(uf)
+    uf = trace_zscan(u, zpack.planes, zpack.origin_ab, zpack.inv_spacing_ab,
+                     dp, layout=layout, n_slabs=n_slabs, substeps=substeps,
+                     atten_sign=atten_sign, ray_chunk=ray_chunk,
+                     unroll=unroll)
+    uf.block_until_ready()
     duration = time.perf_counter() - start
 
     # reassemble the 9 x N state in original axis order; all rays sit at
     # the far grid face p_end
     p_end = zpack.p0 + n_slabs * zpack.dp
-    N = uf[0].shape[0]
+    N = uf.shape[0]
     cols = [None] * 9
-    cols[a_ax], cols[b_ax] = uf[0], uf[1]
-    cols[p_ax] = jnp.full((N,), p_end, uf[0].dtype)
-    cols[3 + a_ax], cols[3 + b_ax], cols[3 + p_ax] = uf[2], uf[3], uf[4]
-    cols[6], cols[7], cols[8] = uf[5], uf[6], uf[7]
+    cols[a_ax], cols[b_ax] = uf[:, 0], uf[:, 1]
+    cols[p_ax] = jnp.full((N,), p_end, uf.dtype)
+    cols[3 + a_ax], cols[3 + b_ax], cols[3 + p_ax] = (uf[:, 2], uf[:, 3],
+                                                      uf[:, 4])
+    cols[6], cols[7], cols[8] = uf[:, 5], uf[:, 6], uf[:, 7]
     sf = jnp.stack(cols)
 
     rf, Jf = ray_to_Jonesvector(sf, probing_depth,

@@ -110,11 +110,26 @@ def test_zscan_ray_chunking():
                                rtol=1e-6, atol=1e-9)
 
 
-def test_zscan_hostloop_matches_scan():
+def test_zscan_sort_rays_same_histogram():
     d = ScalarDomain(2 * EXT, 25).test_lens(ne_0=5e24, LR=1.5e-3)
-    d.phaseshift = True
-    s0 = init_beam(jax.random.PRNGKey(9), 64, 1.5e-3, 1e-3, EXT, "circular")
-    r_scan = solve_zscan(s0, d, substeps=2)
-    r_host = solve_zscan(s0, d, substeps=2, host_loop=True)
-    np.testing.assert_allclose(np.asarray(r_host.sf), np.asarray(r_scan.sf),
-                               rtol=1e-6, atol=1e-9)
+    s0 = init_beam(jax.random.PRNGKey(10), 256, 1.5e-3, 0.0, EXT, "circular")
+    r_plain = solve_zscan(s0, d)
+    r_sorted = solve_zscan(s0, d, sort_rays=True)
+    # same multiset of exit rays (compare sorted columns)
+    a = np.sort(np.asarray(r_plain.sf[0]))
+    b = np.sort(np.asarray(r_sorted.sf[0]))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-12)
+
+
+def test_zscan_bf16_planes_close():
+    from synthpy_tpu.fields import build_pack, layout_of
+    from synthpy_tpu.tracer.zscan import make_zscan_pack
+
+    d = ScalarDomain(2 * EXT, 25).test_lens(ne_0=5e24, LR=1.5e-3)
+    pack = build_pack(d)
+    zp16 = make_zscan_pack(pack, layout_of(d), "z", dtype=jnp.bfloat16)
+    s0 = init_beam(jax.random.PRNGKey(11), 64, 1.5e-3, 0.0, EXT, "circular")
+    r32 = solve_zscan(s0, d, pack=pack)
+    r16 = solve_zscan(s0, d, zpack=zp16)
+    th32 = np.asarray(r32.rf[1]); th16 = np.asarray(r16.rf[1])
+    np.testing.assert_allclose(th16, th32, atol=np.abs(th32).max() * 2e-2)
