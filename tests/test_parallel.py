@@ -129,3 +129,15 @@ def test_solve_with_sharded_input_runs():
     s_sh = shard_rays(jnp.asarray(s0).T, mesh).T
     res = solve(s_sh, d, n_steps=16)
     assert np.isfinite(np.asarray(res.rf)).all()
+
+
+def test_pipeline_solver_equivalence():
+    """zscan and time pipelines produce consistent shadowgrams."""
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(9), 4096, 2e-3, 0.0, EXT, "circular")
+    Hz = np.asarray(pipeline.run(d, s0, solver="zscan", bins=(54, 40)))
+    Ht = np.asarray(pipeline.run(d, s0, solver="time", bins=(54, 40),
+                                 steps_per_cell=2.0))
+    assert Hz.sum() == Ht.sum()  # same rays land on the detector
+    # images agree to within a small fraction of total intensity
+    assert np.abs(Hz - Ht).sum() < 0.05 * Hz.sum()
