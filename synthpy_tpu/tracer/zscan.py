@@ -301,3 +301,245 @@ def solve_zscan(
                                 probing_direction=domain.probing_direction,
                                 return_E=return_E)
     return TraceResult(rf, Jf, sf, duration)
+
+
+# ---------------------------------------------------------------------------
+# Segmented column-gather tracer: the gather-hoisted fast path
+# ---------------------------------------------------------------------------
+#
+# Paraxial rays drift ~1e-3 transverse cells per slab step, so the plain
+# slab march re-gathers the SAME 2x2 corner cells hundreds of times (and
+# scattered gathers are descriptor-rate-bound on TPU: sorting, bf16, and
+# unrolling all measured <10%). The segmented tracer hoists them: for each
+# segment of K slabs, every ray gathers its 2x2 corner CELL COLUMNS across
+# the segment's K+1 planes as four contiguous-row gathers of (K+1)*C
+# values, and the K inner RK4 steps then only SLICE that buffer —
+# regular, bandwidth-bound accesses. Per-ray corner indices are frozen for
+# the segment; fractional weights still track the exact position each
+# stage (clamped to the patch — an approximation only for rays that cross
+# a cell boundary mid-segment, a <=K/1000-cell effect for paraxial beams).
+# The plane list is zero-padded to a multiple of K: marching through the
+# padding is exact (zero field = straight flight, removed by the exit-plane
+# back-projection).
+
+
+class SegmentPack(NamedTuple):
+    """Planes regrouped as per-segment corner-column tables.
+
+    seg_planes: (n_seg, na*nb, (K+1)*C): [s, cell, k*C + c] is channel c of
+        plane s*K + k at transverse cell ``cell``.
+    """
+
+    seg_planes: jnp.ndarray
+    origin_ab: jnp.ndarray
+    inv_spacing_ab: jnp.ndarray
+    shape_ab: Tuple[int, int]
+    K: int
+    n_slabs: int          # real slab count (before padding)
+    p0: float
+    dp: float
+    omega: float
+
+
+def make_segment_pack(zpack: ZScanPack, K: int = 64) -> SegmentPack:
+    """Regroup a ZScanPack into K-slab segments with duplicated borders."""
+    n_p, na, nb, C = zpack.planes.shape
+    n_slabs = n_p - 1
+    n_seg = -(-n_slabs // K)
+    n_p_padded = n_seg * K + 1
+    planes = zpack.planes
+    if n_p_padded > n_p:
+        pad = jnp.zeros((n_p_padded - n_p, na, nb, C), planes.dtype)
+        planes = jnp.concatenate([planes, pad], axis=0)
+    # segment s needs planes [s*K, s*K + K] inclusive
+    segs = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(planes, s * K, K + 1, axis=0)
+        for s in range(n_seg)
+    ])  # (n_seg, K+1, na, nb, C)
+    segs = jnp.transpose(segs, (0, 2, 3, 1, 4))  # (n_seg, na, nb, K+1, C)
+    segs = segs.reshape(n_seg, na * nb, (K + 1) * C)
+    return SegmentPack(segs, zpack.origin_ab, zpack.inv_spacing_ab,
+                       (na, nb), K, n_slabs, zpack.p0, zpack.dp,
+                       zpack.omega)
+
+
+def _seg_deriv(u, corners, k, f, ia0, ib0, origin_ab, inv_ab, shape_ab,
+               layout: ChannelLayout, atten_sign: float, C: int):
+    """du/dp at slab-fraction ``f`` of inner slab ``k`` from hoisted corners.
+
+    corners: (c00, c01, c10, c11), each (N, K+1, C).
+    """
+    na, nb = shape_ab
+    a, b = u[:, 0], u[:, 1]
+    ta = (a - origin_ab[0]) * inv_ab[0]
+    tb = (b - origin_ab[1]) * inv_ab[1]
+    inside = (ta >= 0) & (ta <= na - 1) & (tb >= 0) & (tb <= nb - 1)
+    fa = jnp.clip(ta - ia0, 0.0, 1.0)[:, None]
+    fb = jnp.clip(tb - ib0, 0.0, 1.0)[:, None]
+
+    def val(c):
+        # z-blend between planes k and k+1 at fraction f
+        win = jax.lax.dynamic_slice_in_dim(c, k, 2, axis=1)
+        return (1.0 - f) * win[:, 0, :] + f * win[:, 1, :]
+
+    c00, c01, c10, c11 = corners
+    vals = ((1 - fa) * (1 - fb) * val(c00) + (1 - fa) * fb * val(c01)
+            + fa * (1 - fb) * val(c10) + fa * fb * val(c11))
+    vals = jnp.where(inside[:, None], vals, 0.0)
+
+    va, vb, vp = u[:, 2:3], u[:, 3:4], u[:, 4:5]
+    inv_vp = 1.0 / vp
+    G = vals[:, 0:3] * inv_vp
+    N = u.shape[0]
+    zeros = jnp.zeros((N, 1), u.dtype)
+    if layout.inv_brems:
+        kk = vals[:, layout.kappa_index:layout.kappa_index + 1]
+        d_amp = atten_sign * kk * u[:, 5:6] * inv_vp
+    else:
+        d_amp = zeros
+    if layout.phaseshift:
+        d_phase = vals[:, layout.phase_index:layout.phase_index + 1] * inv_vp
+    else:
+        d_phase = zeros
+    if layout.B_on:
+        W = vals[:, layout.faraday_index:layout.faraday_index + 3]
+        d_pol = (W[:, 0:1] * va + W[:, 1:2] * vb + W[:, 2:3] * vp) * inv_vp
+    else:
+        d_pol = zeros
+    return jnp.concatenate(
+        [va * inv_vp, vb * inv_vp, G, d_amp, d_phase, d_pol], axis=1)
+
+
+@partial(jax.jit, static_argnames=("layout", "K", "n_seg", "shape_ab",
+                                   "substeps", "atten_sign", "ray_chunk"))
+def trace_zscan_segments(
+    u: jnp.ndarray,
+    seg_planes: jnp.ndarray,
+    origin_ab: jnp.ndarray,
+    inv_ab: jnp.ndarray,
+    dp: jnp.ndarray,
+    *,
+    shape_ab: Tuple[int, int],
+    layout: ChannelLayout,
+    K: int,
+    n_seg: int,
+    substeps: int = 1,
+    atten_sign: float = -1.0,
+    ray_chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """Gather-hoisted slab march over n_seg segments of K slabs each."""
+    na, nb = shape_ab
+    C = seg_planes.shape[-1] // (K + 1)
+    h = dp / substeps
+
+    def run(u0):
+        def segment(uc, s):
+            seg = jax.lax.dynamic_slice_in_dim(seg_planes, s, 1, axis=0)[0]
+            # per-ray frozen corner indices for this segment
+            ta = (uc[:, 0] - origin_ab[0]) * inv_ab[0]
+            tb = (uc[:, 1] - origin_ab[1]) * inv_ab[1]
+            ia0 = jnp.clip(jnp.floor(ta).astype(jnp.int32), 0, na - 2)
+            ib0 = jnp.clip(jnp.floor(tb).astype(jnp.int32), 0, nb - 2)
+            base = ia0 * nb + ib0
+            shape = (-1, K + 1, C)
+            corners = tuple(
+                jnp.take(seg, base + off, axis=0, mode="clip"
+                         ).reshape(shape).astype(uc.dtype)
+                for off in (0, 1, nb, nb + 1))
+            ia0f = ia0.astype(uc.dtype)
+            ib0f = ib0.astype(uc.dtype)
+
+            def slab(uc, k):
+                def stage(uu, f):
+                    return _seg_deriv(uu, corners, k, f, ia0f, ib0f,
+                                      origin_ab, inv_ab, shape_ab, layout,
+                                      atten_sign, C)
+
+                def substep(uc, j):
+                    f0 = j / substeps
+                    fh = (j + 0.5) / substeps
+                    f1 = (j + 1.0) / substeps
+                    k1 = stage(uc, f0)
+                    k2 = stage(uc + 0.5 * h * k1, fh)
+                    k3 = stage(uc + 0.5 * h * k2, fh)
+                    k4 = stage(uc + h * k3, f1)
+                    return uc + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+                if substeps == 1:
+                    uc, _ = substep(uc, 0.0)
+                else:
+                    uc, _ = jax.lax.scan(substep, uc,
+                                         jnp.arange(substeps,
+                                                    dtype=uc.dtype))
+                return uc, None
+
+            uc, _ = jax.lax.scan(slab, uc, jnp.arange(K))
+            return uc, None
+
+        out, _ = jax.lax.scan(segment, u0, jnp.arange(n_seg))
+        return out
+
+    if ray_chunk is None or u.shape[0] <= ray_chunk:
+        return run(u)
+    N = u.shape[0]
+    n_chunks = -(-N // ray_chunk)
+    pad = n_chunks * ray_chunk - N
+    blocks = jnp.pad(u, ((0, pad), (0, 0))).reshape(n_chunks, ray_chunk, 8)
+    out = jax.lax.map(run, blocks)
+    return out.reshape(n_chunks * ray_chunk, 8)[:N]
+
+
+def solve_zscan_segments(
+    s0: jnp.ndarray,
+    domain: ScalarDomain,
+    probing_depth: Optional[float] = None,
+    *,
+    lwl: float = 1064e-9,
+    return_E: bool = False,
+    substeps: int = 1,
+    K: int = 64,
+    atten_sign: float = -1.0,
+    pack: Optional[TracePack] = None,
+    spack: Optional[SegmentPack] = None,
+    ray_chunk: Optional[int] = None,
+) -> TraceResult:
+    """Gather-hoisted drop-in for solve_zscan (paraxial fast path)."""
+    layout = layout_of(domain)
+    if probing_depth is None:
+        probing_depth = domain.extent
+    if spack is None:
+        if pack is None:
+            pack = build_pack(domain, lwl)
+        zp = make_zscan_pack(pack, layout, domain.probing_direction)
+        spack = make_segment_pack(zp, K=K)
+    K = spack.K
+    n_seg = spack.seg_planes.shape[0]
+
+    p_ax = _AXIS_OF[domain.probing_direction]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+    s = jnp.asarray(s0)
+    u = jnp.stack([s[a_ax], s[b_ax], s[3 + a_ax], s[3 + b_ax], s[3 + p_ax],
+                   s[6], s[7], s[8]], axis=1)
+    dp = jnp.asarray(spack.dp, u.dtype)
+
+    start = time.perf_counter()
+    uf = trace_zscan_segments(
+        u, spack.seg_planes, spack.origin_ab, spack.inv_spacing_ab, dp,
+        shape_ab=spack.shape_ab, layout=layout, K=K, n_seg=n_seg,
+        substeps=substeps, atten_sign=atten_sign, ray_chunk=ray_chunk)
+    uf.block_until_ready()
+    duration = time.perf_counter() - start
+
+    p_end = spack.p0 + n_seg * K * spack.dp
+    N = uf.shape[0]
+    cols = [None] * 9
+    cols[a_ax], cols[b_ax] = uf[:, 0], uf[:, 1]
+    cols[p_ax] = jnp.full((N,), p_end, uf.dtype)
+    cols[3 + a_ax], cols[3 + b_ax], cols[3 + p_ax] = (uf[:, 2], uf[:, 3],
+                                                      uf[:, 4])
+    cols[6], cols[7], cols[8] = uf[:, 5], uf[:, 6], uf[:, 7]
+    sf = jnp.stack(cols)
+    rf, Jf = ray_to_Jonesvector(sf, probing_depth,
+                                probing_direction=domain.probing_direction,
+                                return_E=return_E)
+    return TraceResult(rf, Jf, sf, duration)

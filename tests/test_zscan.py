@@ -133,3 +133,50 @@ def test_zscan_bf16_planes_close():
     r16 = solve_zscan(s0, d, zpack=zp16)
     th32 = np.asarray(r32.rf[1]); th16 = np.asarray(r16.rf[1])
     np.testing.assert_allclose(th16, th32, atol=np.abs(th32).max() * 2e-2)
+
+
+def test_zscan_segments_matches_zscan():
+    from synthpy_tpu.tracer.zscan import solve_zscan_segments
+
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    s0 = init_beam(jax.random.PRNGKey(12), 128, 1.5e-3, 1e-3, EXT,
+                   "circular")
+    r_ref = solve_zscan(s0, d)
+    r_seg = solve_zscan_segments(s0, d, K=8)  # 32 slabs -> 4 segments
+    sf_r, sf_s = np.asarray(r_ref.sf), np.asarray(r_seg.sf)
+    # paraxial rays stay within their corner patch: results nearly identical
+    np.testing.assert_allclose(sf_s[0], sf_r[0], atol=6e-8)
+    np.testing.assert_allclose(sf_s[3], sf_r[3], rtol=5e-4,
+                               atol=np.abs(sf_r[3]).max() * 5e-4)
+    np.testing.assert_allclose(sf_s[7], sf_r[7], rtol=2e-3, atol=1e-5)
+
+
+def test_zscan_segments_padding_exact():
+    """n_slabs not divisible by K: zero-padded planes must be exact."""
+    from synthpy_tpu.tracer.zscan import solve_zscan_segments
+
+    d = ScalarDomain(2 * EXT, 22).test_null()  # 21 slabs, K=8 -> pad to 24
+    s0 = init_beam(jax.random.PRNGKey(13), 32, 1e-3, 1e-3, EXT, "circular")
+    r = solve_zscan_segments(s0, d, K=8)
+    rf = np.asarray(r.rf)
+    ref = np.asarray(solve_zscan(s0, d).rf)
+    np.testing.assert_allclose(rf, ref, atol=1e-9)
+
+
+def test_zscan_segments_all_switches():
+    from synthpy_tpu.tracer.zscan import solve_zscan_segments
+
+    d = ScalarDomain(2 * EXT, 25).test_lens(ne_0=1e25, LR=2e-3)
+    d.external_Te(50.0 * np.ones(d.dims))
+    d.external_Z(2.0 * np.ones(d.dims))
+    d.inv_brems = True
+    d.phaseshift = True
+    d.test_B(Bmax=10.0)
+    s0 = init_beam(jax.random.PRNGKey(14), 32, 1.5e-3, 0.0, EXT, "circular")
+    r_ref = solve_zscan(s0, d)
+    r_seg = solve_zscan_segments(s0, d, K=6)
+    for row, tol in ((6, 2e-3), (7, 2e-3), (8, 5e-3)):
+        a, b = np.asarray(r_seg.sf[row]), np.asarray(r_ref.sf[row])
+        np.testing.assert_allclose(a, b, rtol=tol,
+                                   atol=np.abs(b).max() * tol + 1e-12)
