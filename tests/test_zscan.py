@@ -147,8 +147,10 @@ def test_zscan_segments_matches_zscan():
     sf_r, sf_s = np.asarray(r_ref.sf), np.asarray(r_seg.sf)
     # paraxial rays stay within their corner patch: results nearly identical
     np.testing.assert_allclose(sf_s[0], sf_r[0], atol=6e-8)
-    np.testing.assert_allclose(sf_s[3], sf_r[3], rtol=5e-4,
-                               atol=np.abs(sf_r[3]).max() * 5e-4)
+    # the worst ray is one that crosses a cell boundary mid-segment
+    # (frozen-corner clamping) — bounded at ~1e-3 of the velocity scale
+    np.testing.assert_allclose(sf_s[3], sf_r[3], rtol=1e-3,
+                               atol=np.abs(sf_r[3]).max() * 1.5e-3)
     np.testing.assert_allclose(sf_s[7], sf_r[7], rtol=2e-3, atol=1e-5)
 
 
