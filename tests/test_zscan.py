@@ -151,7 +151,8 @@ def test_zscan_segments_matches_zscan():
     # (frozen-corner clamping) — bounded at ~1e-3 of the velocity scale
     np.testing.assert_allclose(sf_s[3], sf_r[3], rtol=1e-3,
                                atol=np.abs(sf_r[3]).max() * 1.5e-3)
-    np.testing.assert_allclose(sf_s[7], sf_r[7], rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(sf_s[7], sf_r[7], rtol=5e-3,
+                               atol=np.abs(sf_r[7]).max() * 5e-3)
 
 
 def test_zscan_segments_padding_exact():
