@@ -7,10 +7,12 @@ as separate Python phases with host transfers and (for MPI) pickled field
 broadcasts between them (pvti_trace_mpi.py:144-170); here the whole thing
 is a single compiled function that GSPMD shards over a ray mesh axis.
 
-Two tracer back-ends:
-  * "time"  — the general fixed-step RK4 time integrator
+Tracer back-ends:
+  * "time"      — the general fixed-step RK4 time integrator
     (tracer.propagator.trace_rk4);
-  * "zscan" — the fast slab-marching path (tracer.zscan), default.
+  * "zscan"     — the slab-marching path (tracer.zscan), default;
+  * "zscan_seg" — the gather-hoisted segmented march
+    (tracer.zscan.trace_zscan_segments), fastest for paraxial bundles.
 """
 
 from __future__ import annotations
@@ -37,7 +39,13 @@ from synthpy_tpu.optics.diagnostics import (
     Shadowgraphy,
 )
 from synthpy_tpu.tracer.propagator import ray_to_Jonesvector, trace_rk4
-from synthpy_tpu.tracer.zscan import _AXIS_OF, make_zscan_pack, trace_zscan
+from synthpy_tpu.tracer.zscan import (
+    _AXIS_OF,
+    make_segment_pack,
+    make_zscan_pack,
+    trace_zscan,
+    trace_zscan_segments,
+)
 
 DIAGNOSTICS = {
     "shadowgraphy": (Shadowgraphy, "two_lens_solve", False),
@@ -104,7 +112,7 @@ def synth_image(
 @partial(jax.jit, static_argnames=(
     "layout", "n_slabs", "substeps", "diagnostic", "probing_direction",
     "bins", "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane", "p0",
-    "dp_static", "sort_rays"))
+    "dp_static", "sort_rays", "segmented", "seg_K", "shape_ab"))
 def synth_image_zscan(
     s0: jnp.ndarray,
     planes: jnp.ndarray,
@@ -117,6 +125,9 @@ def synth_image_zscan(
     p0: float,
     dp_static: float,
     sort_rays: bool = True,
+    segmented: bool = False,
+    seg_K: Optional[int] = None,
+    shape_ab: Optional[Tuple[int, int]] = None,
     substeps: int = 1,
     diagnostic: str = "shadowgraphy",
     probing_direction: str = "z",
@@ -139,17 +150,25 @@ def synth_image_zscan(
     u = jnp.stack([s0[a_ax], s0[b_ax], s0[3 + a_ax], s0[3 + b_ax],
                    s0[3 + p_ax], s0[6], s0[7], s0[8]], axis=1)
     if sort_rays:
-        nb = planes.shape[2]
+        nb = shape_ab[1] if segmented else planes.shape[2]
         ta = (u[:, 0] - origin_ab[0]) * inv_ab[0]
         tb = (u[:, 1] - origin_ab[1]) * inv_ab[1]
         cell = (jnp.clip(ta.astype(jnp.int32), 0, None) * nb
                 + jnp.clip(tb.astype(jnp.int32), 0, None))
         u = jnp.take(u, jnp.argsort(cell), axis=0)
     dp = jnp.asarray(dp_static, s0.dtype)
-    uf = trace_zscan(u, planes, origin_ab, inv_ab, dp, layout=layout,
-                     n_slabs=n_slabs, substeps=substeps,
-                     ray_chunk=ray_chunk)
-    p_end = p0 + n_slabs * dp_static
+    if segmented:
+        n_seg = planes.shape[0]
+        uf = trace_zscan_segments(
+            u, planes, origin_ab, inv_ab, dp, shape_ab=shape_ab,
+            layout=layout, K=seg_K, n_seg=n_seg, substeps=substeps,
+            ray_chunk=ray_chunk)
+        p_end = p0 + n_seg * seg_K * dp_static
+    else:
+        uf = trace_zscan(u, planes, origin_ab, inv_ab, dp, layout=layout,
+                         n_slabs=n_slabs, substeps=substeps,
+                         ray_chunk=ray_chunk)
+        p_end = p0 + n_slabs * dp_static
     N = uf.shape[0]
     cols = [None] * 9
     cols[a_ax], cols[b_ax] = uf[:, 0], uf[:, 1]
@@ -190,13 +209,21 @@ def run(
     s0 = jnp.asarray(s0)
     depth = jnp.asarray(probing_depth, s0.dtype)
 
-    if solver == "zscan":
+    if solver in ("zscan", "zscan_seg"):
         zp = make_zscan_pack(pack, layout, domain.probing_direction)
+        seg_K = bench_kwargs.pop("seg_K", 64)
+        spack_planes = None
+        if solver == "zscan_seg":
+            sp = make_segment_pack(zp, K=min(seg_K, zp.planes.shape[0] - 1))
+            spack_planes = sp
         return synth_image_zscan(
-            s0, zp.planes, zp.origin_ab, zp.inv_spacing_ab, depth,
+            s0, zp.planes if spack_planes is None else sp.seg_planes,
+            zp.origin_ab, zp.inv_spacing_ab, depth,
             layout=layout, n_slabs=zp.planes.shape[0] - 1, p0=zp.p0,
             dp_static=zp.dp, substeps=max(int(round(steps_per_cell)), 1),
-            diagnostic=diagnostic,
+            diagnostic=diagnostic, segmented=spack_planes is not None,
+            seg_K=None if spack_planes is None else sp.K,
+            shape_ab=None if spack_planes is None else sp.shape_ab,
             probing_direction=domain.probing_direction, bins=bins,
             ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs)
 

@@ -141,3 +141,13 @@ def test_pipeline_solver_equivalence():
     assert Hz.sum() == Ht.sum()  # same rays land on the detector
     # images agree to within a small fraction of total intensity
     assert np.abs(Hz - Ht).sum() < 0.05 * Hz.sum()
+
+
+def test_pipeline_zscan_seg_equivalence():
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(11), 4096, 2e-3, 0.0, EXT, "circular")
+    Hz = np.asarray(pipeline.run(d, s0, solver="zscan", bins=(54, 40)))
+    Hs = np.asarray(pipeline.run(d, s0, solver="zscan_seg", bins=(54, 40),
+                                 seg_K=8))
+    assert Hs.sum() == Hz.sum()
+    assert np.abs(Hs - Hz).sum() < 0.02 * Hz.sum()
