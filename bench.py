@@ -41,11 +41,20 @@ def main() -> None:
     n_steps = (dim - 1 if solver.startswith("zscan")
                else default_n_steps(domain, ext, spc))
 
+    pack_kwargs = {"pack": pack}
+    if solver == "zscan_seg":
+        from synthpy_tpu.tracer.zscan import (make_segment_pack,
+                                              make_zscan_pack)
+
+        zp = make_zscan_pack(pack, layout_of(domain))
+        pack_kwargs = {"spack": make_segment_pack(zp, K=min(64, dim - 1))}
+
     s0 = init_beam(jax.random.PRNGKey(0), rays, 2e-3, 0.0, ext, "circular")
 
     def run():
-        return pipeline.run(domain, s0, pack=pack, solver=solver,
-                            steps_per_cell=spc, bins=(431, 321))
+        return pipeline.run(domain, s0, solver=solver,
+                            steps_per_cell=spc, bins=(431, 321),
+                            **pack_kwargs)
 
     # compile
     H = run()

@@ -194,14 +194,20 @@ def run(
     steps_per_cell: float = 1.0,
     probing_depth: Optional[float] = None,
     pack: Optional[TracePack] = None,
+    zpack=None,
+    spack=None,
     bins: Tuple[int, int] = (431, 321),
     ray_chunk: Optional[int] = None,
     **bench_kwargs,
 ) -> jnp.ndarray:
-    """Convenience wrapper: pack the domain and run the fused pipeline."""
+    """Convenience wrapper: pack the domain and run the fused pipeline.
+
+    Pass a prebuilt ``zpack`` (make_zscan_pack) or ``spack``
+    (make_segment_pack) to amortise pack construction across calls.
+    """
     from synthpy_tpu.tracer.propagator import default_n_steps
 
-    if pack is None:
+    if pack is None and zpack is None and spack is None:
         pack = build_pack(domain, lwl)
     if probing_depth is None:
         probing_depth = domain.extent
@@ -210,20 +216,30 @@ def run(
     depth = jnp.asarray(probing_depth, s0.dtype)
 
     if solver in ("zscan", "zscan_seg"):
-        zp = make_zscan_pack(pack, layout, domain.probing_direction)
         seg_K = bench_kwargs.pop("seg_K", 64)
-        spack_planes = None
         if solver == "zscan_seg":
-            sp = make_segment_pack(zp, K=min(seg_K, zp.planes.shape[0] - 1))
-            spack_planes = sp
+            if spack is None:
+                zp = zpack or make_zscan_pack(pack, layout,
+                                              domain.probing_direction)
+                spack = make_segment_pack(
+                    zp, K=min(seg_K, zp.planes.shape[0] - 1))
+            n_slabs = spack.seg_planes.shape[0] * spack.K
+            return synth_image_zscan(
+                s0, spack.seg_planes, spack.origin_ab,
+                spack.inv_spacing_ab, depth, layout=layout,
+                n_slabs=n_slabs, p0=spack.p0, dp_static=spack.dp,
+                substeps=max(int(round(steps_per_cell)), 1),
+                diagnostic=diagnostic, segmented=True, seg_K=spack.K,
+                shape_ab=spack.shape_ab,
+                probing_direction=domain.probing_direction, bins=bins,
+                ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs)
+        zp = zpack or make_zscan_pack(pack, layout,
+                                      domain.probing_direction)
         return synth_image_zscan(
-            s0, zp.planes if spack_planes is None else sp.seg_planes,
-            zp.origin_ab, zp.inv_spacing_ab, depth,
+            s0, zp.planes, zp.origin_ab, zp.inv_spacing_ab, depth,
             layout=layout, n_slabs=zp.planes.shape[0] - 1, p0=zp.p0,
             dp_static=zp.dp, substeps=max(int(round(steps_per_cell)), 1),
-            diagnostic=diagnostic, segmented=spack_planes is not None,
-            seg_K=None if spack_planes is None else sp.K,
-            shape_ab=None if spack_planes is None else sp.shape_ab,
+            diagnostic=diagnostic,
             probing_direction=domain.probing_direction, bins=bins,
             ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs)
 
