@@ -43,7 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shadowgraphy | shadowgraphy_single | schlieren_df"
                         " | schlieren_lf | refractometry"
                         " | refractometry_coherent | interferometry | none")
-    p.add_argument("--solver", default="zscan", choices=("zscan", "time"))
+    p.add_argument("--solver", default="zscan_seg",
+               choices=("zscan_seg", "zscan", "time"))
     p.add_argument("--bin-scale", type=int, default=8)
     p.add_argument("--phaseshift", action="store_true")
     p.add_argument("-o", "--output", default=None,
@@ -87,7 +88,13 @@ def main(argv=None) -> dict:
                    args.divergence, ext, args.beam, args.probing)
 
     if args.diagnostic == "none":
-        solver = solve_zscan if args.solver == "zscan" else solve
+        if args.solver == "zscan_seg":
+            from synthpy_tpu.tracer.zscan import solve_zscan_segments
+            solver = solve_zscan_segments
+        elif args.solver == "zscan":
+            solver = solve_zscan
+        else:
+            solver = solve
         res = solver(s0, domain, lwl=args.lwl)
         H = None
         trace_s = res.duration
