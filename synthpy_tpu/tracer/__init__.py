@@ -1,6 +1,13 @@
 """Ray tracing: beam initialisation and the RK4 propagator."""
 
 from synthpy_tpu.tracer.beam import BEAM_TYPES, Beam, init_beam  # noqa: F401
+from synthpy_tpu.tracer.zscan import (  # noqa: F401
+    make_segment_pack,
+    make_zscan_pack,
+    solve_zscan,
+    solve_zscan_segments,
+)
+from synthpy_tpu.tracer.adaptive import solve_adaptive  # noqa: F401
 from synthpy_tpu.tracer.propagator import (  # noqa: F401
     TraceResult,
     back_propagate,
