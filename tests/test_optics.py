@@ -277,3 +277,34 @@ def test_refractometry_fresnel_solve():
                        phase=jnp.asarray(phase))
     H = np.asarray(rr.fresnel_solve(z=5e-3))
     assert H.shape == (64, 64) and np.isfinite(H).all() and H.max() > 0
+
+
+def test_focal_plane_shifts_object_plane():
+    """focal_plane moves the imaged plane: a tilted ray bundle that crosses
+    x=0 at depth fp images to the centre only when focal_plane = fp."""
+    N = 1
+    rf_m = np.zeros((4, N))
+    rf_m[0] = 1e-3      # 1 mm off-axis at domain exit
+    rf_m[1] = -0.01     # heading back toward the axis
+    # ray crosses x=0 at 100 mm behind the exit plane
+    sh_on = Shadowgraphy(532e-9, jnp.asarray(rf_m), focal_plane=-100)
+    sh_on.two_lens_solve()
+    sh_off = Shadowgraphy(532e-9, jnp.asarray(rf_m), focal_plane=0)
+    sh_off.two_lens_solve()
+    x_on = float(np.asarray(sh_on.rf[0, 0]))
+    x_off = float(np.asarray(sh_off.rf[0, 0]))
+    # with the object plane at the crossing the image sits on the axis
+    assert abs(x_on) < 0.02
+    assert abs(x_off) > 0.5
+
+
+def test_knife_edge_directions():
+    from synthpy_tpu.optics.rtm import knife_edge
+
+    r = jnp.array([[0.0, 1.0, -1.0], [0.0] * 3, [0.5, -0.5, 0.2],
+                   [0.0] * 3])
+    out = np.asarray(knife_edge(r, 0.0, axis="x", direction=-1))
+    assert np.isnan(out[:, 2]).all()          # x < 0 killed
+    assert np.isfinite(out[:, 1]).all()
+    out = np.asarray(knife_edge(r, 0.0, axis="y", direction=1))
+    assert np.isnan(out[:, 0]).all() and np.isnan(out[:, 2]).all()

@@ -183,3 +183,19 @@ def test_zscan_segments_all_switches():
         a, b = np.asarray(r_seg.sf[row]), np.asarray(r_ref.sf[row])
         np.testing.assert_allclose(a, b, rtol=tol,
                                    atol=np.abs(b).max() * tol + 1e-12)
+
+
+def test_zscan_segments_bf16():
+    from synthpy_tpu.fields import build_pack, layout_of
+    from synthpy_tpu.tracer.zscan import (make_segment_pack, make_zscan_pack,
+                                          solve_zscan_segments)
+
+    d = ScalarDomain(2 * EXT, 25).test_lens(ne_0=5e24, LR=1.5e-3)
+    pack = build_pack(d)
+    zp16 = make_zscan_pack(pack, layout_of(d), "z", dtype=jnp.bfloat16)
+    sp16 = make_segment_pack(zp16, K=8)
+    s0 = init_beam(jax.random.PRNGKey(15), 64, 1.5e-3, 0.0, EXT, "circular")
+    r32 = solve_zscan(s0, d, pack=pack)
+    r16 = solve_zscan_segments(s0, d, spack=sp16)
+    th32 = np.asarray(r32.rf[1]); th16 = np.asarray(r16.rf[1])
+    np.testing.assert_allclose(th16, th32, atol=np.abs(th32).max() * 2e-2)
