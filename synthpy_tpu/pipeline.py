@@ -224,6 +224,10 @@ def run(
                 spack = make_segment_pack(
                     zp, K=min(seg_K, zp.planes.shape[0] - 1))
             n_slabs = spack.seg_planes.shape[0] * spack.K
+            if ray_chunk is None:
+                from synthpy_tpu.tracer.zscan import _auto_ray_chunk
+
+                ray_chunk = _auto_ray_chunk(spack)
             return synth_image_zscan(
                 s0, spack.seg_planes, spack.origin_ab,
                 spack.inv_spacing_ab, depth, layout=layout,

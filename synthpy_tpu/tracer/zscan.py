@@ -489,6 +489,15 @@ def trace_zscan_segments(
     return out.reshape(n_chunks * ray_chunk, 8)[:N]
 
 
+def _auto_ray_chunk(spack: "SegmentPack",
+                    budget_bytes: int = 2 << 30) -> Optional[int]:
+    """Ray-chunk size bounding the hoisted corner buffers to ~2 GB."""
+    C = spack.seg_planes.shape[-1] // (spack.K + 1)
+    per_ray = 4 * (spack.K + 1) * C * 4
+    chunk = budget_bytes // per_ray
+    return None if chunk > 64_000_000 else max(int(chunk), 65536)
+
+
 def solve_zscan_segments(
     s0: jnp.ndarray,
     domain: ScalarDomain,
@@ -514,6 +523,8 @@ def solve_zscan_segments(
         spack = make_segment_pack(zp, K=K)
     K = spack.K
     n_seg = spack.seg_planes.shape[0]
+    if ray_chunk is None:
+        ray_chunk = _auto_ray_chunk(spack)
 
     p_ax = _AXIS_OF[domain.probing_direction]
     a_ax, b_ax = [a for a in range(3) if a != p_ax]
