@@ -124,7 +124,7 @@ def synth_image_zscan(
     n_slabs: int,
     p0: float,
     dp_static: float,
-    sort_rays: bool = True,
+    sort_rays: bool = False,
     segmented: bool = False,
     seg_K: Optional[int] = None,
     shape_ab: Optional[Tuple[int, int]] = None,
@@ -142,8 +142,9 @@ def synth_image_zscan(
 ) -> jnp.ndarray:
     """z-scan pipeline on a (9, Np) initial state. Returns (ny, nx) image.
 
-    ``sort_rays`` (default on) reorders rays by entry cell for gather
-    locality; detector histograms are permutation-invariant.
+    ``sort_rays`` reorders rays by entry cell (histograms are permutation-
+    invariant); measured neutral-to-negative once corner gathers are
+    hoisted, so off by default.
     """
     p_ax = _AXIS_OF[probing_direction]
     a_ax, b_ax = [a for a in range(3) if a != p_ax]
