@@ -31,7 +31,7 @@ def main() -> None:
     backend = jax.default_backend()
     dim = int(os.environ.get("BENCH_DIM", 512 if backend == "tpu" else 64))
     rays = int(os.environ.get(
-        "BENCH_RAYS", 2_000_000 if backend == "tpu" else 20_000))
+        "BENCH_RAYS", 4_000_000 if backend == "tpu" else 20_000))
     spc = float(os.environ.get("BENCH_STEPS_PER_CELL", 1.0))
     solver = os.environ.get("BENCH_SOLVER", "zscan_seg")
 
