@@ -19,7 +19,7 @@ try:
     d.ne = d.ne.astype(jnp.bfloat16)  # field itself in bf16 to fit
     log(stage="field", s=round(time.perf_counter()-t0,1))
     t0 = time.perf_counter()
-    pack = build_pack(d)
+    pack = build_pack(d, dtype=jnp.bfloat16)
     log(stage="pack", s=round(time.perf_counter()-t0,1))
     t0 = time.perf_counter()
     zp = make_zscan_pack(pack, layout_of(d), dtype=jnp.bfloat16)

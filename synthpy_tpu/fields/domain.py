@@ -334,12 +334,14 @@ class TracePack(NamedTuple):
 
 
 def build_pack(domain: ScalarDomain,
-               lwl: float = constants.DEFAULT_LWL) -> TracePack:
+               lwl: float = constants.DEFAULT_LWL,
+               dtype=None) -> TracePack:
     """Precompute the packed RHS channel grid for a domain.
 
     Gradients use second-order central differences (one-sided at the
     boundary), matching numpy.gradient as used by the legacy precompute
-    (full_solver.py:228-230).
+    (full_solver.py:228-230). ``dtype`` overrides the stored channel dtype
+    (e.g. bfloat16 halves the pack for 1024^3-class grids).
     """
     if domain.ne is None:
         raise RuntimeError("domain has no electron density")
@@ -368,7 +370,7 @@ def build_pack(domain: ScalarDomain,
             chans.append(verdet * domain.ne * domain.B[..., i])
 
     channels = jnp.stack(
-        [c.astype(domain.dtype) for c in chans], axis=-1)
+        [c.astype(dtype or domain.dtype) for c in chans], axis=-1)
     origin, inv_spacing = grid_geometry((domain.x, domain.y, domain.z))
     return TracePack(channels, origin.astype(domain.dtype),
                      inv_spacing.astype(domain.dtype), omega)
