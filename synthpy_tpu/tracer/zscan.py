@@ -554,3 +554,94 @@ def solve_zscan_segments(
                                 probing_direction=domain.probing_direction,
                                 return_E=return_E)
     return TraceResult(rf, Jf, sf, duration)
+
+
+def build_segment_pack_streaming(
+    domain: ScalarDomain,
+    lwl: float = 1064e-9,
+    K: int = 64,
+    dtype=jnp.bfloat16,
+) -> SegmentPack:
+    """Build a SegmentPack directly from the domain, segment by segment.
+
+    The monolithic route (build_pack -> make_zscan_pack -> make_segment_pack)
+    materialises the full f32 gradient grids plus two permuted copies —
+    ~4x the pack size in peak HBM, which rules out 1024^3 on one chip. This
+    builder computes each segment's channel planes from a (K+3)-plane slab
+    of n_e and writes them straight into the segment layout (default
+    bfloat16), so peak memory is ne + the final pack + one slab.
+
+    Restrictions: gradient channels only (+phase if enabled); inv_brems/B
+    paths go through the monolithic builder.
+    """
+    from synthpy_tpu import constants as _c
+
+    layout = layout_of(domain)
+    if layout.inv_brems or layout.B_on:
+        raise NotImplementedError(
+            "streaming builder supports gradient+phase channels; "
+            "use build_pack for inv_brems/B domains")
+    p_ax = _AXIS_OF[domain.probing_direction]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+    coords = (domain.x, domain.y, domain.z)
+    ca, cb, cp = coords[a_ax], coords[b_ax], coords[p_ax]
+    na, nb, n_p = ca.shape[0], cb.shape[0], cp.shape[0]
+    da = float(ca[1] - ca[0])
+    db = float(cb[1] - cb[0])
+    dp = float(cp[1] - cp[0])
+
+    omega = float(_c.omega_from_lwl(lwl))
+    nc = float(_c.critical_density(omega))
+    pref = -0.5 * _c.C**2 / nc
+
+    ne_pmaj = jnp.moveaxis(domain.ne, p_ax, 0)  # (n_p, na, nb)
+    n_slabs = n_p - 1
+    n_seg = -(-n_slabs // K)
+    C = layout.n_channels
+
+    @partial(jax.jit, static_argnames=("count", "first", "last"))
+    def seg_channels(slab, count: int, first: bool, last: bool):
+        """Channels for ``count`` planes given a slab with 1-plane margins
+        on each interior side. slab: (count + margins, na, nb)."""
+        lo = 0 if first else 1
+        body = slab[lo:lo + count]
+        # transverse gradients (central differences within each plane)
+        Ga = pref * jnp.gradient(body, da, axis=1)
+        Gb = pref * jnp.gradient(body, db, axis=2)
+        # probe-axis gradient with the margins
+        up = slab[lo + 1:lo + count + 1] if not last else jnp.concatenate(
+            [slab[lo + 1:], slab[-1:]], axis=0)
+        down = slab[lo - 1:lo + count - 1] if not first else jnp.concatenate(
+            [slab[:1], slab[:count - 1]], axis=0)
+        Gp = pref * (up - down) / (2.0 * dp)
+        if first:
+            Gp = Gp.at[0].set(pref * (slab[lo + 1] - slab[lo]) / dp)
+        if last:
+            Gp = Gp.at[-1].set(pref * (slab[-1] - slab[-2]) / dp)
+        chans = [Ga, Gb, Gp]
+        if layout.phaseshift:
+            chans.append(omega * (_c.n_refrac(body, omega) - 1.0))
+        out = jnp.stack([c.astype(dtype) for c in chans], axis=-1)
+        return jnp.transpose(out, (1, 2, 0, 3))  # (na, nb, count, C)
+
+    out = jnp.zeros((n_seg, na * nb, (K + 1) * C), dtype)
+    zero_plane = jnp.zeros((na, nb, 1, C), dtype)
+    for s in range(n_seg):
+        p_lo = s * K
+        p_hi = min(p_lo + K + 1, n_p)  # planes in this segment (real)
+        count = p_hi - p_lo
+        first = p_lo == 0
+        last = p_hi == n_p
+        slab = jax.lax.dynamic_slice_in_dim(
+            ne_pmaj, p_lo - (0 if first else 1),
+            count + (0 if first else 1) + (0 if last else 1), axis=0)
+        ch = seg_channels(slab, count, first, last)  # (na, nb, count, C)
+        if count < K + 1:  # zero-pad past the grid end
+            ch = jnp.concatenate(
+                [ch] + [zero_plane] * (K + 1 - count), axis=2)
+        out = out.at[s].set(ch.reshape(na * nb, (K + 1) * C))
+
+    origin_ab = jnp.stack([ca[0], cb[0]])
+    inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])
+    return SegmentPack(out, origin_ab, inv_ab, (na, nb), K, n_slabs,
+                       float(cp[0]), dp, omega)

@@ -199,3 +199,23 @@ def test_zscan_segments_bf16():
     r16 = solve_zscan_segments(s0, d, spack=sp16)
     th32 = np.asarray(r32.rf[1]); th16 = np.asarray(r16.rf[1])
     np.testing.assert_allclose(th16, th32, atol=np.abs(th32).max() * 2e-2)
+
+
+def test_streaming_segment_pack_matches_monolithic():
+    from synthpy_tpu.fields import build_pack, layout_of
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_streaming,
+                                          make_segment_pack, make_zscan_pack)
+
+    d = ScalarDomain(2 * EXT, 25).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    mono = make_segment_pack(
+        make_zscan_pack(build_pack(d), layout_of(d)), K=8)
+    stream = build_segment_pack_streaming(d, K=8, dtype=jnp.float32)
+    assert stream.seg_planes.shape == mono.seg_planes.shape
+    a = np.asarray(stream.seg_planes)
+    b = np.asarray(mono.seg_planes)
+    scale = np.abs(b).max()
+    np.testing.assert_allclose(a, b, atol=scale * 1e-6)
+    assert stream.K == mono.K and stream.n_slabs == mono.n_slabs
+    np.testing.assert_allclose(np.asarray(stream.origin_ab),
+                               np.asarray(mono.origin_ab))
