@@ -16,17 +16,11 @@ try:
     dim = 1024
     t0 = time.perf_counter()
     d = ScalarDomain(2*ext, dim).test_lens(ne_0=5e24, LR=1.5e-3)
-    d.ne = d.ne.astype(jnp.bfloat16)  # field itself in bf16 to fit
     log(stage="field", s=round(time.perf_counter()-t0,1))
+    from synthpy_tpu.tracer.zscan import build_segment_pack_streaming
     t0 = time.perf_counter()
-    pack = build_pack(d, dtype=jnp.bfloat16)
-    log(stage="pack", s=round(time.perf_counter()-t0,1))
-    t0 = time.perf_counter()
-    zp = make_zscan_pack(pack, layout_of(d), dtype=jnp.bfloat16)
-    del pack; d.clear_memory()
-    sp = make_segment_pack(zp, K=93)  # 1023 = 3*11*31; 93 | 1023
-    del zp
-    log(stage="segpack", s=round(time.perf_counter()-t0,1))
+    sp = build_segment_pack_streaming(d, K=93, dtype=jnp.bfloat16)
+    log(stage="segpack_streaming", s=round(time.perf_counter()-t0,1))
     rays = 1_000_000
     s0 = init_beam(jax.random.PRNGKey(0), rays, 2e-3, 0.0, ext, 'circular')
     r0 = solve_zscan_segments(s0, d, spack=sp)
