@@ -594,7 +594,6 @@ def build_segment_pack_streaming(
     nc = float(_c.critical_density(omega))
     pref = -0.5 * _c.C**2 / nc
 
-    ne_pmaj = jnp.moveaxis(domain.ne, p_ax, 0)  # (n_p, na, nb)
     n_slabs = n_p - 1
     n_seg = -(-n_slabs // K)
     C = layout.n_channels
@@ -624,22 +623,29 @@ def build_segment_pack_streaming(
         out = jnp.stack([c.astype(dtype) for c in chans], axis=-1)
         return jnp.transpose(out, (1, 2, 0, 3))  # (na, nb, count, C)
 
-    out = jnp.zeros((n_seg, na * nb, (K + 1) * C), dtype)
-    zero_plane = jnp.zeros((na, nb, 1, C), dtype)
+    # assemble on the host: device holds only ne + one slab + one segment
+    # at a time (a device-side .at[s].set would copy the whole multi-GB
+    # output every iteration)
+    import numpy as _np
+
+    out_host = _np.zeros((n_seg, na * nb, (K + 1) * C),
+                         jnp.zeros((), dtype).dtype)
     for s in range(n_seg):
         p_lo = s * K
         p_hi = min(p_lo + K + 1, n_p)  # planes in this segment (real)
         count = p_hi - p_lo
         first = p_lo == 0
         last = p_hi == n_p
-        slab = jax.lax.dynamic_slice_in_dim(
-            ne_pmaj, p_lo - (0 if first else 1),
-            count + (0 if first else 1) + (0 if last else 1), axis=0)
+        start = p_lo - (0 if first else 1)
+        length = count + (0 if first else 1) + (0 if last else 1)
+        slab = jax.lax.dynamic_slice_in_dim(domain.ne, start, length,
+                                            axis=p_ax)
+        slab = jnp.moveaxis(slab, p_ax, 0)  # (length, na, nb)
         ch = seg_channels(slab, count, first, last)  # (na, nb, count, C)
-        if count < K + 1:  # zero-pad past the grid end
-            ch = jnp.concatenate(
-                [ch] + [zero_plane] * (K + 1 - count), axis=2)
-        out = out.at[s].set(ch.reshape(na * nb, (K + 1) * C))
+        ch = _np.asarray(ch.reshape(na * nb, count * C))
+        out_host[s, :, :count * C] = ch
+    out = jnp.asarray(out_host)
+    del out_host
 
     origin_ab = jnp.stack([ca[0], cb[0]])
     inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])
