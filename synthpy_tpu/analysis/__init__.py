@@ -1,3 +1,8 @@
 """Post-processing and image analysis."""
 
 from synthpy_tpu.analysis.imaging import Image  # noqa: F401
+from synthpy_tpu.analysis.fringes import (  # noqa: F401
+    carrier_frequency,
+    extract_phase,
+    phase_difference,
+)

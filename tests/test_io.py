@@ -164,3 +164,32 @@ def test_image_analysis():
     norm = img.normalised()
     assert norm.data.max() == pytest.approx(1.0)
     assert img.rotate90().data.shape == (96, 64)
+
+
+def test_fringe_phase_extraction():
+    """Synthesize fringes with a known phase bump; recover it."""
+    from synthpy_tpu.analysis.fringes import (
+        carrier_frequency,
+        extract_phase,
+        phase_difference,
+    )
+
+    ny, nx = 128, 160
+    y, x = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    phi = 1.2 * np.exp(-((x - 80) ** 2 + (y - 64) ** 2) / 400.0)
+    kx = 2 * np.pi * 12 / nx  # 12 fringes across
+    shot = 10 + 5 * np.cos(kx * x + phi)
+    bkg = 10 + 5 * np.cos(kx * x)
+
+    fi, fj = carrier_frequency(bkg)
+    assert (fi, fj) == (0, 12)
+
+    dphi = phase_difference(shot, bkg)
+    # recovered bump matches (away from edges; filter smooths slightly)
+    inner = np.s_[40:90, 55:105]
+    assert np.abs(dphi[inner] - phi[inner]).max() < 0.25
+    assert abs(dphi[64, 80] - 1.2) < 0.1
+
+    # direct extraction carries the linear carrier out
+    p = extract_phase(shot, (fi, fj))
+    assert np.isfinite(p).all()
