@@ -561,19 +561,25 @@ def build_segment_pack_streaming(
     lwl: float = 1064e-9,
     K: int = 64,
     dtype=jnp.bfloat16,
+    plane_batch: int = 16,
 ) -> SegmentPack:
-    """Build a SegmentPack directly from the domain, segment by segment.
+    """Build a SegmentPack directly from the domain, plane batch by batch.
 
     The monolithic route (build_pack -> make_zscan_pack -> make_segment_pack)
     materialises the full f32 gradient grids plus two permuted copies —
     ~4x the pack size in peak HBM, which rules out 1024^3 on one chip. This
-    builder computes each segment's channel planes from a (K+3)-plane slab
-    of n_e and writes them straight into the segment layout (default
-    bfloat16), so peak memory is ne + the final pack + one slab.
+    builder computes channel planes in fixed-size batches (one small
+    compiled program regardless of grid size), assembles the segment table
+    on the host, and uploads it once; device peak memory is
+    ne + one plane batch.
 
     Restrictions: gradient channels only (+phase if enabled); inv_brems/B
-    paths go through the monolithic builder.
+    domains go through the monolithic builder.
     """
+    from functools import partial as _partial
+
+    import numpy as _np
+
     from synthpy_tpu import constants as _c
 
     layout = layout_of(domain)
@@ -593,59 +599,64 @@ def build_segment_pack_streaming(
     omega = float(_c.omega_from_lwl(lwl))
     nc = float(_c.critical_density(omega))
     pref = -0.5 * _c.C**2 / nc
-
-    n_slabs = n_p - 1
-    n_seg = -(-n_slabs // K)
     C = layout.n_channels
+    PB = min(plane_batch, n_p)
 
-    @partial(jax.jit, static_argnames=("count", "first", "last"))
-    def seg_channels(slab, count: int, first: bool, last: bool):
-        """Channels for ``count`` planes given a slab with 1-plane margins
-        on each interior side. slab: (count + margins, na, nb)."""
-        lo = 0 if first else 1
-        body = slab[lo:lo + count]
-        # transverse gradients (central differences within each plane)
-        Ga = pref * jnp.gradient(body, da, axis=1)
-        Gb = pref * jnp.gradient(body, db, axis=2)
-        # probe-axis gradient with the margins
-        up = slab[lo + 1:lo + count + 1] if not last else jnp.concatenate(
-            [slab[lo + 1:], slab[-1:]], axis=0)
-        down = slab[lo - 1:lo + count - 1] if not first else jnp.concatenate(
-            [slab[:1], slab[:count - 1]], axis=0)
-        Gp = pref * (up - down) / (2.0 * dp)
-        if first:
-            Gp = Gp.at[0].set(pref * (slab[lo + 1] - slab[lo]) / dp)
-        if last:
-            Gp = Gp.at[-1].set(pref * (slab[-1] - slab[-2]) / dp)
+    @jax.jit
+    def batch_channels(slab, prev_plane, next_plane):
+        """Channels for PB planes. slab: (PB, na, nb); prev/next are the
+        stencil margins for the probe-axis derivative (duplicated at the
+        global boundary, where a one-sided difference is applied)."""
+        ext = jnp.concatenate([prev_plane[None], slab, next_plane[None]], 0)
+        Ga = pref * jnp.gradient(slab, da, axis=1)
+        Gb = pref * jnp.gradient(slab, db, axis=2)
+        Gp = pref * (ext[2:] - ext[:-2]) / (2.0 * dp)
         chans = [Ga, Gb, Gp]
         if layout.phaseshift:
-            chans.append(omega * (_c.n_refrac(body, omega) - 1.0))
+            chans.append(omega * (_c.n_refrac(slab, omega) - 1.0))
         out = jnp.stack([c.astype(dtype) for c in chans], axis=-1)
-        return jnp.transpose(out, (1, 2, 0, 3))  # (na, nb, count, C)
+        return jnp.transpose(out, (1, 2, 0, 3))  # (na, nb, PB, C)
 
-    # assemble on the host: device holds only ne + one slab + one segment
-    # at a time (a device-side .at[s].set would copy the whole multi-GB
-    # output every iteration)
-    import numpy as _np
+    def plane(i):
+        """(na, nb) slice of ne at probe index i (clipped)."""
+        i = min(max(i, 0), n_p - 1)
+        sl = jax.lax.dynamic_slice_in_dim(domain.ne, i, 1, axis=p_ax)
+        return jnp.moveaxis(sl, p_ax, 0)[0]
 
-    out_host = _np.zeros((n_seg, na * nb, (K + 1) * C),
-                         jnp.zeros((), dtype).dtype)
-    for s in range(n_seg):
-        p_lo = s * K
-        p_hi = min(p_lo + K + 1, n_p)  # planes in this segment (real)
+    np_dtype = _np.asarray(jnp.zeros((), dtype)).dtype
+    planes_host = _np.zeros((n_p, na, nb, C), np_dtype)
+    for lo in range(0, n_p, PB):
+        hi = min(lo + PB, n_p)
+        idxs = list(range(lo, hi))
+        if len(idxs) < PB:  # pad the final batch to the compiled shape
+            idxs = idxs + [n_p - 1] * (PB - len(idxs))
+        slab = jnp.stack([plane(i) for i in idxs])
+        ch = batch_channels(slab, plane(idxs[0] - 1), plane(idxs[-1] + 1))
+        ch = _np.asarray(jnp.moveaxis(ch, 2, 0))  # (PB, na, nb, C)
+        planes_host[lo:hi] = ch[: hi - lo]
+
+    # one-sided probe-axis differences at the global boundary
+    if n_p >= 2:
+        first_edge = (_np.asarray(plane(1), _np.float32)
+                      - _np.asarray(plane(0), _np.float32))
+        planes_host[0, :, :, 2] = (pref * first_edge / dp).astype(np_dtype)
+        last_edge = (_np.asarray(plane(n_p - 1), _np.float32)
+                     - _np.asarray(plane(n_p - 2), _np.float32))
+        planes_host[-1, :, :, 2] = (pref * last_edge / dp).astype(np_dtype)
+
+    # host-side segment assembly
+    n_slabs = n_p - 1
+    n_seg = -(-n_slabs // K)
+    seg_host = _np.zeros((n_seg, na * nb, (K + 1) * C), np_dtype)
+    for s_i in range(n_seg):
+        p_lo = s_i * K
+        p_hi = min(p_lo + K + 1, n_p)
         count = p_hi - p_lo
-        first = p_lo == 0
-        last = p_hi == n_p
-        start = p_lo - (0 if first else 1)
-        length = count + (0 if first else 1) + (0 if last else 1)
-        slab = jax.lax.dynamic_slice_in_dim(domain.ne, start, length,
-                                            axis=p_ax)
-        slab = jnp.moveaxis(slab, p_ax, 0)  # (length, na, nb)
-        ch = seg_channels(slab, count, first, last)  # (na, nb, count, C)
-        ch = _np.asarray(ch.reshape(na * nb, count * C))
-        out_host[s, :, :count * C] = ch
-    out = jnp.asarray(out_host)
-    del out_host
+        block = _np.moveaxis(planes_host[p_lo:p_hi], 0, 2)  # (na,nb,cnt,C)
+        seg_host[s_i, :, : count * C] = block.reshape(na * nb, count * C)
+    del planes_host
+    out = jnp.asarray(seg_host)
+    del seg_host
 
     origin_ab = jnp.stack([ca[0], cb[0]])
     inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])
