@@ -219,3 +219,17 @@ def test_streaming_segment_pack_matches_monolithic():
     assert stream.K == mono.K and stream.n_slabs == mono.n_slabs
     np.testing.assert_allclose(np.asarray(stream.origin_ab),
                                np.asarray(mono.origin_ab))
+
+
+@pytest.mark.parametrize("direction", ["x", "y"])
+def test_zscan_segments_probing_directions(direction):
+    from synthpy_tpu.tracer.zscan import solve_zscan_segments
+
+    d = ScalarDomain(2 * EXT, 25, probing_direction=direction)
+    d.test_slab(s=1.0, ne_0=2e23)
+    s0 = init_beam(jax.random.PRNGKey(16), 32, 1e-3, 0.0, EXT, "circular",
+                   direction)
+    r_seg = solve_zscan_segments(s0, d, K=8)
+    r_ref = solve_zscan(s0, d)
+    np.testing.assert_allclose(np.asarray(r_seg.rf), np.asarray(r_ref.rf),
+                               rtol=1e-4, atol=1e-10)
