@@ -19,13 +19,13 @@ try:
     log(stage="field", s=round(time.perf_counter()-t0,1))
     from synthpy_tpu.tracer.zscan import build_segment_pack_streaming
     t0 = time.perf_counter()
-    sp = build_segment_pack_streaming(d, K=93, dtype=jnp.bfloat16)
+    sp = build_segment_pack_streaming(d, K=31, dtype=jnp.bfloat16)
     log(stage="segpack_streaming", s=round(time.perf_counter()-t0,1))
     rays = 1_000_000
     s0 = init_beam(jax.random.PRNGKey(0), rays, 2e-3, 0.0, ext, 'circular')
-    r0 = solve_zscan_segments(s0, d, spack=sp)
+    r0 = solve_zscan_segments(s0, d, spack=sp, ray_chunk=131072)
     s1 = init_beam(jax.random.PRNGKey(1), rays, 2e-3, 0.0, ext, 'circular')
-    r1 = solve_zscan_segments(s1, d, spack=sp)
+    r1 = solve_zscan_segments(s1, d, spack=sp, ray_chunk=131072)
     log(stage="trace", first_s=round(r0.duration,2), run_s=round(r1.duration,3),
         rays_per_s=round(rays/r1.duration),
         theta_max=float(jnp.nanmax(jnp.abs(r1.rf[1]))))
