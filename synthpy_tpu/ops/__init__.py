@@ -10,3 +10,5 @@ from synthpy_tpu.ops.histogram import (  # noqa: F401
     deposit_cic,
     histogram2d,
 )
+from synthpy_tpu.ops import fresnel, multislice  # noqa: F401
+from synthpy_tpu.ops.interp import trilinear_nonuniform  # noqa: F401
