@@ -190,3 +190,14 @@ def test_radial_spectrum_1d_2d():
     slope2 = fit_spectral_slope(k2, E2, c2, 2 * np.pi / 2.0 * 1.5,
                                 2 * np.pi / 0.2 * 0.6)
     assert slope2 == pytest.approx(-p, abs=0.7)
+
+
+def test_build_pack_bf16():
+    d = ScalarDomain(10e-3, 17).test_lens(ne_0=1e24, LR=2e-3)
+    p32 = build_pack(d)
+    p16 = build_pack(d, dtype=jnp.bfloat16)
+    assert p16.channels.dtype == jnp.bfloat16
+    a = np.asarray(p16.channels, np.float32)
+    b = np.asarray(p32.channels)
+    scale = np.abs(b).max()
+    np.testing.assert_allclose(a, b, atol=scale * 8e-3)
