@@ -21,6 +21,8 @@ try:
     t0 = time.perf_counter()
     sp = build_segment_pack_streaming(d, K=31, dtype=jnp.bfloat16)
     log(stage="segpack_streaming", s=round(time.perf_counter()-t0,1))
+    d.ne = None  # the trace only needs the segment pack
+    import gc; gc.collect()
     rays = 1_000_000
     s0 = init_beam(jax.random.PRNGKey(0), rays, 2e-3, 0.0, ext, 'circular')
     r0 = solve_zscan_segments(s0, d, spack=sp, ray_chunk=131072)
