@@ -151,3 +151,30 @@ def test_pipeline_zscan_seg_equivalence():
                                  seg_K=8))
     assert Hs.sum() == Hz.sum()
     assert np.abs(Hs - Hz).sum() < 0.02 * Hz.sum()
+
+
+def test_ray_sharded_segment_trace_matches():
+    from synthpy_tpu.tracer.zscan import (make_segment_pack, make_zscan_pack,
+                                          trace_zscan_segments)
+    from synthpy_tpu.fields import layout_of as _layout_of
+
+    d = ScalarDomain(2 * EXT, 25).test_lens(ne_0=5e24, LR=1.5e-3)
+    pack = build_pack(d)
+    lay = _layout_of(d)
+    sp = make_segment_pack(make_zscan_pack(pack, lay), K=8)
+    s0 = init_beam(jax.random.PRNGKey(12), 256, 1.5e-3, 0.0, EXT, "circular")
+    s = jnp.asarray(s0)
+    u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]], axis=1)
+    dp = jnp.float32(sp.dp)
+
+    kwargs = dict(shape_ab=sp.shape_ab, layout=lay, K=sp.K,
+                  n_seg=sp.seg_planes.shape[0])
+    ref = np.asarray(trace_zscan_segments(
+        u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp, **kwargs))
+
+    mesh = ray_mesh()
+    u_sh = shard_rays(u, mesh)
+    out = np.asarray(trace_zscan_segments(
+        u_sh, replicate(sp.seg_planes, mesh), replicate(sp.origin_ab, mesh),
+        replicate(sp.inv_spacing_ab, mesh), dp, **kwargs))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-9)
