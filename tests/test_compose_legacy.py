@@ -78,3 +78,31 @@ def test_legacy_solve_at_depth_partial():
     rf = d.solve_at_depth(s0, depth=EXT, n_steps=16)
     np.testing.assert_allclose(np.asarray(rf[0]), np.asarray(s0[0]),
                                atol=1e-9)
+
+
+def test_composed_refractometer_matches_elementwise():
+    from synthpy_tpu.optics import Refractometry
+
+    rng = np.random.default_rng(2)
+    rf_m = np.zeros((4, 400))
+    rf_m[0] = rng.uniform(-2e-3, 2e-3, 400)
+    rf_m[1] = rng.uniform(-2e-3, 2e-3, 400)
+    rf_m[2] = rng.uniform(-2e-3, 2e-3, 400)
+    rr = Refractometry(1064e-9, jnp.asarray(rf_m))
+    ref = np.asarray(rr.incoherent_solve())
+    out = np.asarray(compose.apply_stages(rr.r0, compose.refractometer()))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6,
+                               equal_nan=True)
+
+
+def test_composed_single_lens_matches():
+    rng = np.random.default_rng(3)
+    rf_m = np.zeros((4, 200))
+    rf_m[0] = rng.uniform(-2e-3, 2e-3, 200)
+    rf_m[2] = rng.uniform(-2e-3, 2e-3, 200)
+    sh = Shadowgraphy(532e-9, jnp.asarray(rf_m))
+    ref = np.asarray(sh.single_lens_solve())
+    out = np.asarray(compose.apply_stages(
+        sh.r0, compose.shadowgraphy_single_lens()))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6,
+                               equal_nan=True)
