@@ -233,3 +233,20 @@ def test_zscan_segments_probing_directions(direction):
     r_ref = solve_zscan(s0, d)
     np.testing.assert_allclose(np.asarray(r_seg.rf), np.asarray(r_ref.rf),
                                rtol=1e-4, atol=1e-10)
+
+
+def test_device_segment_pack_matches_monolithic():
+    from synthpy_tpu.fields import build_pack, layout_of
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_device,
+                                          make_segment_pack, make_zscan_pack)
+
+    d = ScalarDomain(2 * EXT, 25).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    mono = make_segment_pack(
+        make_zscan_pack(build_pack(d), layout_of(d)), K=8)
+    dev = build_segment_pack_device(d, K=8, dtype=jnp.float32)
+    assert dev.seg_planes.shape == mono.seg_planes.shape
+    a = np.asarray(dev.seg_planes)
+    b = np.asarray(mono.seg_planes)
+    scale = np.abs(b).max()
+    np.testing.assert_allclose(a, b, atol=scale * 1e-6)
