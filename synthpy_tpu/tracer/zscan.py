@@ -669,17 +669,19 @@ def build_segment_pack_device(
     lwl: float = 1064e-9,
     K: int = 64,
     dtype=jnp.bfloat16,
+    free_ne: bool = False,
 ) -> SegmentPack:
     """On-device SegmentPack construction via lax.map over segments.
 
     lax.map's stacked output is written incrementally (no whole-buffer
-    copies), so peak memory is ne + the final pack + one slab — like the
-    streaming host builder but with no host round-trips: at 1024^3 this is
-    seconds instead of the host path's minutes on tunnel-attached chips.
-    Boundary planes are handled with clipped plane-gathers (the duplicated
-    margin makes the central difference produce half the one-sided
-    derivative, corrected by a factor-2 mask) and planes past the grid end
-    are zeroed (exact: zero field outside).
+    copies), so at 1024^3 this takes seconds instead of the host-streaming
+    builder's minutes on tunnel-attached chips. The density volume is
+    re-laid probe-axis-major and padded once (front margin duplicated, back
+    padded with zero planes — exact, zero field outside); the input ne
+    buffer is donated so peak memory is one padded volume + the pack + one
+    slab. With ``free_ne=True`` the domain's ne reference is dropped first
+    (recommended for 1024^3-class grids; the array is consumed by
+    donation either way).
 
     Same restrictions as the streaming builder: gradient (+phase) channels.
     """
@@ -705,40 +707,52 @@ def build_segment_pack_device(
     C = layout.n_channels
     n_slabs = n_p - 1
     n_seg = -(-n_slabs // K)
-    ne = domain.ne
+    # padded probe-major plane count: front margin + segment planes + one
+    # trailing margin
+    n_pad = n_seg * K + 3
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def build(ne):
+        pm = jnp.moveaxis(ne, p_ax, 0)  # (n_p, na, nb)
+        padded = jnp.concatenate(
+            [pm[:1], pm,
+             jnp.zeros((n_pad - n_p - 1, na, nb), pm.dtype)], axis=0)
+
         def seg_fn(s):
             p_lo = s * K
-            # K+3 planes: one margin each side of the K+1 segment planes,
-            # clipped to the grid (gather of whole planes)
-            rel = jnp.arange(K + 3) - 1
-            pidx = jnp.clip(p_lo + rel, 0, n_p - 1)
-            slab = jnp.take(ne, pidx, axis=p_ax, mode="clip")
-            slab = jnp.moveaxis(slab, p_ax, 0)  # (K+3, na, nb)
-
+            slab = jax.lax.dynamic_slice_in_dim(padded, p_lo, K + 3, axis=0)
             body = slab[1:-1]
             Ga = pref * jnp.gradient(body, da, axis=1)
             Gb = pref * jnp.gradient(body, db, axis=2)
             Gp = pref * (slab[2:] - slab[:-2]) / (2.0 * dp)
-            # clipped margins double-count at the global edges: the central
-            # difference there equals half the one-sided one
-            gidx = p_lo + rel[1:-1]
-            edge = (gidx == 0) | (gidx == n_p - 1)
-            Gp = jnp.where(edge[:, None, None], 2.0 * Gp, Gp)
+            gidx = p_lo + jnp.arange(K + 1)
+            # front margin duplicates plane 0 (half one-sided diff); the
+            # last real plane sees a zero pad, where the correct one-sided
+            # derivative is (0 - ne[n_p-2]) ... instead use duplicate-edge
+            # semantics: (ne[n_p-1] - ne[n_p-2]) / dp via factor handling
+            first = gidx == 0
+            Gp = jnp.where(first[:, None, None], 2.0 * Gp, Gp)
+            # last real plane: its central diff saw the zero pad; the
+            # one-sided derivative is 2*central + pref*ne_last/dp
+            last = gidx == n_p - 1
+            Gp = jnp.where(last[:, None, None],
+                           2.0 * Gp + pref * body / dp, Gp)
             chans = [Ga, Gb, Gp]
             if layout.phaseshift:
                 chans.append(omega * (_c.n_refrac(body, omega) - 1.0))
             out = jnp.stack([c.astype(dtype) for c in chans], axis=-1)
-            # zero channels for planes past the grid end (zero field)
             out = jnp.where((gidx <= n_p - 1)[:, None, None, None], out, 0)
             out = jnp.transpose(out, (1, 2, 0, 3))  # (na, nb, K+1, C)
             return out.reshape(na * nb, (K + 1) * C)
 
         return jax.lax.map(seg_fn, jnp.arange(n_seg))
 
+    ne = domain.ne
+    if free_ne:
+        domain.ne = None
     out = build(ne)
+    del ne
+
     origin_ab = jnp.stack([ca[0], cb[0]])
     inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])
     return SegmentPack(out, origin_ab, inv_ab, (na, nb), K, n_slabs,

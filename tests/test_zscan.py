@@ -250,3 +250,19 @@ def test_device_segment_pack_matches_monolithic():
     b = np.asarray(mono.seg_planes)
     scale = np.abs(b).max()
     np.testing.assert_allclose(a, b, atol=scale * 1e-6)
+
+
+def test_device_segment_pack_nondivisible():
+    """n_slabs not divisible by K: the last real plane sits mid-segment."""
+    from synthpy_tpu.fields import build_pack, layout_of
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_device,
+                                          make_segment_pack, make_zscan_pack)
+
+    d = ScalarDomain(2 * EXT, 22).test_lens(ne_0=5e24, LR=1.5e-3)  # 21 slabs
+    mono = make_segment_pack(
+        make_zscan_pack(build_pack(d), layout_of(d)), K=8)
+    dev = build_segment_pack_device(d, K=8, dtype=jnp.float32)
+    a = np.asarray(dev.seg_planes)
+    b = np.asarray(mono.seg_planes)
+    scale = np.abs(b).max()
+    np.testing.assert_allclose(a, b, atol=scale * 1e-6)
