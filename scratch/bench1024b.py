@@ -18,10 +18,9 @@ try:
     d = ScalarDomain(2*ext, dim).test_lens(ne_0=5e24, LR=1.5e-3)
     log(stage="field", s=round(time.perf_counter()-t0,1))
     t0 = time.perf_counter()
-    sp = build_segment_pack_device(d, K=31, dtype=jnp.bfloat16)
+    sp = build_segment_pack_device(d, K=31, dtype=jnp.bfloat16, free_ne=True)
     sp.seg_planes.block_until_ready()
     log(stage="segpack_device", s=round(time.perf_counter()-t0,1))
-    d.ne = None
     import gc; gc.collect()
     rays = 1_000_000
     s0 = init_beam(jax.random.PRNGKey(0), rays, 2e-3, 0.0, ext, 'circular')
