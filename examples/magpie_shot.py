@@ -31,11 +31,10 @@ def main():
 
     from synthpy_tpu import pipeline
     from synthpy_tpu.campaign import run_campaign
-    from synthpy_tpu.fields import ScalarDomain, build_pack, grf, layout_of
+    from synthpy_tpu.fields import ScalarDomain, grf
     from synthpy_tpu.io import save_histograms
     from synthpy_tpu.observe import Timer
     from synthpy_tpu.tracer import init_beam
-    from synthpy_tpu.tracer.zscan import make_segment_pack, make_zscan_pack
 
     ext = 1e-3
     timer = Timer()
@@ -48,9 +47,9 @@ def main():
         domain.phaseshift = True
 
     with timer.section("pack build"):
-        pack = build_pack(domain)
-        zp = make_zscan_pack(pack, layout_of(domain))
-        spack = make_segment_pack(zp, K=min(64, args.d - 1))
+        from synthpy_tpu.tracer.zscan import build_segment_pack_device
+
+        spack = build_segment_pack_device(domain, K=min(64, args.d - 1))
 
     bins = (431, 321)
 
