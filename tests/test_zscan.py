@@ -266,3 +266,20 @@ def test_device_segment_pack_nondivisible():
     b = np.asarray(mono.seg_planes)
     scale = np.abs(b).max()
     np.testing.assert_allclose(a, b, atol=scale * 1e-6)
+
+
+def test_zscan_f64_oracle_parity_1e7():
+    """SURVEY gate: solver equivalence below the reference's 1e-7 threshold
+    (solver_comparisons.py:82-85) — f64 z-scan vs adaptive scipy oracle."""
+    with jax.enable_x64(True):
+        d = ScalarDomain(2 * EXT, 41, dtype=jnp.float64).test_lens(
+            ne_0=5e24, LR=1.5e-3)
+        s0 = init_beam(jax.random.PRNGKey(2), 24, 1.5e-3, 0.0, EXT,
+                       "circular", dtype=jnp.float64)
+        oracle = OracleTracer(np.asarray(d.x), np.asarray(d.y),
+                              np.asarray(d.z), np.asarray(d.ne))
+        sf_o = oracle.solve(np.asarray(s0), EXT)
+        sf = np.asarray(solve_zscan(s0, d, substeps=4).sf)
+    vscale = np.abs(sf_o[3]).max()
+    assert np.abs(sf[3] - sf_o[3]).max() / vscale < 1e-7
+    assert np.abs(sf[:3] - sf_o[:3]).max() < 1e-10
