@@ -13,7 +13,7 @@ from synthpy_tpu.fields import ScalarDomain
 from synthpy_tpu.tracer import init_beam, solve
 from synthpy_tpu.tracer.zscan import solve_zscan
 
-from oracle import OracleTracer
+from oracle import OracleTracer, ray_to_rtm
 
 EXT = 5e-3
 
@@ -279,7 +279,13 @@ def test_zscan_f64_oracle_parity_1e7():
         oracle = OracleTracer(np.asarray(d.x), np.asarray(d.y),
                               np.asarray(d.z), np.asarray(d.ne))
         sf_o = oracle.solve(np.asarray(s0), EXT)
-        sf = np.asarray(solve_zscan(s0, d, substeps=4).sf)
+        res = solve_zscan(s0, d, substeps=4)
+        sf = np.asarray(res.sf)
+        rf = np.asarray(res.rf)
     vscale = np.abs(sf_o[3]).max()
     assert np.abs(sf[3] - sf_o[3]).max() / vscale < 1e-7
-    assert np.abs(sf[:3] - sf_o[:3]).max() < 1e-10
+    # exit-plane positions (the states sit on different planes; compare
+    # the back-projected exit rays)
+    rf_o = ray_to_rtm(sf_o, EXT)
+    assert np.abs(rf[0] - rf_o[0]).max() < 1e-10
+    assert np.abs(rf[1] - rf_o[1]).max() < 1e-9
