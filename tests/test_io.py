@@ -193,3 +193,34 @@ def test_fringe_phase_extraction():
     # direct extraction carries the linear carrier out
     p = extract_phase(shot, (fi, fj))
     assert np.isfinite(p).all()
+
+
+def test_vti_base64_appended_reader(tmp_path):
+    """Reader handles base64-encoded appended payloads (VTK writers vary)."""
+    import base64
+    import struct
+
+    arr = np.arange(60, dtype=np.float32).reshape(3, 4, 5)
+    raw = np.asfortranarray(arr).tobytes(order="F")
+    payload = base64.b64encode(struct.pack("<Q", len(raw)) + raw)
+    content = (
+        '<?xml version="1.0"?>\n'
+        '<VTKFile type="ImageData" version="1.0" byte_order="LittleEndian"'
+        ' header_type="UInt64">\n'
+        '  <ImageData WholeExtent="0 3 0 4 0 5" Origin="0 0 0"'
+        ' Spacing="1 1 1">\n'
+        '    <Piece Extent="0 3 0 4 0 5">\n'
+        '      <CellData Scalars="v">\n'
+        '        <DataArray type="Float32" Name="v" format="appended"'
+        ' offset="0"/>\n'
+        '      </CellData>\n'
+        '    </Piece>\n'
+        '  </ImageData>\n'
+        '  <AppendedData encoding="base64">\n_'
+    ).encode() + payload + b"\n  </AppendedData>\n</VTKFile>\n"
+    fname = str(tmp_path / "b64.vti")
+    with open(fname, "wb") as f:
+        f.write(content)
+    cells, shape, spacing = read_vti(fname)
+    assert shape == (3, 4, 5)
+    np.testing.assert_array_equal(cells, arr)

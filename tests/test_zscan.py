@@ -289,3 +289,26 @@ def test_zscan_f64_oracle_parity_1e7():
     rf_o = ray_to_rtm(sf_o, EXT)
     assert np.abs(rf[0] - rf_o[0]).max() < 1e-10
     assert np.abs(rf[1] - rf_o[1]).max() < 1e-9
+
+
+def test_lens_deflection_matches_paraxial_analytic():
+    """Gaussian-column lens: theta_x = ext * (2x/LR^2) * (ne0/nc) e^{-r^2/LR^2}
+    in the paraxial weak-deflection limit (independent of the oracle)."""
+    from synthpy_tpu import constants
+
+    ne0, LR = 1e23, 1.5e-3  # weak lens
+    d = ScalarDomain(2 * EXT, 81).test_lens(ne_0=ne0, LR=LR)
+    xs = np.linspace(-1.2e-3, 1.2e-3, 9).astype(np.float32)
+    Np = xs.shape[0]
+    s0 = np.zeros((9, Np), np.float32)
+    s0[0] = xs
+    s0[2] = -EXT
+    s0[5] = constants.C
+    s0[6] = 1.0
+    res = solve_zscan(jnp.asarray(s0), d, substeps=2)
+    theta = np.asarray(res.rf[1])
+    omega = float(constants.omega_from_lwl(1064e-9))
+    nc = float(constants.critical_density(omega))
+    expect = EXT * (2 * xs / LR**2) * (ne0 / nc) * np.exp(-xs**2 / LR**2)
+    np.testing.assert_allclose(theta, expect, rtol=2e-2,
+                               atol=np.abs(expect).max() * 1e-3)
