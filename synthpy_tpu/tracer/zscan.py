@@ -378,8 +378,10 @@ def _seg_deriv(u, corners, k, f, ia0, ib0, origin_ab, inv_ab, shape_ab,
     fb = jnp.clip(tb - ib0, 0.0, 1.0)[:, None]
 
     def val(c):
-        # z-blend between planes k and k+1 at fraction f
-        win = jax.lax.dynamic_slice_in_dim(c, k, 2, axis=1)
+        # z-blend between planes k and k+1 at fraction f; the hoisted
+        # buffers stay in the pack dtype (bf16 halves slice traffic) and
+        # are cast at the 2-plane window
+        win = jax.lax.dynamic_slice_in_dim(c, k, 2, axis=1).astype(u.dtype)
         return (1.0 - f) * win[:, 0, :] + f * win[:, 1, :]
 
     c00, c01, c10, c11 = corners
@@ -444,7 +446,7 @@ def trace_zscan_segments(
             shape = (-1, K + 1, C)
             corners = tuple(
                 jnp.take(seg, base + off, axis=0, mode="clip"
-                         ).reshape(shape).astype(uc.dtype)
+                         ).reshape(shape)
                 for off in (0, 1, nb, nb + 1))
             ia0f = ia0.astype(uc.dtype)
             ib0f = ib0.astype(uc.dtype)
