@@ -8,8 +8,14 @@ north-star target of 1e8 rays -> finished shadowgram in 60 s on a v5e-8
 (8 chips), i.e. 1e8/60/8 ~= 2.08e5 rays/s/chip == 1.0.
 
 Prints exactly one JSON line. Environment overrides:
-    BENCH_DIM (default 512), BENCH_RAYS (default 2_000_000),
-    BENCH_STEPS_PER_CELL (default 1.0), BENCH_DIAg.
+    BENCH_DIM (default 512), BENCH_RAYS (default 4_000_000),
+    BENCH_SOLVER (zscan_seg | zscan | time), BENCH_K (segment length,
+    default dim-1 = fast profile), BENCH_PACK_DTYPE (bf16 | f32),
+    BENCH_STEPS_PER_CELL.
+
+The default fast profile (bf16 field channels, whole-trace corner
+segments) is image-equivalent to the exact f32 tracer at sub-pixel level
+(tests/test_zscan.py::test_zscan_segments_full_K_image_equivalence).
 """
 
 from __future__ import annotations
@@ -43,11 +49,14 @@ def main() -> None:
 
     pack_kwargs = {"pack": pack}
     if solver == "zscan_seg":
-        from synthpy_tpu.tracer.zscan import (make_segment_pack,
-                                              make_zscan_pack)
+        from synthpy_tpu.tracer.zscan import build_segment_pack_device
 
-        zp = make_zscan_pack(pack, layout_of(domain))
-        pack_kwargs = {"spack": make_segment_pack(zp, K=min(64, dim - 1))}
+        K = int(os.environ.get("BENCH_K", dim - 1))
+        pdt = (jnp.bfloat16
+               if os.environ.get("BENCH_PACK_DTYPE", "bf16") == "bf16"
+               else jnp.float32)
+        pack_kwargs = {"spack": build_segment_pack_device(
+            domain, K=min(K, dim - 1), dtype=pdt)}
 
     s0 = init_beam(jax.random.PRNGKey(0), rays, 2e-3, 0.0, ext, "circular")
 

@@ -312,3 +312,22 @@ def test_lens_deflection_matches_paraxial_analytic():
     expect = EXT * (2 * xs / LR**2) * (ne0 / nc) * np.exp(-xs**2 / LR**2)
     np.testing.assert_allclose(theta, expect, rtol=2e-2,
                                atol=np.abs(expect).max() * 1e-3)
+
+
+def test_zscan_segments_full_K_image_equivalence():
+    """K = n_slabs (corners frozen for the whole trace): detector images
+    must match the exact tracer to sub-pixel accuracy."""
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.fields import build_pack, layout_of
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_device,
+                                          make_segment_pack, make_zscan_pack)
+
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(17), 8192, 2e-3, 0.0, EXT, "circular")
+    H_ref = np.asarray(pipeline.run(d, s0, solver="zscan", bins=(54, 40)))
+    sp = build_segment_pack_device(d, K=32, dtype=jnp.bfloat16)
+    H_fast = np.asarray(pipeline.run(d, s0, solver="zscan_seg", spack=sp,
+                                     bins=(54, 40)))
+    assert H_fast.sum() == H_ref.sum()
+    # <2% of rays land in a different (adjacent) pixel
+    assert np.abs(H_fast - H_ref).sum() < 0.04 * H_ref.sum()
