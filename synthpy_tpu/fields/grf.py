@@ -300,3 +300,55 @@ class gaussian3D(_GaussianND):
             self._next_key(), self.k_func, l_max, l_min, extent, res,
             factor=factor, ndim=3)
         return self.ne
+
+
+def grf_vector_solenoidal(
+    key: jax.Array,
+    k_func: Callable,
+    l_max: float,
+    l_min: float,
+    extent: float,
+    res: int,
+    rms: float = 1.0,
+) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
+    """Divergence-free turbulent vector field (e.g. magnetic turbulence).
+
+    Three independent band-limited GRF components are projected onto their
+    solenoidal part in k-space (B(k) -> B - k (k.B)/k^2), guaranteeing
+    div B = 0 to spectral accuracy — the physically admissible form for
+    the B-field grids that drive Faraday rotation (ScalarDomain.external_B).
+    Normalised to the requested RMS magnitude.
+
+    Returns:
+        (coords, B) with B of shape (n, n, n, 3).
+    """
+    dx = extent / res
+    n = 2 * res
+    coords = tuple(
+        jnp.linspace(-extent, extent, n, endpoint=False, dtype=jnp.float32)
+        for _ in range(3))
+    k1 = 2 * jnp.pi * jnp.fft.fftfreq(n, d=dx)
+    kx, ky, kz = jnp.meshgrid(k1, k1, k1, indexing="ij")
+    kmag = jnp.sqrt(kx**2 + ky**2 + kz**2)
+
+    k_min = 2 * jnp.pi / l_max
+    k_max = 2 * jnp.pi / l_min
+    S = jnp.where((kmag >= k_min) & (kmag <= k_max),
+                  _safe_spectrum(k_func, kmag), 0.0)
+    amp = jnp.sqrt(S)
+
+    keys = jax.random.split(key, 6)
+    F = [
+        (jax.random.normal(keys[2 * i], kmag.shape)
+         + 1j * jax.random.normal(keys[2 * i + 1], kmag.shape)) * amp
+        for i in range(3)
+    ]
+    # solenoidal projection: subtract the component parallel to k
+    k2 = jnp.maximum(kmag**2, 1e-30)
+    kdotF = kx * F[0] + ky * F[1] + kz * F[2]
+    F = [F[0] - kx * kdotF / k2, F[1] - ky * kdotF / k2,
+         F[2] - kz * kdotF / k2]
+
+    B = jnp.stack([jnp.real(jnp.fft.ifftn(f)) for f in F], axis=-1)
+    scale = rms / jnp.sqrt(jnp.mean(jnp.sum(B**2, axis=-1)))
+    return coords, B * scale

@@ -201,3 +201,37 @@ def test_build_pack_bf16():
     b = np.asarray(p32.channels)
     scale = np.abs(b).max()
     np.testing.assert_allclose(a, b, atol=scale * 8e-3)
+
+
+def test_solenoidal_vector_field():
+    key = jax.random.PRNGKey(21)
+    coords, B = grf.grf_vector_solenoidal(
+        key, grf.kolmogorov, l_max=2.0, l_min=0.25, extent=1.0, res=16,
+        rms=2.5)
+    assert B.shape == (32, 32, 32, 3)
+    rms = np.sqrt(np.mean(np.sum(np.asarray(B) ** 2, axis=-1)))
+    assert rms == pytest.approx(2.5, rel=1e-4)
+    # divergence vanishes to spectral accuracy (check via FFT)
+    kx = 2 * np.pi * np.fft.fftfreq(32, d=1.0 / 16)
+    KX, KY, KZ = np.meshgrid(kx, kx, kx, indexing="ij")
+    Bf = [np.fft.fftn(np.asarray(B[..., i])) for i in range(3)]
+    div_k = KX * Bf[0] + KY * Bf[1] + KZ * Bf[2]
+    power = np.abs(Bf[0]) ** 2 + np.abs(Bf[1]) ** 2 + np.abs(Bf[2]) ** 2
+    assert np.abs(div_k).max() < 1e-4 * np.sqrt(power.max()) * np.abs(kx).max()
+
+
+def test_solenoidal_field_drives_faraday():
+    from synthpy_tpu.tracer import init_beam
+    from synthpy_tpu.tracer.zscan import solve_zscan
+
+    coords, B = grf.grf_vector_solenoidal(
+        jax.random.PRNGKey(22), grf.kolmogorov, l_max=2e-3, l_min=5e-4,
+        extent=1e-3, res=12, rms=20.0)
+    d = ScalarDomain(x=coords[0], y=coords[1], z=coords[2])
+    d.external_ne(1e25 * np.ones(d.dims))
+    d.external_B(B)
+    s0 = init_beam(jax.random.PRNGKey(23), 32, 4e-4, 0.0, d.extent,
+                   "circular")
+    res = solve_zscan(s0, d)
+    pol = np.asarray(res.sf[8])
+    assert np.abs(pol).max() > 0  # turbulent Faraday rotation accumulates
