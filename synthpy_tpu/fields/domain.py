@@ -211,6 +211,29 @@ class ScalarDomain:
         self.Z = jnp.asarray(Z, self.dtype)
         return self
 
+    def plot_midline_gradients(self, ax, lwl: float = 1053e-9):
+        """Plot the three gradient channels along the probing-axis midline
+        (parity: legacy full_solver.py:291-315's debug helper)."""
+        import numpy as np
+
+        pack = build_pack(self, lwl)
+        ix, iy, iz = (d // 2 for d in self.dims)
+        ax_idx = self.probe_axis
+        if ax_idx == 0:
+            sl = np.s_[:, iy, iz]
+            coord = np.asarray(self.x)
+        elif ax_idx == 1:
+            sl = np.s_[ix, :, iz]
+            coord = np.asarray(self.y)
+        else:
+            sl = np.s_[ix, iy, :]
+            coord = np.asarray(self.z)
+        for c, name in enumerate(("dn/dx", "dn/dy", "dn/dz")):
+            ax.plot(coord, np.asarray(pack.channels[..., c])[sl],
+                    label=name)
+        ax.legend()
+        return ax
+
     # -- export --------------------------------------------------------------
 
     def export_scalar_field(self, property: str = "ne",

@@ -235,3 +235,14 @@ def test_solenoidal_field_drives_faraday():
     res = solve_zscan(s0, d)
     pol = np.asarray(res.sf[8])
     assert np.abs(pol).max() > 0  # turbulent Faraday rotation accumulates
+
+
+def test_plot_midline_gradients_smoke():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    d = ScalarDomain(10e-3, 15).test_slab()
+    _, ax = plt.subplots()
+    d.plot_midline_gradients(ax)
