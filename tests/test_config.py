@@ -57,7 +57,7 @@ def test_jax_init_subprocess():
 
     env = {k: v for k, v in os.environ.items()
            if k not in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS",
-                        "XLA_FLAGS")}
+                        "XLA_FLAGS", "PYTHONPATH")}
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=120)
     assert "OK" in out.stdout, out.stderr[-500:]
