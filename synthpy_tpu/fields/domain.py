@@ -83,8 +83,13 @@ class ScalarDomain:
             self.x = jnp.asarray(x, dtype)
             self.y = jnp.asarray(y, dtype)
             self.z = jnp.asarray(z, dtype)
+            # geometry on the host: coordinate vectors are tiny, and some
+            # remote TPU runtimes reject scalar-result mini-programs
+            import numpy as _np
+
             self.lengths = tuple(
-                float(c[-1] - c[0]) for c in (self.x, self.y, self.z))
+                float(_np.asarray(c[-1]) - _np.asarray(c[0]))
+                for c in (self.x, self.y, self.z))
             self.dims = (self.x.shape[0], self.y.shape[0], self.z.shape[0])
         else:
             if lengths is None or dims is None:
