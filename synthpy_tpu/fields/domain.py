@@ -88,8 +88,9 @@ class ScalarDomain:
             import numpy as _np
 
             self.lengths = tuple(
-                float(_np.asarray(c[-1]) - _np.asarray(c[0]))
-                for c in (self.x, self.y, self.z))
+                float(cn[-1]) - float(cn[0])
+                for cn in (_np.asarray(self.x), _np.asarray(self.y),
+                           _np.asarray(self.z)))
             self.dims = (self.x.shape[0], self.y.shape[0], self.z.shape[0])
         else:
             if lengths is None or dims is None:
