@@ -28,6 +28,8 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
+from synthpy_tpu.ops import dft
+
 
 def kolmogorov(k):
     """E(k) ~ k^-5/3."""
@@ -60,23 +62,30 @@ def grf_fft(key: jax.Array, N: int, k_func: Callable, ndim: int = 3,
     inverse FFT; real part returned.
     """
     M = 2 * N + 1
-    k1 = jnp.fft.fftfreq(M, d)
+    k1 = dft.fftfreq(M, d)
     grids = jnp.meshgrid(*([k1] * ndim), indexing="ij")
     K = jnp.sqrt(sum(g**2 for g in grids))
     K = jnp.fft.fftshift(K)
 
     kr, ki = jax.random.split(key)
     shape = (M,) * ndim
-    Wr = jax.random.normal(kr, shape)
-    Wi = jax.random.normal(ki, shape)
-    Wr = Wr + jnp.flip(Wr)
-    Wi = Wi - jnp.flip(Wi)
-    W = Wr + 1j * Wi
+    amp = jnp.sqrt(_safe_spectrum(k_func, K))
 
-    F = W * jnp.sqrt(_safe_spectrum(k_func, K))
-    F = jnp.fft.ifftshift(F)
-    F = F.at[(0,) * ndim].set(0.0)
-    return jnp.real(jnp.fft.ifftn(F))
+    # one jitted program with float-only I/O: complex values exist only as
+    # jit-internal intermediates (some TPU runtimes lack complex program
+    # I/O and the native FFT op — see ops.dft)
+    @jax.jit
+    def synth(kr, ki, amp):
+        Wr = jax.random.normal(kr, shape)
+        Wi = jax.random.normal(ki, shape)
+        Wr = Wr + jnp.flip(Wr)
+        Wi = Wi - jnp.flip(Wi)
+        F = (Wr + 1j * Wi) * amp
+        F = jnp.fft.ifftshift(F)
+        F = F.at[(0,) * ndim].set(0.0)
+        return jnp.real(dft.ifftn(F))
+
+    return synth(kr, ki, amp)
 
 
 def grf_domain_fft(
@@ -108,7 +117,7 @@ def grf_domain_fft(
         n_ax = int(n * stretch)
         coords.append(jnp.linspace(-extent * stretch, extent * stretch, n_ax,
                                    endpoint=False, dtype=jnp.float32))
-        ks.append(2 * jnp.pi * jnp.fft.fftfreq(n_ax, d=dx))
+        ks.append(2 * jnp.pi * dft.fftfreq(n_ax, d=dx))
 
     kgrids = jnp.meshgrid(*ks, indexing="ij")
     k = jnp.sqrt(sum(g**2 for g in kgrids)).astype(jnp.float32)
@@ -119,11 +128,15 @@ def grf_domain_fft(
                   _safe_spectrum(k_func, k), 0.0)
 
     kr, ki = jax.random.split(key)
-    noise = (jax.random.normal(kr, k.shape)
-             + 1j * jax.random.normal(ki, k.shape))
-    field = jnp.real(jnp.fft.ifftn(noise * jnp.sqrt(S)))
-    field = field / jnp.max(jnp.abs(field))
-    return tuple(coords), field
+
+    @jax.jit
+    def synth(kr, ki, amp):
+        noise = (jax.random.normal(kr, amp.shape)
+                 + 1j * jax.random.normal(ki, amp.shape))
+        field = jnp.real(dft.ifftn(noise * amp))
+        return field / jnp.max(jnp.abs(field))
+
+    return tuple(coords), synth(kr, ki, jnp.sqrt(S))
 
 
 # ---------------------------------------------------------------------------
@@ -327,7 +340,7 @@ def grf_vector_solenoidal(
     coords = tuple(
         jnp.linspace(-extent, extent, n, endpoint=False, dtype=jnp.float32)
         for _ in range(3))
-    k1 = 2 * jnp.pi * jnp.fft.fftfreq(n, d=dx)
+    k1 = 2 * jnp.pi * dft.fftfreq(n, d=dx)
     kx, ky, kz = jnp.meshgrid(k1, k1, k1, indexing="ij")
     kmag = jnp.sqrt(kx**2 + ky**2 + kz**2)
 
@@ -338,17 +351,20 @@ def grf_vector_solenoidal(
     amp = jnp.sqrt(S)
 
     keys = jax.random.split(key, 6)
-    F = [
-        (jax.random.normal(keys[2 * i], kmag.shape)
-         + 1j * jax.random.normal(keys[2 * i + 1], kmag.shape)) * amp
-        for i in range(3)
-    ]
-    # solenoidal projection: subtract the component parallel to k
-    k2 = jnp.maximum(kmag**2, 1e-30)
-    kdotF = kx * F[0] + ky * F[1] + kz * F[2]
-    F = [F[0] - kx * kdotF / k2, F[1] - ky * kdotF / k2,
-         F[2] - kz * kdotF / k2]
 
-    B = jnp.stack([jnp.real(jnp.fft.ifftn(f)) for f in F], axis=-1)
-    scale = rms / jnp.sqrt(jnp.mean(jnp.sum(B**2, axis=-1)))
-    return coords, B * scale
+    @jax.jit
+    def synth(keys, amp, kx, ky, kz):
+        F = [
+            (jax.random.normal(keys[2 * i], amp.shape)
+             + 1j * jax.random.normal(keys[2 * i + 1], amp.shape)) * amp
+            for i in range(3)
+        ]
+        # solenoidal projection: subtract the component parallel to k
+        k2 = jnp.maximum(kx**2 + ky**2 + kz**2, 1e-30)
+        kdotF = kx * F[0] + ky * F[1] + kz * F[2]
+        F = [F[0] - kx * kdotF / k2, F[1] - ky * kdotF / k2,
+             F[2] - kz * kdotF / k2]
+        B = jnp.stack([jnp.real(dft.ifftn(f)) for f in F], axis=-1)
+        return B * (rms / jnp.sqrt(jnp.mean(jnp.sum(B**2, axis=-1))))
+
+    return coords, synth(jnp.stack(keys), amp, kx, ky, kz)

@@ -15,6 +15,8 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
+from synthpy_tpu.ops import dft
+
 
 def radial_spectrum(
     field: jnp.ndarray,
@@ -44,10 +46,10 @@ def radial_spectrum(
         lengths = (float(lengths),) * ndim
     shape = field.shape
 
-    F = jnp.fft.fftn(field)
+    F = dft.fftn(field)
     P = jnp.abs(F) ** 2
 
-    ks = [2 * jnp.pi * jnp.fft.fftfreq(n, d=length / n)
+    ks = [2 * jnp.pi * dft.fftfreq(n, d=length / n)
           for n, length in zip(shape, lengths)]
     kgrids = jnp.meshgrid(*ks, indexing="ij")
     kmag = jnp.sqrt(sum(g**2 for g in kgrids)).ravel()

@@ -17,6 +17,7 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
+from synthpy_tpu.ops import dft
 from synthpy_tpu.ops.histogram import deposit_cic
 
 
@@ -69,18 +70,18 @@ def fresnel_propagate(
     Nx, Ny = original_shape
     dx, dy = L[0] / Nx, L[1] / Ny
 
-    fx = jnp.fft.fftfreq(U0_prepared.shape[0], d=dx)
-    fy = jnp.fft.fftfreq(U0_prepared.shape[1], d=dy)
+    fx = dft.fftfreq(U0_prepared.shape[0], d=dx)
+    fy = dft.fftfreq(U0_prepared.shape[1], d=dy)
     FX, FY = jnp.meshgrid(fx, fy, indexing="ij")
 
     H = jnp.exp(-1j * jnp.pi * wavelength * z * (FX**2 + FY**2))
-    Uz_ft = jnp.fft.fft2(U0_prepared) * H
+    Uz_ft = dft.fft2(U0_prepared) * H
 
     if lanex_fwhm_m is not None and lanex_fwhm_m > 0:
         sigma = lanex_fwhm_m / (2 * jnp.sqrt(2 * jnp.log(2.0)))
         Uz_ft = Uz_ft * jnp.exp(-2 * (jnp.pi * sigma) ** 2 * (FX**2 + FY**2))
 
-    Uz = jnp.fft.ifft2(Uz_ft) * jnp.exp(1j * (2 * jnp.pi / wavelength) * z) \
+    Uz = dft.ifft2(Uz_ft) * jnp.exp(1j * (2 * jnp.pi / wavelength) * z) \
         / (1j * wavelength * z)
 
     sx, sy = Nx * pad_factor, Ny * pad_factor

@@ -23,21 +23,22 @@ import jax
 import jax.numpy as jnp
 
 from synthpy_tpu import constants
+from synthpy_tpu.ops import dft
 
 
 def angular_spectrum_step(U: jnp.ndarray, dz, lwl: float,
                           dx, dy) -> jnp.ndarray:
     """Exact free-space angular-spectrum propagation over distance dz."""
     nx, ny = U.shape
-    fx = jnp.fft.fftfreq(nx, d=dx)
-    fy = jnp.fft.fftfreq(ny, d=dy)
+    fx = dft.fftfreq(nx, d=dx)
+    fy = dft.fftfreq(ny, d=dy)
     FX, FY = jnp.meshgrid(fx, fy, indexing="ij")
     k = 2 * jnp.pi / lwl
     kz_sq = k**2 - (2 * jnp.pi * FX) ** 2 - (2 * jnp.pi * FY) ** 2
     kz = jnp.sqrt(jnp.maximum(kz_sq, 0.0))
     # evanescent components are suppressed rather than propagated
     H = jnp.where(kz_sq > 0, jnp.exp(1j * kz * dz), 0.0)
-    return jnp.fft.ifft2(jnp.fft.fft2(U) * H)
+    return dft.ifft2(dft.fft2(U) * H)
 
 
 def multislice_propagate(

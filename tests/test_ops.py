@@ -157,3 +157,48 @@ def test_kappa_positive_and_scales():
     assert k1 > 0
     # kappa ~ ne^2 (up to the slowly varying Coulomb log)
     assert 3.5 < k2 / k1 < 4.5
+
+
+def test_matmul_dft_matches_native():
+    """The MXU matmul-DFT fallback must equal jnp.fft exactly (< f32 eps)."""
+    import jax
+
+    from synthpy_tpu.ops import dft
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(16, 12, 8)).astype(np.float32))
+    z = x + 1j * jnp.asarray(rng.normal(size=(16, 12, 8)).astype(np.float32))
+    try:
+        dft.force_matmul(True)
+        got_f = np.asarray(dft.fftn(z))
+        got_i = np.asarray(dft.ifftn(z))
+        got_2 = np.asarray(dft.fft2(z))
+    finally:
+        dft.force_matmul(False)
+    ref_f = np.fft.fftn(np.asarray(z))
+    ref_i = np.fft.ifftn(np.asarray(z))
+    ref_2 = np.fft.fft2(np.asarray(z))
+    scale = np.abs(ref_f).max()
+    np.testing.assert_allclose(got_f, ref_f, atol=scale * 1e-5)
+    np.testing.assert_allclose(got_i, ref_i, atol=np.abs(ref_i).max() * 1e-4)
+    np.testing.assert_allclose(got_2, ref_2, atol=np.abs(ref_2).max() * 1e-5)
+
+
+def test_grf_matches_with_matmul_dft():
+    """GRF synthesis is identical under either FFT implementation."""
+    import jax
+
+    from synthpy_tpu.fields import grf
+    from synthpy_tpu.ops import dft
+
+    key = jax.random.PRNGKey(3)
+    args = dict(k_func=grf.kolmogorov, l_max=2.0, l_min=0.25, extent=1.0,
+                res=8)
+    _, f_native = grf.grf_domain_fft(key, **args)
+    try:
+        dft.force_matmul(True)
+        _, f_matmul = grf.grf_domain_fft(key, **args)
+    finally:
+        dft.force_matmul(False)
+    np.testing.assert_allclose(np.asarray(f_matmul), np.asarray(f_native),
+                               atol=2e-5)
