@@ -281,7 +281,12 @@ class ScalarDomain:
               **kwargs):
         """Trace rays and store rf/Jf/sf (legacy full_solver.py:376-403)."""
         pack = self._ensure_pack()
-        if solver == "zscan":
+        if solver == "zscan_seg":
+            from synthpy_tpu.tracer.zscan import solve_zscan_segments
+
+            res = solve_zscan_segments(s0, self, lwl=self._lwl,
+                                       return_E=True, pack=pack, **kwargs)
+        elif solver == "zscan":
             from synthpy_tpu.tracer.zscan import solve_zscan
 
             res = solve_zscan(s0, self, lwl=self._lwl, return_E=True,

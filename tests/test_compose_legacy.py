@@ -106,3 +106,12 @@ def test_composed_single_lens_matches():
         sh.r0, compose.shadowgraphy_single_lens()))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6,
                                equal_nan=True)
+
+
+def test_legacy_solve_zscan_seg():
+    d = ScalarDomain(2 * EXT, 21).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.calc_dndr(lwl=1064e-9)
+    s0 = init_beam(jax.random.PRNGKey(2), 64, 1.5e-3, 0.0, EXT, "circular")
+    rf_seg = np.asarray(d.solve(s0, solver="zscan_seg", K=8))
+    rf_z = np.asarray(d.solve(s0, solver="zscan"))
+    np.testing.assert_allclose(rf_seg[1], rf_z[1], rtol=2e-3, atol=1e-9)
