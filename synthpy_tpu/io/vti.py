@@ -159,9 +159,7 @@ def _read_data_array(elem, root, appended_blob, byte_order, header_dtype,
     dtype = _DTYPES[elem.get("type")]
     fmt = elem.get("format", "ascii")
     if fmt == "ascii":
-        return np.fromstring(elem.text, dtype=dtype, sep=" ") \
-            if hasattr(np, "fromstring") else np.array(
-                [dtype(v) for v in elem.text.split()])
+        return np.array(elem.text.split(), dtype=dtype)
     if fmt == "appended":
         off = int(elem.get("offset", "0"))
         blob = appended_blob[off:]

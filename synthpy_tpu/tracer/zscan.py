@@ -578,8 +578,6 @@ def build_segment_pack_streaming(
     Restrictions: gradient channels only (+phase if enabled); inv_brems/B
     domains go through the monolithic builder.
     """
-    from functools import partial as _partial
-
     import numpy as _np
 
     from synthpy_tpu import constants as _c
