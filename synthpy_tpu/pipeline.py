@@ -216,8 +216,8 @@ def run(
     s0 = jnp.asarray(s0)
     depth = jnp.asarray(probing_depth, s0.dtype)
 
+    seg_K = bench_kwargs.pop("seg_K", 64)
     if solver in ("zscan", "zscan_seg"):
-        seg_K = bench_kwargs.pop("seg_K", 64)
         if solver == "zscan_seg":
             if spack is None:
                 zp = zpack or make_zscan_pack(pack, layout,
