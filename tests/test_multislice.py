@@ -94,3 +94,55 @@ def test_strong_lens_diffracts():
     U = np.asarray(multislice_propagate(d.ne, (d.x, d.y, d.z), LWL))
     I = exit_intensity(jnp.asarray(U))
     assert float(jnp.std(I)) > 0.01
+
+
+def test_wave_vs_ray_shadowgram_geometric_limit():
+    """A sinusoidal phase object imaged at distance D << Lambda^2/lambda:
+    wave-optics |U|^2 and ray-density modulation must agree (the physics
+    link between the two pipelines)."""
+    n = 96
+    ext = 1.2e-3
+    Lam = 6e-4          # perturbation wavelength [m]
+    ne0, eps = 5e23, 0.5
+    D = 4e-3            # drift << Lam^2/lwl = 0.34 m
+
+    d = ScalarDomain(2 * ext, n)
+    X = np.asarray(d.x)[:, None, None]
+    ne = ne0 * (1.0 + eps * np.cos(2 * np.pi * X / Lam))
+    d.external_ne(np.broadcast_to(ne, d.dims).copy())
+
+    # --- wave: multislice + free-space drift ---
+    from synthpy_tpu.ops.multislice import angular_spectrum_step
+
+    U = multislice_propagate(d.ne, (d.x, d.y, d.z), LWL)
+    dx = float(d.x[1] - d.x[0])
+    UD = angular_spectrum_step(U, D, LWL, dx, dx)
+    I_wave = np.asarray(exit_intensity(UD))[:, n // 2]
+
+    # --- rays: trace, drift D, bin along x ---
+    Np = 400_000
+    rng = np.random.default_rng(0)
+    s0 = np.zeros((9, Np), np.float32)
+    s0[0] = rng.uniform(-ext, ext, Np)
+    s0[1] = rng.uniform(-ext, ext, Np)
+    s0[2] = -ext
+    s0[5] = constants.C
+    s0[6] = 1.0
+    res = solve_zscan(jnp.asarray(s0), d, lwl=LWL)
+    rf = np.asarray(res.rf)
+    x_drift = rf[0] + rf[1] * D  # small-angle drift
+    edges = np.asarray(d.x)
+    H, _ = np.histogram(x_drift, bins=edges)
+    I_ray = H / H.mean()
+
+    # compare first-harmonic modulation amplitudes at the perturbation k
+    def harmonic(signal, xcoords):
+        signal = signal - signal.mean()
+        phase = 2 * np.pi * xcoords / Lam
+        return 2 * np.abs(np.mean(signal * np.exp(-1j * phase)))
+
+    x_mid = 0.5 * (edges[:-1] + edges[1:])
+    m_ray = harmonic(I_ray, x_mid)
+    m_wave = harmonic(I_wave / I_wave.mean(), np.asarray(d.x))
+    assert m_ray > 0.01  # the object actually modulates
+    assert m_wave == pytest.approx(m_ray, rel=0.25)
