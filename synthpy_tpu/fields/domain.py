@@ -369,19 +369,24 @@ class TracePack(NamedTuple):
 
 def build_pack(domain: ScalarDomain,
                lwl: float = constants.DEFAULT_LWL,
-               dtype=None) -> TracePack:
+               dtype=None,
+               ne_max: float | None = None) -> TracePack:
     """Precompute the packed RHS channel grid for a domain.
 
     Gradients use second-order central differences (one-sided at the
     boundary), matching numpy.gradient as used by the legacy precompute
     (full_solver.py:228-230). ``dtype`` overrides the stored channel dtype
-    (e.g. bfloat16 halves the pack for 1024^3-class grids).
+    (e.g. bfloat16 halves the pack for 1024^3-class grids). ``ne_max``
+    clips ne/nc before differentiating, capping gradients near critical
+    surfaces (parity: minimal_solver.py:222-243's ne_max).
     """
     if domain.ne is None:
         raise RuntimeError("domain has no electron density")
     omega = float(constants.omega_from_lwl(lwl))
     nc = float(constants.critical_density(omega))
     ne_nc = domain.ne / nc
+    if ne_max is not None:
+        ne_nc = jnp.minimum(ne_nc, ne_max)
 
     # Scalar spacings (grids are uniform by construction): the plain central
     # difference cancels exactly for constant fields, unlike the

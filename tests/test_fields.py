@@ -246,3 +246,17 @@ def test_plot_midline_gradients_smoke():
     d = ScalarDomain(10e-3, 15).test_slab()
     _, ax = plt.subplots()
     d.plot_midline_gradients(ax)
+
+
+def test_build_pack_ne_max_clip():
+    """ne_max caps ne/nc before differentiation (minimal_solver parity)."""
+    d = ScalarDomain(10e-3, 21).test_lens(ne_0=5e27, LR=2e-3)  # overdense!
+    p_raw = build_pack(d)
+    p_clip = build_pack(d, ne_max=1.0)
+    # clipped pack has bounded gradients; raw pack's exceed them
+    g_raw = float(jnp.abs(p_raw.channels[..., 0]).max())
+    g_clip = float(jnp.abs(p_clip.channels[..., 0]).max())
+    assert g_clip < g_raw
+    # inside the clipped plateau the gradient vanishes
+    i0 = 10
+    assert float(jnp.abs(p_clip.channels[i0, i0, 0, 0])) == 0.0
