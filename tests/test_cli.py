@@ -45,3 +45,29 @@ def test_trace_cli_no_diagnostic(tmp_path):
     rf = np.load(rays_file)
     assert rf.shape == (4, 500)
     np.testing.assert_allclose(rf[1], 0.0, atol=1e-12)
+
+
+def test_turb_gen_fft_and_cos_methods(tmp_path):
+    s1 = turb_cli.main(["-p", "3.0", "-r", "8", "--method", "fft",
+                        "-o", str(tmp_path / "f")])
+    assert s1["shape"] == [17, 17, 17]  # (2N+1)^3
+    ne, shape, _ = read_pvti(s1["output"])
+    assert shape == (17, 17, 17)
+
+    s2 = turb_cli.main(["-p", "3.0", "-e", "1.0", "-r", "8", "--method",
+                        "cos", "--nmodes", "20", "-o", str(tmp_path / "c")])
+    assert s2["shape"] == [16, 16, 16]
+
+
+def test_export_compressed_roundtrip(tmp_path):
+    from synthpy_tpu.io import export_scalar_field
+
+    rng = np.random.default_rng(5)
+    arr = rng.normal(size=(10, 10, 10))
+    coords = tuple(np.linspace(-1, 1, 10) for _ in range(3))
+    pvti = export_scalar_field(arr, coords, fname=str(tmp_path / "cz"),
+                               compress=True)
+    from synthpy_tpu.io import read_pvti as _rp
+
+    cells, shape, _ = _rp(pvti)
+    np.testing.assert_array_equal(cells, arr)
