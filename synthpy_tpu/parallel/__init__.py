@@ -8,3 +8,6 @@ from synthpy_tpu.parallel.mesh import (  # noqa: F401
     shard_rays,
     sharded_histogram,
 )
+from synthpy_tpu.parallel.pipeline_pp import (  # noqa: F401
+    make_pipelined_segment_tracer,
+)

@@ -178,3 +178,45 @@ def test_ray_sharded_segment_trace_matches():
         u_sh, replicate(sp.seg_planes, mesh), replicate(sp.origin_ab, mesh),
         replicate(sp.inv_spacing_ab, mesh), dp, **kwargs))
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-9)
+
+
+def test_pipelined_segment_tracer_matches_single_device():
+    """PP over segments (field sharded by probing depth, rays streamed
+    through devices) == single-device segmented trace."""
+    from jax.sharding import AxisType
+
+    from synthpy_tpu.fields import layout_of as _layout_of
+    from synthpy_tpu.parallel.pipeline_pp import (
+        make_pipelined_segment_tracer,
+    )
+    from synthpy_tpu.tracer.zscan import (
+        make_segment_pack,
+        make_zscan_pack,
+        trace_zscan_segments,
+    )
+
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    pack = build_pack(d)
+    lay = _layout_of(d)
+    sp = make_segment_pack(make_zscan_pack(pack, lay), K=8)  # 4 segments
+
+    s0 = init_beam(jax.random.PRNGKey(13), 192, 1.5e-3, 1e-3, EXT,
+                   "circular")
+    s = jnp.asarray(s0)
+    u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]], axis=1)
+    dp = jnp.float32(sp.dp)
+
+    ref = np.asarray(trace_zscan_segments(
+        u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp,
+        shape_ab=sp.shape_ab, layout=lay, K=sp.K,
+        n_seg=sp.seg_planes.shape[0]))
+
+    mesh = jax.make_mesh((4,), ("seg",), devices=jax.devices()[:4],
+                         axis_types=(AxisType.Auto,))
+    n_chunks = 3
+    chunks = u.reshape(n_chunks, 64, 8)
+    tracer = make_pipelined_segment_tracer(mesh, lay, sp, n_chunks)
+    out = np.asarray(tracer(chunks, sp.seg_planes, sp.origin_ab,
+                            sp.inv_spacing_ab, dp)).reshape(192, 8)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-8)
