@@ -278,9 +278,26 @@ class ScalarDomain:
         return self._pack
 
     def solve(self, s0, return_E: bool = False, solver: str = "zscan",
-              **kwargs):
-        """Trace rays and store rf/Jf/sf (legacy full_solver.py:376-403)."""
+              critical_guard: Optional[float] = 0.85, **kwargs):
+        """Trace rays and store rf/Jf/sf (legacy full_solver.py:376-403).
+
+        Falls back to the time-domain tracer (with a warning) when
+        max(ne)/nc >= ``critical_guard`` and a z-scan solver was
+        requested — see :func:`peak_ne_over_nc`. None disables.
+        """
         pack = self._ensure_pack()
+        if (critical_guard is not None and self.ne is not None
+                and solver in ("zscan", "zscan_seg")):
+            frac = peak_ne_over_nc(self, getattr(self, "_lwl",
+                                                 constants.DEFAULT_LWL))
+            if frac >= critical_guard:
+                import warnings
+
+                warnings.warn(
+                    f"max(ne)/nc = {frac:.3f} >= {critical_guard}: "
+                    "falling back to the time-domain tracer.",
+                    stacklevel=2)
+                solver = "time"
         if solver == "zscan_seg":
             from synthpy_tpu.tracer.zscan import solve_zscan_segments
 
@@ -417,3 +434,25 @@ def build_pack(domain: ScalarDomain,
 
 def layout_of(domain: ScalarDomain) -> ChannelLayout:
     return ChannelLayout(domain.inv_brems, domain.phaseshift, domain.B_on)
+
+
+def peak_ne_over_nc(domain: ScalarDomain,
+                    lwl: float = constants.DEFAULT_LWL) -> float:
+    """max(ne)/nc for the probe wavelength, or 0.0 if ne was freed.
+
+    Used by the critical-density guard: the z-scan solvers reparameterise
+    the ray ODE by the probing coordinate and divide by v_p, which is
+    ill-conditioned near turning points (v_p -> 0 where ne -> nc). The
+    reference has no such guard — its zscan-analogue solver silently
+    produces garbage for overcritical fields (minimal_solver.py:222-243
+    only clips gradients via ne_max).
+
+    The reduction runs as one jitted program with float-only I/O (eager
+    scalar mini-programs are unreliable on remotely-attached runtimes).
+    """
+    if domain.ne is None:
+        return 0.0
+    import jax
+
+    nc = float(constants.critical_density(constants.omega_from_lwl(lwl)))
+    return float(jax.jit(jnp.max)(domain.ne)) / nc

@@ -30,6 +30,7 @@ from synthpy_tpu.fields.domain import (
     TracePack,
     build_pack,
     layout_of,
+    peak_ne_over_nc,
 )
 from synthpy_tpu.ops.histogram import complex_histogram, histogram2d
 from synthpy_tpu.optics.diagnostics import (
@@ -199,16 +200,39 @@ def run(
     spack=None,
     bins: Tuple[int, int] = (431, 321),
     ray_chunk: Optional[int] = None,
+    critical_guard: Optional[float] = 0.85,
     **bench_kwargs,
 ) -> jnp.ndarray:
     """Convenience wrapper: pack the domain and run the fused pipeline.
 
     Pass a prebuilt ``zpack`` (make_zscan_pack) or ``spack``
     (make_segment_pack) to amortise pack construction across calls.
+
+    ``critical_guard``: if a z-scan solver is requested but
+    max(ne)/nc >= this fraction, fall back to the general time-domain
+    tracer (which handles turning points / reflection physically) with a
+    warning. The z-scan reparameterisation divides by v_p and is
+    ill-conditioned near critical surfaces. None disables the check; it
+    is skipped automatically when ``domain.ne`` has been freed (prebuilt
+    packs) — the caller owns the check in that case.
     """
     from synthpy_tpu.tracer.propagator import default_n_steps
 
+    if (critical_guard is not None and solver in ("zscan", "zscan_seg")
+            and domain.ne is not None):
+        frac = peak_ne_over_nc(domain, lwl)
+        if frac >= critical_guard:
+            import warnings
+
+            warnings.warn(
+                f"max(ne)/nc = {frac:.3f} >= {critical_guard}: z-scan "
+                "solvers are ill-conditioned near critical density; "
+                "falling back to solver='time'.", stacklevel=2)
+            solver = "time"
+
     if pack is None and zpack is None and spack is None:
+        pack = build_pack(domain, lwl)
+    elif pack is None and solver == "time":
         pack = build_pack(domain, lwl)
     if probing_depth is None:
         probing_depth = domain.extent
