@@ -27,6 +27,27 @@ def test_adaptive_null():
     np.testing.assert_allclose(rf[0], np.asarray(s0[0]), atol=1e-8)
 
 
+def test_adaptive_vacuum_strides_cells():
+    """The gradient-aware cap lets vacuum integrate in O(1) steps: with
+    a_max = 0 the half-cell kink cap is lifted entirely and step count is
+    limited only by the controller's 5x growth factor."""
+    import jax.numpy as jnp
+
+    from synthpy_tpu.constants import C
+    from synthpy_tpu.fields.domain import build_pack, layout_of
+    from synthpy_tpu.tracer.adaptive import trace_rk45
+
+    d = ScalarDomain(2 * EXT, 21).test_null()
+    pack = build_pack(d, 1064e-9)
+    s0 = init_beam(jax.random.PRNGKey(0), 32, 1e-3, 0.0, EXT, "circular")
+    t_end = jnp.asarray(np.sqrt(8.0) * EXT / C, jnp.float32)
+    sf, n_acc, n_rej = trace_rk45(
+        jnp.asarray(s0).T, pack.channels, pack.origin, pack.inv_spacing,
+        t_end, layout=layout_of(d))
+    assert int(n_acc) <= 8, int(n_acc)  # was ~29 with the flat half-cell cap
+    np.testing.assert_allclose(np.asarray(sf[:, 3]), 0.0, atol=1e-6)
+
+
 def test_adaptive_matches_oracle_lens():
     d = ScalarDomain(2 * EXT, 41).test_lens(ne_0=5e24, LR=1.5e-3)
     s0 = init_beam(jax.random.PRNGKey(1), 24, 1.5e-3, 0.0, EXT, "circular")
