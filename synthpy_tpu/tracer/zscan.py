@@ -492,10 +492,16 @@ def trace_zscan_segments(
 
 
 def _auto_ray_chunk(spack: "SegmentPack",
-                    budget_bytes: int = 2 << 30) -> Optional[int]:
-    """Ray-chunk size bounding the hoisted corner buffers to ~2 GB."""
+                    budget_bytes: int = 3 << 30) -> Optional[int]:
+    """Ray-chunk size bounding the hoisted corner buffers to ~3 GB.
+
+    Measured sweep on v5e at 512^3 / K=511 / bf16 / 4M rays (corner bytes
+    = chunk * 4(K+1)C * itemsize): 1 GB -> 0.90, 3.2 GB -> 1.08, 6.4 GB ->
+    0.68 Mrays/s, 12.8 GB -> compile OOM; ~3 GB is the sweet spot between
+    per-chunk dispatch overhead and HBM pressure (scratch/bench_chunk.py).
+    """
     C = spack.seg_planes.shape[-1] // (spack.K + 1)
-    per_ray = 4 * (spack.K + 1) * C * 4
+    per_ray = 4 * (spack.K + 1) * C * spack.seg_planes.dtype.itemsize
     chunk = budget_bytes // per_ray
     return None if chunk > 64_000_000 else max(int(chunk), 65536)
 
