@@ -110,6 +110,20 @@ def test_zscan_ray_chunking():
                                rtol=1e-6, atol=1e-9)
 
 
+def test_zscan_segments_ray_chunking():
+    """Segmented tracer: chunked lax.map path bit-matches the unchunked
+    path across chunk boundaries (incl. a ragged final chunk)."""
+    from synthpy_tpu.tracer.zscan import solve_zscan_segments
+
+    d = ScalarDomain(2 * EXT, 25).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(21), 100, 1.5e-3, 0.0, EXT, "circular")
+    r_full = solve_zscan_segments(s0, d, K=8)
+    r_chunk = solve_zscan_segments(s0, d, K=8, ray_chunk=32)
+    np.testing.assert_allclose(np.asarray(r_full.sf),
+                               np.asarray(r_chunk.sf),
+                               rtol=1e-6, atol=1e-9)
+
+
 def test_zscan_sort_rays_same_histogram():
     d = ScalarDomain(2 * EXT, 25).test_lens(ne_0=5e24, LR=1.5e-3)
     s0 = init_beam(jax.random.PRNGKey(10), 256, 1.5e-3, 0.0, EXT, "circular")
