@@ -261,6 +261,42 @@ class Refractometry(Diagnostic):
         self.H = jnp.abs(U) ** 2
         return self.H
 
+    def resample_to_detector(self, bin_scale: int = 1, pix_x: int = 3448,
+                             pix_y: int = 2574):
+        """Bilinear-resample the Fresnel intensity onto the detector grid.
+
+        Maps the propagated |U|^2 (which lives on the deposition grid
+        ``self.x`` x ``self.y``) onto the same (ny, nx) pixel layout the
+        ray-counting ``histogram`` produces, so fresnel images drop into
+        the identical analysis pipeline. Pixels outside the deposition
+        extent read 0. The reference's fresnel path has no detector
+        resampling — it stops at the deposition grid
+        (diagnostics.py:529-552, fresnel_integral.py:61-94).
+        """
+        if self.H is None or self.x is None or self.y is None:
+            raise RuntimeError("run fresnel_solve first")
+        nx_px, ny_px = pix_x // bin_scale, pix_y // bin_scale
+        xq = ((jnp.arange(nx_px) + 0.5) / nx_px - 0.5) * self.Lx
+        yq = ((jnp.arange(ny_px) + 0.5) / ny_px - 0.5) * self.Ly
+        x0, y0 = self.x[0], self.y[0]
+        dxg, dyg = self.x[1] - self.x[0], self.y[1] - self.y[0]
+        tx = (xq - x0) / dxg
+        ty = (yq - y0) / dyg
+        nx_g, ny_g = self.H.shape
+        TX, TY = jnp.meshgrid(tx, ty, indexing="xy")     # (ny_px, nx_px)
+        valid = ((TX >= 0) & (TX <= nx_g - 1)
+                 & (TY >= 0) & (TY <= ny_g - 1))
+        ix = jnp.clip(jnp.floor(TX).astype(jnp.int32), 0, nx_g - 2)
+        iy = jnp.clip(jnp.floor(TY).astype(jnp.int32), 0, ny_g - 2)
+        fx = jnp.clip(TX - ix, 0.0, 1.0)
+        fy = jnp.clip(TY - iy, 0.0, 1.0)
+        H = self.H
+        img = ((1 - fx) * (1 - fy) * H[ix, iy]
+               + fx * (1 - fy) * H[ix + 1, iy]
+               + (1 - fx) * fy * H[ix, iy + 1]
+               + fx * fy * H[ix + 1, iy + 1])
+        return jnp.where(valid, img, 0.0)
+
 
 class Interferometry(Diagnostic):
     """Mach-Zehnder-style interferometry (diagnostics.py:554-641)."""

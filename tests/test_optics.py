@@ -279,6 +279,37 @@ def test_refractometry_fresnel_solve():
     assert H.shape == (64, 64) and np.isfinite(H).all() and H.max() > 0
 
 
+def test_fresnel_resample_to_detector():
+    """resample_to_detector maps |U|^2 onto the histogram pixel layout:
+    shape matches `histogram`, in-grid pixels interpolate the deposition
+    values, pixels outside the deposition extent read exactly 0."""
+    N = 20_000
+    rng = np.random.default_rng(7)
+    rf_m = np.zeros((4, N))
+    rf_m[0] = rng.uniform(-1e-3, 1e-3, N)
+    rf_m[2] = rng.uniform(-1e-3, 1e-3, N)
+    amp = np.ones(N)
+    phase = rng.uniform(0, 0.1, N)
+    x = jnp.linspace(-1.0, 1.0, 64)  # deposition grid: central 2x2 mm
+    rr = Refractometry(1064e-9, jnp.asarray(rf_m), None, x=x, y=x,
+                       x_l=2e-3, y_l=2e-3, amp=jnp.asarray(amp),
+                       phase=jnp.asarray(phase))
+    rr.fresnel_solve(z=5e-3)
+    img = np.asarray(rr.resample_to_detector(bin_scale=16))
+    assert img.shape == (2574 // 16, 3448 // 16)
+    assert np.isfinite(img).all() and img.max() > 0
+    # the deposition grid covers only |x| <= 1 mm of the 18 x 13.5 mm
+    # detector: the outer pixels must be exactly zero
+    assert img[0, :].max() == 0 and img[:, 0].max() == 0
+    # centre pixel interpolates the central deposition intensity
+    cy, cx = img.shape[0] // 2, img.shape[1] // 2
+    H = np.asarray(rr.H)
+    assert abs(img[cy, cx] - H[32, 32]) < 0.5 * abs(H[32, 32]) + 1e-12
+    # energy scale preserved where grids overlap (interpolation, not
+    # rebinning: values, not counts)
+    assert img.max() <= H.max() * (1 + 1e-6)
+
+
 def test_focal_plane_shifts_object_plane():
     """focal_plane moves the imaged plane: a tilted ray bundle that crosses
     x=0 at depth fp images to the centre only when focal_plane = fp."""
