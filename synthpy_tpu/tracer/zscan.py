@@ -413,7 +413,8 @@ def _seg_deriv(u, corners, k, f, ia0, ib0, origin_ab, inv_ab, shape_ab,
 
 
 @partial(jax.jit, static_argnames=("layout", "K", "n_seg", "shape_ab",
-                                   "substeps", "atten_sign", "ray_chunk"))
+                                   "substeps", "atten_sign", "ray_chunk",
+                                   "unroll"))
 def trace_zscan_segments(
     u: jnp.ndarray,
     seg_planes: jnp.ndarray,
@@ -428,8 +429,15 @@ def trace_zscan_segments(
     substeps: int = 1,
     atten_sign: float = -1.0,
     ray_chunk: Optional[int] = None,
+    unroll: int = 2,
 ) -> jnp.ndarray:
-    """Gather-hoisted slab march over n_seg segments of K slabs each."""
+    """Gather-hoisted slab march over n_seg segments of K slabs each.
+
+    ``unroll`` unrolls the inner slab scan. The loop is compute-bound once
+    corners are hoisted; measured on v5e at 512^3/K=511/bf16/4M rays:
+    unroll=1 1.10, unroll=2 1.18, unroll=4 1.08 Mrays/s (identical
+    checksums) — hence the default of 2 (scratch/bench_unroll.py).
+    """
     na, nb = shape_ab
     C = seg_planes.shape[-1] // (K + 1)
     h = dp / substeps
@@ -475,7 +483,7 @@ def trace_zscan_segments(
                                                     dtype=uc.dtype))
                 return uc, None
 
-            uc, _ = jax.lax.scan(slab, uc, jnp.arange(K))
+            uc, _ = jax.lax.scan(slab, uc, jnp.arange(K), unroll=unroll)
             return uc, None
 
         out, _ = jax.lax.scan(segment, u0, jnp.arange(n_seg))
@@ -519,6 +527,7 @@ def solve_zscan_segments(
     pack: Optional[TracePack] = None,
     spack: Optional[SegmentPack] = None,
     ray_chunk: Optional[int] = None,
+    unroll: int = 2,
 ) -> TraceResult:
     """Gather-hoisted drop-in for solve_zscan (paraxial fast path)."""
     layout = layout_of(domain)
@@ -545,7 +554,8 @@ def solve_zscan_segments(
     uf = trace_zscan_segments(
         u, spack.seg_planes, spack.origin_ab, spack.inv_spacing_ab, dp,
         shape_ab=spack.shape_ab, layout=layout, K=K, n_seg=n_seg,
-        substeps=substeps, atten_sign=atten_sign, ray_chunk=ray_chunk)
+        substeps=substeps, atten_sign=atten_sign, ray_chunk=ray_chunk,
+        unroll=unroll)
     uf.block_until_ready()
     duration = time.perf_counter() - start
 
