@@ -57,15 +57,13 @@ def main():
         s = init_beam(key, int(args.chunk), 0.4 * ext, 0.0, domain.extent,
                       "circular")
         return {
-            "shadowgraphy": pipeline.run(
+            # one trace, three benches: pipeline.run with a tuple of
+            # diagnostics synthesises all detectors from the same exit
+            # state (~3x over per-diagnostic re-tracing)
+            **pipeline.run(
                 domain, s, spack=spack, solver="zscan_seg",
-                diagnostic="shadowgraphy", bins=bins),
-            "schlieren_df": pipeline.run(
-                domain, s, spack=spack, solver="zscan_seg",
-                diagnostic="schlieren_df", bins=bins),
-            "interferometry": pipeline.run(
-                domain, s, spack=spack, solver="zscan_seg",
-                diagnostic="interferometry", bins=bins),
+                diagnostic=("shadowgraphy", "schlieren_df",
+                            "interferometry"), bins=bins),
         }
 
     with timer.section("campaign"):

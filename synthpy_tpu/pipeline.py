@@ -61,20 +61,37 @@ DIAGNOSTICS = {
 
 def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
                    bins, lwl, L, R, Lx, Ly, focal_plane):
-    """Exit state -> optics -> detector (traced, shared by both solvers)."""
-    cls, method, coherent = DIAGNOSTICS[diagnostic]
+    """Exit state -> optics -> detector (traced, shared by both solvers).
+
+    ``diagnostic`` may be a tuple of names: the exit state is converted
+    ONCE and every bench/detector is synthesised from it, returning a
+    tuple of images. Multi-diagnostic campaigns trace each ray bundle a
+    single time instead of once per diagnostic (the reference re-traces,
+    pvti_trace_mpi.py:144-170).
+    """
+    names = (diagnostic,) if isinstance(diagnostic, str) else diagnostic
+    any_coherent = any(DIAGNOSTICS[n][2] for n in names)
     rf, Jf = ray_to_Jonesvector(sf, probing_depth,
                                 probing_direction=probing_direction,
-                                return_E=coherent)
-    diag = cls(lwl, rf, Jf, focal_plane=focal_plane, L=L, R=R, Lx=Lx, Ly=Ly)
-    getattr(diag, method)()
-    if coherent:
-        return complex_histogram(diag.rf[0, :], diag.rf[2, :],
-                                 diag.Jf[0, :], diag.Jf[1, :],
-                                 bins[0] + 1, bins[1] + 1, Lx, Ly)
-    H, _, _ = histogram2d(diag.rf[0, :], diag.rf[2, :], bins,
-                          ((-Lx / 2, Lx / 2), (-Ly / 2, Ly / 2)))
-    return H
+                                return_E=any_coherent)
+    images = []
+    for name in names:
+        cls, method, coherent = DIAGNOSTICS[name]
+        diag = cls(lwl, rf, Jf if coherent else None,
+                   focal_plane=focal_plane, L=L, R=R, Lx=Lx, Ly=Ly)
+        getattr(diag, method)()
+        if coherent:
+            images.append(complex_histogram(
+                diag.rf[0, :], diag.rf[2, :], diag.Jf[0, :], diag.Jf[1, :],
+                bins[0] + 1, bins[1] + 1, Lx, Ly))
+        else:
+            H, _, _ = histogram2d(
+                diag.rf[0, :], diag.rf[2, :], bins,
+                ((-Lx / 2, Lx / 2), (-Ly / 2, Ly / 2)))
+            images.append(H)
+    if isinstance(diagnostic, str):
+        return images[0]
+    return tuple(images)
 
 
 @partial(jax.jit, static_argnames=(
@@ -208,6 +225,10 @@ def run(
     Pass a prebuilt ``zpack`` (make_zscan_pack) or ``spack``
     (make_segment_pack) to amortise pack construction across calls.
 
+    ``diagnostic`` may be a list/tuple of names: the bundle is traced
+    ONCE and every requested bench/detector is synthesised from the same
+    exit state; returns a dict {name: image}.
+
     ``critical_guard``: if a z-scan solver is requested but
     max(ne)/nc >= this fraction, fall back to the general time-domain
     tracer (which handles turning points / reflection physically) with a
@@ -217,6 +238,12 @@ def run(
     packs) — the caller owns the check in that case.
     """
     from synthpy_tpu.tracer.propagator import default_n_steps
+
+    multi = isinstance(diagnostic, (list, tuple))
+    diagnostic = tuple(diagnostic) if multi else diagnostic
+
+    def _out(res):
+        return dict(zip(diagnostic, res)) if multi else res
 
     if (critical_guard is not None and solver in ("zscan", "zscan_seg")
             and domain.ne is not None):
@@ -253,7 +280,7 @@ def run(
                 from synthpy_tpu.tracer.zscan import _auto_ray_chunk
 
                 ray_chunk = _auto_ray_chunk(spack)
-            return synth_image_zscan(
+            return _out(synth_image_zscan(
                 s0, spack.seg_planes, spack.origin_ab,
                 spack.inv_spacing_ab, depth, layout=layout,
                 n_slabs=n_slabs, p0=spack.p0, dp_static=spack.dp,
@@ -261,24 +288,24 @@ def run(
                 diagnostic=diagnostic, segmented=True, seg_K=spack.K,
                 shape_ab=spack.shape_ab,
                 probing_direction=domain.probing_direction, bins=bins,
-                ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs)
+                ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs))
         zp = zpack or make_zscan_pack(pack, layout,
                                       domain.probing_direction)
-        return synth_image_zscan(
+        return _out(synth_image_zscan(
             s0, zp.planes, zp.origin_ab, zp.inv_spacing_ab, depth,
             layout=layout, n_slabs=zp.planes.shape[0] - 1, p0=zp.p0,
             dp_static=zp.dp, substeps=max(int(round(steps_per_cell)), 1),
             diagnostic=diagnostic,
             probing_direction=domain.probing_direction, bins=bins,
-            ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs)
+            ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs))
 
     if n_steps is None:
         n_steps = default_n_steps(domain, probing_depth, steps_per_cell)
     s_rows = s0.T
     dt = jnp.asarray(jnp.sqrt(8.0) * probing_depth / C / n_steps,
                      dtype=s_rows.dtype)
-    return synth_image(
+    return _out(synth_image(
         s_rows, pack.channels, pack.origin, pack.inv_spacing, dt, depth,
         layout=layout, n_steps=n_steps, diagnostic=diagnostic,
         probing_direction=domain.probing_direction, bins=bins,
-        ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs)
+        ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs))
