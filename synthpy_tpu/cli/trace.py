@@ -42,7 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--diagnostic", default="shadowgraphy",
                    help="shadowgraphy | shadowgraphy_single | schlieren_df"
                         " | schlieren_lf | refractometry"
-                        " | refractometry_coherent | interferometry | none")
+                        " | refractometry_coherent | interferometry | none;"
+                        " a comma-separated list synthesises every named"
+                        " bench from ONE trace")
     p.add_argument("--solver", default="zscan_seg",
                choices=("zscan_seg", "zscan", "time"))
     p.add_argument("--bin-scale", type=int, default=8)
@@ -78,8 +80,9 @@ def main(argv=None) -> dict:
         domain = ScalarDomain(args.length, args.domain,
                               ne_type=args.ne_type,
                               probing_direction=args.probing)
-    coherent = args.diagnostic in ("interferometry",
-                                   "refractometry_coherent")
+    diags = tuple(d.strip() for d in args.diagnostic.split(",") if d.strip())
+    coherent = any(d in ("interferometry", "refractometry_coherent")
+                   for d in diags)
     domain.phaseshift = args.phaseshift or coherent
 
     ext = domain.extent
@@ -102,16 +105,21 @@ def main(argv=None) -> dict:
             save_rays(args.save_rays, np.asarray(res.rf))
     else:
         t1 = time.perf_counter()
-        H = pipeline.run(domain, s0, diagnostic=args.diagnostic,
-                         lwl=args.lwl,
-                         steps_per_cell=args.steps_per_cell,
-                         solver=args.solver,
-                         bins=(3448 // args.bin_scale,
-                               2574 // args.bin_scale))
-        H.block_until_ready()
+        out = pipeline.run(domain, s0,
+                           diagnostic=diags if len(diags) > 1 else diags[0],
+                           lwl=args.lwl,
+                           steps_per_cell=args.steps_per_cell,
+                           solver=args.solver,
+                           bins=(3448 // args.bin_scale,
+                                 2574 // args.bin_scale))
+        if len(diags) == 1:
+            out = {diags[0]: out}
+        jax.block_until_ready(out)
+        H = out[diags[-1]]
         trace_s = time.perf_counter() - t1
         if args.output:
-            save_histograms(args.output, **{args.diagnostic: np.asarray(H)})
+            save_histograms(args.output,
+                            **{k: np.asarray(v) for k, v in out.items()})
 
     summary = {
         "domain": domain.dims,

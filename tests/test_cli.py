@@ -37,6 +37,20 @@ def test_trace_cli_analytic_interferometry(tmp_path):
     assert res["image_sum"] > 0
 
 
+def test_trace_cli_multi_diagnostic(tmp_path):
+    out = str(tmp_path / "multi")
+    res = trace_cli.main([
+        "-d", "24", "-r", "3000", "--ne-type", "test_lens",
+        "--diagnostic", "shadowgraphy,schlieren_df,interferometry",
+        "--bin-scale", "64", "-o", out])
+    assert res["image_sum"] is not None
+    h = load_histograms(out + ".npz")
+    assert sorted(h) == ["interferometry", "schlieren_df", "shadowgraphy"]
+    assert h["shadowgraphy"].sum() == 3000.0
+    for v in h.values():
+        assert v.shape == (2574 // 64, 3448 // 64)
+
+
 def test_trace_cli_no_diagnostic(tmp_path):
     rays_file = str(tmp_path / "rays.npy")
     res = trace_cli.main([
