@@ -309,3 +309,120 @@ def run(
         layout=layout, n_steps=n_steps, diagnostic=diagnostic,
         probing_direction=domain.probing_direction, bins=bins,
         ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs))
+
+
+def run_split(
+    domain: ScalarDomain,
+    s0: jnp.ndarray,
+    *,
+    lwl: float = 1064e-9,
+    critical_frac: float = 0.85,
+    margin_cells: int = 4,
+    pad_to: int = 65536,
+    **kwargs,
+):
+    """Mixed-bundle solve for fields with LOCALIZED overcritical regions.
+
+    The critical-density guard in :func:`run` is all-or-nothing: one
+    overcritical filament forces the whole bundle onto the slow
+    time-domain tracer. ``run_split`` routes rays individually: the
+    electron density is reduced to a transverse map of its maximum along
+    the probing axis, dilated by ``margin_cells`` (paraxial rays drift
+    ~1e-3 cells per slab, so a few cells of margin is generous); rays
+    whose entry column stays below ``critical_frac * nc`` trace on the
+    fast z-scan path, the rest on the general time tracer (which
+    reflects at ne = nc). The two detector histograms add exactly
+    (incoherent counts and coherent complex sums are both linear in
+    rays). No reference equivalent — it silently mis-traces overcritical
+    fields.
+
+    Each partition is padded up to a multiple of ``pad_to`` rays (pad
+    rays enter at 1e9 m transverse: they free-fly outside the grid and
+    fall outside every detector), so repeated calls reuse at most a few
+    compiled program shapes.
+
+    Coherent diagnostics: partition images are per-pixel AMPLITUDES (the
+    reference's histogram_legacy convention), so adding them drops
+    cross-partition interference — the same approximation the reference
+    makes when MPI-summing per-rank interferograms
+    (interference_MPI.py:190-204). Additionally the two integrators
+    accumulate hundreds of radians of phase and differ at the ~1e-3
+    level, so mixed-bundle fringe patterns are solver-sensitive;
+    run_split warns and quantitative coherent work on overcritical
+    fields should use solver="time" for the whole bundle.
+
+    Returns the same type as :func:`run` (image, or dict for a
+    multi-diagnostic tuple).
+    """
+    import numpy as np
+
+    from synthpy_tpu import constants
+
+    diag = kwargs.get("diagnostic", "shadowgraphy")
+    names = (diag,) if isinstance(diag, str) else tuple(diag)
+    if any(DIAGNOSTICS[nm][2] for nm in names):
+        import warnings
+
+        warnings.warn(
+            "run_split adds per-partition coherent AMPLITUDE images "
+            "(reference MPI-sum convention): cross-partition interference "
+            "is dropped and mixed-solver fringes are phase-sensitive. Use "
+            "solver='time' on the full bundle for quantitative coherent "
+            "work.", stacklevel=2)
+
+    if domain.ne is None:
+        raise RuntimeError("run_split needs the domain's ne grid")
+    nc = float(constants.critical_density(constants.omega_from_lwl(lwl)))
+    p_ax = _AXIS_OF[domain.probing_direction]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+
+    @jax.jit
+    def column_mask(ne):
+        col = jnp.max(ne, axis=p_ax)  # (na, nb) transverse max
+        m = margin_cells
+        col = jax.lax.reduce_window(
+            col, -jnp.inf, jax.lax.max,
+            window_dimensions=(2 * m + 1, 2 * m + 1),
+            window_strides=(1, 1), padding="SAME")
+        return col >= critical_frac * nc
+
+    mask = np.asarray(column_mask(domain.ne))
+    coords = (domain.x, domain.y, domain.z)
+    ca = np.asarray(coords[a_ax])
+    cb = np.asarray(coords[b_ax])
+    s_np = np.asarray(s0)
+    ia = np.clip(np.rint((s_np[a_ax] - ca[0]) / (ca[1] - ca[0])
+                         ).astype(np.int64), 0, len(ca) - 1)
+    ib = np.clip(np.rint((s_np[b_ax] - cb[0]) / (cb[1] - cb[0])
+                         ).astype(np.int64), 0, len(cb) - 1)
+    slow = mask[ia, ib]
+
+    def _pad(cols):
+        n = cols.shape[1]
+        if n == 0:
+            return None
+        total = -(-n // pad_to) * pad_to
+        if total == n:
+            return jnp.asarray(cols)
+        pad = np.repeat(cols[:, :1], total - n, axis=1)
+        pad[a_ax] = 1e9       # off-grid, off-detector
+        pad[b_ax] = 1e9
+        return jnp.asarray(np.concatenate([cols, pad], axis=1))
+
+    fast = _pad(s_np[:, ~slow])
+    slow_rays = _pad(s_np[:, slow])
+
+    out = None
+    if fast is not None:
+        out = run(domain, fast, solver="zscan_seg", lwl=lwl,
+                  critical_guard=None, **kwargs)
+    if slow_rays is not None:
+        out_t = run(domain, slow_rays, solver="time", lwl=lwl,
+                    critical_guard=None, **kwargs)
+        if out is None:
+            out = out_t
+        elif isinstance(out, dict):
+            out = {k: out[k] + out_t[k] for k in out}
+        else:
+            out = out + out_t
+    return out

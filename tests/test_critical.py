@@ -88,3 +88,54 @@ def test_guard_silent_below_threshold():
         img = pipeline.run(d, s0, solver="zscan", lwl=LWL, bins=(16, 12))
     assert not [w for w in rec if "critical" in str(w.message)]
     assert np.asarray(img).sum() > 0
+
+
+def test_run_split_mixed_bundle():
+    """Localized overcritical filament: run_split routes only the rays
+    that hit it onto the time tracer and matches a full-time solve."""
+    n = 41
+    d = ScalarDomain(2 * EXT, n)
+    x = np.asarray(d.z)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    r2 = X**2 + Y**2
+    prof = (2.0 * NC * np.exp(-r2 / (0.6e-3) ** 2)
+            + 5e24 * np.exp(-r2 / (2e-3) ** 2))
+    d.external_ne(np.broadcast_to(prof[:, :, None], (n, n, n)).copy())
+    s0 = init_beam(jax.random.PRNGKey(7), 20000, 3e-3, 0.0, EXT, "circular")
+    img_split = np.asarray(pipeline.run_split(d, s0, bins=(24, 18),
+                                              pad_to=4096, seg_K=8))
+    img_time = np.asarray(pipeline.run(d, s0, solver="time",
+                                       critical_guard=None, bins=(24, 18)))
+    assert np.isfinite(img_split).all()
+    # counts agree to well under 1% (fast-set zscan vs time bin flips only)
+    rel = np.abs(img_split - img_time).sum() / img_time.sum()
+    assert rel < 0.01, rel
+
+
+def test_run_split_subcritical_is_exact_fast_path():
+    d = ScalarDomain(2 * EXT, 21, dtype=jnp.float64).test_lens(5e24, 1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(8), 4096, 1.5e-3, 0.0, EXT, "circular")
+    a = np.asarray(pipeline.run_split(d, s0, bins=(16, 12), pad_to=4096,
+                                      seg_K=8))
+    b = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                critical_guard=None, bins=(16, 12)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_run_split_fully_overcritical_uses_time_path():
+    d = overcritical_domain(n=31, peak=1.5, dtype=jnp.float32)
+    s0 = init_beam(jax.random.PRNGKey(9), 2048, 1e-3, 0.0, EXT, "circular")
+    a = np.asarray(pipeline.run_split(d, s0, bins=(16, 12), pad_to=2048))
+    b = np.asarray(pipeline.run(d, s0, solver="time", critical_guard=None,
+                                bins=(16, 12)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_run_split_warns_for_coherent():
+    d = overcritical_domain(n=21, peak=1.5, dtype=jnp.float32)
+    d.phaseshift = True
+    s0 = init_beam(jax.random.PRNGKey(10), 1024, 1e-3, 0.0, EXT, "circular")
+    with pytest.warns(UserWarning, match="AMPLITUDE"):
+        out = pipeline.run_split(d, s0, bins=(16, 12), pad_to=1024,
+                                 diagnostic="interferometry")
+    assert np.isfinite(np.asarray(out)).all()
