@@ -412,6 +412,51 @@ def _seg_deriv(u, corners, k, f, ia0, ib0, origin_ab, inv_ab, shape_ab,
         [va * inv_vp, vb * inv_vp, G, d_amp, d_phase, d_pol], axis=1)
 
 
+def _seg_deriv_cols(cols, corners, k, f, ia0, ib0, origin_ab, inv_ab,
+                    shape_ab, layout: ChannelLayout, atten_sign: float,
+                    C: int):
+    """Columnized du/dp: tuple state in, tuple derivative out.
+
+    Same arithmetic as :func:`_seg_deriv` but on a tuple of (N,) columns
+    instead of an (N, 8) matrix: the derivative needs no ``concatenate``
+    and every RK4 combination is a fusable elementwise chain. Profiling
+    one 262k-ray chunk at 512^3 showed the matrix form spending 28% of
+    the slab loop in concatenates alone (scratch/profile_seg.py).
+    """
+    na, nb = shape_ab
+    a, b, va, vb, vp, amp, ph, pol = cols
+    ta = (a - origin_ab[0]) * inv_ab[0]
+    tb = (b - origin_ab[1]) * inv_ab[1]
+    inside = (ta >= 0) & (ta <= na - 1) & (tb >= 0) & (tb <= nb - 1)
+    fa = jnp.clip(ta - ia0, 0.0, 1.0)[:, None]
+    fb = jnp.clip(tb - ib0, 0.0, 1.0)[:, None]
+
+    def val(c):
+        win = jax.lax.dynamic_slice_in_dim(c, k, 2, axis=1).astype(a.dtype)
+        return (1.0 - f) * win[:, 0, :] + f * win[:, 1, :]
+
+    c00, c01, c10, c11 = corners
+    vals = ((1 - fa) * (1 - fb) * val(c00) + (1 - fa) * fb * val(c01)
+            + fa * (1 - fb) * val(c10) + fa * fb * val(c11))
+    vals = jnp.where(inside[:, None], vals, 0.0)
+
+    inv_vp = 1.0 / vp
+    zeros = jnp.zeros_like(a)
+    d_amp = (atten_sign * vals[:, layout.kappa_index] * amp * inv_vp
+             if layout.inv_brems else zeros)
+    d_phase = (vals[:, layout.phase_index] * inv_vp
+               if layout.phaseshift else zeros)
+    if layout.B_on:
+        fi = layout.faraday_index
+        d_pol = (vals[:, fi] * va + vals[:, fi + 1] * vb
+                 + vals[:, fi + 2] * vp) * inv_vp
+    else:
+        d_pol = zeros
+    return (va * inv_vp, vb * inv_vp, vals[:, 0] * inv_vp,
+            vals[:, 1] * inv_vp, vals[:, 2] * inv_vp, d_amp, d_phase,
+            d_pol)
+
+
 @partial(jax.jit, static_argnames=("layout", "K", "n_seg", "shape_ab",
                                    "substeps", "atten_sign", "ray_chunk",
                                    "unroll"))
@@ -459,31 +504,40 @@ def trace_zscan_segments(
             ia0f = ia0.astype(uc.dtype)
             ib0f = ib0.astype(uc.dtype)
 
-            def slab(uc, k):
-                def stage(uu, f):
-                    return _seg_deriv(uu, corners, k, f, ia0f, ib0f,
-                                      origin_ab, inv_ab, shape_ab, layout,
-                                      atten_sign, C)
+            def slab(cols, k):
+                def stage(cc, f):
+                    return _seg_deriv_cols(cc, corners, k, f, ia0f, ib0f,
+                                           origin_ab, inv_ab, shape_ab,
+                                           layout, atten_sign, C)
 
-                def substep(uc, j):
+                def substep(cols, j):
                     f0 = j / substeps
                     fh = (j + 0.5) / substeps
                     f1 = (j + 1.0) / substeps
-                    k1 = stage(uc, f0)
-                    k2 = stage(uc + 0.5 * h * k1, fh)
-                    k3 = stage(uc + 0.5 * h * k2, fh)
-                    k4 = stage(uc + h * k3, f1)
-                    return uc + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
+                    k1 = stage(cols, f0)
+                    k2 = stage(tuple(u + 0.5 * h * kv
+                                     for u, kv in zip(cols, k1)), fh)
+                    k3 = stage(tuple(u + 0.5 * h * kv
+                                     for u, kv in zip(cols, k2)), fh)
+                    k4 = stage(tuple(u + h * kv
+                                     for u, kv in zip(cols, k3)), f1)
+                    return tuple(
+                        u + (h / 6.0) * (a + 2 * b2 + 2 * c2 + d2)
+                        for u, a, b2, c2, d2
+                        in zip(cols, k1, k2, k3, k4)), None
 
                 if substeps == 1:
-                    uc, _ = substep(uc, 0.0)
+                    cols, _ = substep(cols, 0.0)
                 else:
-                    uc, _ = jax.lax.scan(substep, uc,
-                                         jnp.arange(substeps,
-                                                    dtype=uc.dtype))
-                return uc, None
+                    cols, _ = jax.lax.scan(
+                        substep, cols,
+                        jnp.arange(substeps, dtype=cols[0].dtype))
+                return cols, None
 
-            uc, _ = jax.lax.scan(slab, uc, jnp.arange(K), unroll=unroll)
+            cols = tuple(uc[:, i] for i in range(8))
+            cols, _ = jax.lax.scan(slab, cols, jnp.arange(K),
+                                   unroll=unroll)
+            uc = jnp.stack(cols, axis=1)
             return uc, None
 
         out, _ = jax.lax.scan(segment, u0, jnp.arange(n_seg))
