@@ -422,6 +422,10 @@ def _seg_deriv_cols(cols, corners, k, f, ia0, ib0, origin_ab, inv_ab,
     and every RK4 combination is a fusable elementwise chain. Profiling
     one 262k-ray chunk at 512^3 showed the matrix form spending 28% of
     the slab loop in concatenates alone (scratch/profile_seg.py).
+
+    corners stay FLAT as gathered, (N, (K+1)*C): planes k and k+1 are one
+    contiguous 2C block, so no (N, K+1, C) reshape copy is ever
+    materialised (the reshape cost 4 x 6 ms per 262k-ray chunk — 19%).
     """
     na, nb = shape_ab
     a, b, va, vb, vp, amp, ph, pol = cols
@@ -432,8 +436,9 @@ def _seg_deriv_cols(cols, corners, k, f, ia0, ib0, origin_ab, inv_ab,
     fb = jnp.clip(tb - ib0, 0.0, 1.0)[:, None]
 
     def val(c):
-        win = jax.lax.dynamic_slice_in_dim(c, k, 2, axis=1).astype(a.dtype)
-        return (1.0 - f) * win[:, 0, :] + f * win[:, 1, :]
+        win = jax.lax.dynamic_slice_in_dim(c, k * C, 2 * C,
+                                           axis=1).astype(a.dtype)
+        return (1.0 - f) * win[:, :C] + f * win[:, C:]
 
     c00, c01, c10, c11 = corners
     vals = ((1 - fa) * (1 - fb) * val(c00) + (1 - fa) * fb * val(c01)
@@ -496,10 +501,10 @@ def trace_zscan_segments(
             ia0 = jnp.clip(jnp.floor(ta).astype(jnp.int32), 0, na - 2)
             ib0 = jnp.clip(jnp.floor(tb).astype(jnp.int32), 0, nb - 2)
             base = ia0 * nb + ib0
-            shape = (-1, K + 1, C)
+            # corners stay flat (N, (K+1)*C): _seg_deriv_cols slices 2C
+            # blocks, so the gathered rows are never reshape-copied
             corners = tuple(
-                jnp.take(seg, base + off, axis=0, mode="clip"
-                         ).reshape(shape)
+                jnp.take(seg, base + off, axis=0, mode="clip")
                 for off in (0, 1, nb, nb + 1))
             ia0f = ia0.astype(uc.dtype)
             ib0f = ib0.astype(uc.dtype)
