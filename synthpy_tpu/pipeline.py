@@ -202,6 +202,23 @@ def synth_image_zscan(
         Lx=Lx, Ly=Ly, focal_plane=focal_plane)
 
 
+def _pad_ray_cols(s0: jnp.ndarray, multiple: int, a_ax: int,
+                  b_ax: int) -> jnp.ndarray:
+    """Pad a (9, Np) bundle up to a multiple of ``multiple`` rays.
+
+    Pad rays are copies of ray 0 displaced to 1e9 m transverse: they
+    free-fly outside the grid (interp fill value 0) and land outside every
+    detector bin, so the padded image is exactly the unpadded one.
+    """
+    Np = s0.shape[1]
+    total = -(-Np // multiple) * multiple
+    if total == Np:
+        return s0
+    pad = jnp.repeat(s0[:, :1], total - Np, axis=1)
+    pad = pad.at[a_ax].set(1e9).at[b_ax].set(1e9)
+    return jnp.concatenate([s0, pad], axis=1)
+
+
 def run(
     domain: ScalarDomain,
     s0: jnp.ndarray,
@@ -218,6 +235,8 @@ def run(
     bins: Tuple[int, int] = (431, 321),
     ray_chunk: Optional[int] = None,
     critical_guard: Optional[float] = 0.85,
+    mesh=None,
+    ray_axis: str = "rays",
     **bench_kwargs,
 ) -> jnp.ndarray:
     """Convenience wrapper: pack the domain and run the fused pipeline.
@@ -236,6 +255,15 @@ def run(
     ill-conditioned near critical surfaces. None disables the check; it
     is skipped automatically when ``domain.ne`` has been freed (prebuilt
     packs) — the caller owns the check in that case.
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``ray_axis`` axis. The
+    bundle is padded (with off-grid, off-detector rays — image-exact) to
+    a multiple of the axis size and split across it; the field pack is
+    replicated; GSPMD partitions the fused trace+optics+detector program
+    so each device traces its ray shard and the detector scatter-add is
+    reduced with one psum over ICI. This is the one-call replacement for
+    the reference's MPI flow (rank-split bundles + comm.reduce of
+    histograms, pvti_trace_mpi.py:144-170).
     """
     from synthpy_tpu.tracer.propagator import default_n_steps
 
@@ -267,6 +295,21 @@ def run(
     s0 = jnp.asarray(s0)
     depth = jnp.asarray(probing_depth, s0.dtype)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        p_ax = _AXIS_OF[domain.probing_direction]
+        a_ax, b_ax = [a for a in range(3) if a != p_ax]
+        s0 = _pad_ray_cols(s0, mesh.shape[ray_axis], a_ax, b_ax)
+        s0 = jax.device_put(s0, NamedSharding(mesh, P(None, ray_axis)))
+        _repl_sharding = NamedSharding(mesh, P())
+
+        def _repl(x):
+            return jax.device_put(x, _repl_sharding)
+    else:
+        def _repl(x):
+            return x
+
     seg_K = bench_kwargs.pop("seg_K", 64)
     if solver in ("zscan", "zscan_seg"):
         if solver == "zscan_seg":
@@ -276,13 +319,15 @@ def run(
                 spack = make_segment_pack(
                     zp, K=min(seg_K, zp.planes.shape[0] - 1))
             n_slabs = spack.seg_planes.shape[0] * spack.K
-            if ray_chunk is None:
+            if ray_chunk is None and mesh is None:
+                # Under a mesh, HBM pressure is divided across devices and
+                # in-program chunking would fight GSPMD's ray partition.
                 from synthpy_tpu.tracer.zscan import _auto_ray_chunk
 
                 ray_chunk = _auto_ray_chunk(spack)
             return _out(synth_image_zscan(
-                s0, spack.seg_planes, spack.origin_ab,
-                spack.inv_spacing_ab, depth, layout=layout,
+                s0, _repl(spack.seg_planes), _repl(spack.origin_ab),
+                _repl(spack.inv_spacing_ab), depth, layout=layout,
                 n_slabs=n_slabs, p0=spack.p0, dp_static=spack.dp,
                 substeps=max(int(round(steps_per_cell)), 1),
                 diagnostic=diagnostic, segmented=True, seg_K=spack.K,
@@ -292,7 +337,8 @@ def run(
         zp = zpack or make_zscan_pack(pack, layout,
                                       domain.probing_direction)
         return _out(synth_image_zscan(
-            s0, zp.planes, zp.origin_ab, zp.inv_spacing_ab, depth,
+            s0, _repl(zp.planes), _repl(zp.origin_ab),
+            _repl(zp.inv_spacing_ab), depth,
             layout=layout, n_slabs=zp.planes.shape[0] - 1, p0=zp.p0,
             dp_static=zp.dp, substeps=max(int(round(steps_per_cell)), 1),
             diagnostic=diagnostic,
@@ -305,7 +351,8 @@ def run(
     dt = jnp.asarray(jnp.sqrt(8.0) * probing_depth / C / n_steps,
                      dtype=s_rows.dtype)
     return _out(synth_image(
-        s_rows, pack.channels, pack.origin, pack.inv_spacing, dt, depth,
+        s_rows, _repl(pack.channels), _repl(pack.origin),
+        _repl(pack.inv_spacing), dt, depth,
         layout=layout, n_steps=n_steps, diagnostic=diagnostic,
         probing_direction=domain.probing_direction, bins=bins,
         ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs))

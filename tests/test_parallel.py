@@ -220,3 +220,40 @@ def test_pipelined_segment_tracer_matches_single_device():
     out = np.asarray(tracer(chunks, sp.seg_planes, sp.origin_ab,
                             sp.inv_spacing_ab, dp)).reshape(192, 8)
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-8)
+
+
+def test_pipeline_run_mesh_equals_single_device():
+    """One-call mesh mode: pipeline.run(mesh=...) == unsharded run.
+
+    Ray count deliberately NOT a multiple of 8 to exercise the off-grid
+    padding (image-exact). Replaces the reference MPI flow
+    (pvti_trace_mpi.py:144-170) with a single call.
+    """
+    d = ScalarDomain(2 * EXT, 25).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(14), 1001, 2e-3, 0.0, EXT, "circular")
+    ref = np.asarray(pipeline.run(d, s0, solver="zscan_seg", bins=(54, 40),
+                                  seg_K=8))
+    mesh = ray_mesh()
+    out = np.asarray(pipeline.run(d, s0, solver="zscan_seg", bins=(54, 40),
+                                  seg_K=8, mesh=mesh))
+    assert out.sum() == ref.sum()
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_run_mesh_coherent_and_time():
+    """Mesh mode covers the coherent detector (complex psum) and the
+    time-domain tracer path too."""
+    d = ScalarDomain(2 * EXT, 17).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    s0 = init_beam(jax.random.PRNGKey(15), 500, 2e-3, 0.0, EXT, "circular")
+    mesh = ray_mesh()
+    for solver in ("zscan", "time"):
+        ref = pipeline.run(d, s0, solver=solver, bins=(30, 22),
+                           diagnostic=("shadowgraphy", "interferometry"))
+        out = pipeline.run(d, s0, solver=solver, bins=(30, 22),
+                           diagnostic=("shadowgraphy", "interferometry"),
+                           mesh=mesh)
+        for k in ref:
+            np.testing.assert_allclose(np.asarray(out[k]),
+                                       np.asarray(ref[k]),
+                                       rtol=1e-5, atol=1e-5)
