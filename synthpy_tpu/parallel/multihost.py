@@ -7,16 +7,40 @@ histograms, jax.distributed connects the hosts, each host initialises only
 its local shard of the ray bundle, and GSPMD/psum handles every reduction
 in-graph over ICI/DCN.
 
-Single-host runs work unchanged (init is a no-op when jax.process_count()
-is 1), which is how the unit tests exercise the seed/split logic.
+Single-host runs work unchanged (init is a no-op when no distributed
+environment is detected), which is how the unit tests exercise the
+seed/split logic; tests/test_observe_multihost.py additionally spawns a
+real two-process jax.distributed cluster on CPU.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Environment markers that indicate this process is one rank of a
+# multi-process job (TPU pod runtime, SLURM, Open MPI / MPICH launchers).
+# jax.distributed.initialize() auto-detects the specifics for each.
+_DIST_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "CLOUD_TPU_TASK_ID",
+    "SLURM_JOB_NUM_NODES",
+    "OMPI_COMM_WORLD_SIZE",
+    "PMI_SIZE",
+)
+
+
+def _distributed_env_detected() -> bool:
+    if any(os.environ.get(v) for v in _DIST_ENV_VARS):
+        return True
+    # TPU_WORKER_HOSTNAMES with a single entry is a one-worker attachment
+    # (e.g. a tunnel-attached single chip), not a multi-process job.
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hosts.split(",") if h.strip()]) > 1
 
 
 def initialize(coordinator_address: Optional[str] = None,
@@ -24,20 +48,38 @@ def initialize(coordinator_address: Optional[str] = None,
                process_id: Optional[int] = None) -> None:
     """Connect this process to the distributed system.
 
-    With no arguments, relies on the TPU environment's auto-bootstrap
-    (the moral equivalent of mpiexec's rank wiring, simTraceMPI.sh:14).
+    With no arguments, relies on the TPU/cluster environment's
+    auto-bootstrap (the moral equivalent of mpiexec's rank wiring,
+    simTraceMPI.sh:14) and is a no-op when no distributed environment is
+    detected. Decision uses ONLY env-var presence — jax forbids touching
+    the backend (e.g. jax.process_count()) before
+    jax.distributed.initialize() on real multi-host slices, so no jax
+    device/process query happens on the path to the initialize call.
+    Idempotent: repeated calls return immediately once connected.
     """
-    if jax.process_count() > 1:
-        return  # already initialised
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
+        return  # already initialised (no backend touch in this check)
+    explicit = coordinator_address is not None
+    if not explicit and not _distributed_env_detected():
+        return  # single-process run: leave jax untouched
     kwargs = {}
-    if coordinator_address is not None:
+    if explicit:
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
-    try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process run: nothing to connect
-        pass
+        return
+    try:
+        jax.distributed.initialize()
+    except ValueError:
+        # a cluster marker was present but auto-detection could not
+        # resolve a coordinator (e.g. partial env) — stay single-process
+        import warnings
+
+        warnings.warn(
+            "distributed env markers present but jax auto-detection "
+            "failed; continuing single-process", stacklevel=2)
 
 
 def local_ray_slice(total_rays: int) -> Tuple[int, int]:

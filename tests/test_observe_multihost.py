@@ -59,3 +59,42 @@ def test_parse_hpc_error():
                'File x\\nValueError: boom"}\nfooter')
     out = parse_hpc_error(wrapped)
     assert "ValueError: boom" in out and "\\n" not in out
+
+
+def test_multihost_two_process_cpu():
+    """Real two-process jax.distributed cluster on CPU: initialize() wires
+    both ranks (env-free explicit coordinator), global arrays assemble
+    across processes, and a cross-process reduction returns the right sum.
+    Replaces the reference's mpiexec wiring (simTraceMPI.sh:14)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)]
+    outs = []
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=180)
+        outs.append(out)
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+    assert "WORKER_OK 0" in outs[0]
+    assert "WORKER_OK 1" in outs[1]
+
+
+def test_multihost_initialize_noop_without_env(monkeypatch):
+    """No coordinator arg + no cluster env vars -> initialize leaves jax
+    alone (and performs no backend query on the decision path)."""
+    for v in multihost._DIST_ENV_VARS + ("TPU_WORKER_HOSTNAMES",):
+        monkeypatch.delenv(v, raising=False)
+    multihost.initialize()  # must not raise, must not connect
+    from jax._src import distributed as _dist
+
+    assert _dist.global_state.client is None
