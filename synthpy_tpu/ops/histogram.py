@@ -75,6 +75,7 @@ def complex_histogram(
     y_edges_n: int,
     Lx: float,
     Ly: float,
+    convention: str = "legacy",
 ) -> jnp.ndarray:
     """Coherent detector: per-pixel complex Jones accumulation.
 
@@ -84,9 +85,15 @@ def complex_histogram(
     assigned by digitize(...)-1. Values left of the first edge or right of
     the last are dropped.
 
-    Returns:
-        H (y_pixels, x_pixels) float — sqrt(Re(ax)^2 + Re(ay)^2), the
-        interference amplitude the reference computes (diagnostics.py:377).
+    Conventions (both return H of shape (y_pixels, x_pixels), float):
+
+    * ``"legacy"`` — sqrt(Re(Σax)^2 + Re(Σay)^2), the amplitude the
+      reference computes (diagnostics.py:377). Only the real parts are
+      scattered (the reference scatters complex values then discards the
+      imaginary parts; here the wasted channels are never scattered).
+    * ``"intensity"`` — |Σax|^2 + |Σay|^2, the physically-standard
+      detector intensity (time-averaged Poynting flux of the coherent
+      pixel sum), which the reference does not offer.
     """
     npx = x_edges_n - 1
     npy = y_edges_n - 1
@@ -103,16 +110,24 @@ def complex_histogram(
     iy = jnp.clip(iy, 0, npy - 1)
 
     # Scatter real/imag as float channels: complex scatter-add is not
-    # implemented by the TPU backend, and one fused (N, 4) scatter is faster
-    # than four anyway.
-    chans = jnp.stack(
-        [jnp.real(Jx), jnp.imag(Jx), jnp.real(Jy), jnp.imag(Jy)], axis=-1
-    )
+    # implemented by the TPU backend, and one fused (N, C) scatter is faster
+    # than C separate ones anyway.
+    if convention == "legacy":
+        chans = jnp.stack([jnp.real(Jx), jnp.real(Jy)], axis=-1)
+    elif convention == "intensity":
+        chans = jnp.stack(
+            [jnp.real(Jx), jnp.imag(Jx), jnp.real(Jy), jnp.imag(Jy)],
+            axis=-1)
+    else:
+        raise ValueError(f"unknown convention {convention!r}; "
+                         "expected 'legacy' or 'intensity'")
     chans = jnp.where(valid[:, None], chans, 0.0)
-    acc = jnp.zeros((npy, npx, 4), dtype=chans.dtype).at[iy, ix].add(
-        chans, mode="drop"
-    )
-    return jnp.sqrt(acc[..., 0] ** 2 + acc[..., 2] ** 2)
+    acc = jnp.zeros((npy, npx, chans.shape[-1]),
+                    dtype=chans.dtype).at[iy, ix].add(chans, mode="drop")
+    if convention == "legacy":
+        return jnp.sqrt(acc[..., 0] ** 2 + acc[..., 1] ** 2)
+    return (acc[..., 0] ** 2 + acc[..., 1] ** 2
+            + acc[..., 2] ** 2 + acc[..., 3] ** 2)
 
 
 def deposit_cic(

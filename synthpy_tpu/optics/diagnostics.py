@@ -110,14 +110,20 @@ class Diagnostic:
         return self.H
 
     def coherent_histogram(self, bin_scale: int = 1, pix_x: int = 3448,
-                           pix_y: int = 2574, clear_mem: bool = False):
+                           pix_y: int = 2574, clear_mem: bool = False,
+                           convention: str = "legacy"):
         """Coherent complex-amplitude detector image (replaces
-        histogram_legacy, diagnostics.py:358-379)."""
+        histogram_legacy, diagnostics.py:358-379).
+
+        ``convention="legacy"`` reproduces the reference's
+        sqrt(Re^2+Re^2) amplitude (diagnostics.py:377);
+        ``"intensity"`` gives the physically-standard |sum a|^2."""
         if self.Jf is None:
             raise RuntimeError("coherent detector requires Jones vectors")
         self.H = complex_histogram(
             self.rf[0, :], self.rf[2, :], self.Jf[0, :], self.Jf[1, :],
-            pix_x // bin_scale, pix_y // bin_scale, self.Lx, self.Ly)
+            pix_x // bin_scale, pix_y // bin_scale, self.Lx, self.Ly,
+            convention=convention)
         if clear_mem:
             self.clear_rays()
         return self.H
@@ -232,7 +238,8 @@ class Refractometry(Diagnostic):
 
     def refractogram(self, bin_scale: int = 1, pix_x: int = 3448,
                      pix_y: int = 2574, clear_mem: bool = False,
-                     speckle_phase: float = 0.0, key=None):
+                     speckle_phase: float = 0.0, key=None,
+                     convention: str = "legacy"):
         """Coherent refractogram. ``speckle_phase`` adds the legacy
         +-sigma random per-ray phase (rtm_solver.py:359-364)."""
         if speckle_phase > 0.0:
@@ -243,7 +250,8 @@ class Refractometry(Diagnostic):
             ph = speckle_phase * jax.random.normal(key, self.Jf.shape[1:])
             self.Jf = self.Jf * jnp.exp(1.0j * ph)
         return self.coherent_histogram(bin_scale=bin_scale, pix_x=pix_x,
-                                       pix_y=pix_y, clear_mem=clear_mem)
+                                       pix_y=pix_y, clear_mem=clear_mem,
+                                       convention=convention)
 
     def fresnel_solve(self, z: Optional[float] = None, pad_factor: int = 2):
         """Full-wave hybrid: deposit per-ray amp/phase on the (x, y) grid,
@@ -358,6 +366,8 @@ class Interferometry(Diagnostic):
         return self.bkg_signal
 
     def interferogram(self, bin_scale: int = 1, pix_x: int = 3448,
-                      pix_y: int = 2574, clear_mem: bool = False):
+                      pix_y: int = 2574, clear_mem: bool = False,
+                      convention: str = "legacy"):
         return self.coherent_histogram(bin_scale=bin_scale, pix_x=pix_x,
-                                       pix_y=pix_y, clear_mem=clear_mem)
+                                       pix_y=pix_y, clear_mem=clear_mem,
+                                       convention=convention)

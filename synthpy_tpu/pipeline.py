@@ -60,7 +60,8 @@ DIAGNOSTICS = {
 
 
 def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
-                   bins, lwl, L, R, Lx, Ly, focal_plane):
+                   bins, lwl, L, R, Lx, Ly, focal_plane,
+                   coherent_convention="legacy"):
     """Exit state -> optics -> detector (traced, shared by both solvers).
 
     ``diagnostic`` may be a tuple of names: the exit state is converted
@@ -83,7 +84,8 @@ def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
         if coherent:
             images.append(complex_histogram(
                 diag.rf[0, :], diag.rf[2, :], diag.Jf[0, :], diag.Jf[1, :],
-                bins[0] + 1, bins[1] + 1, Lx, Ly))
+                bins[0] + 1, bins[1] + 1, Lx, Ly,
+                convention=coherent_convention))
         else:
             H, _, _ = histogram2d(
                 diag.rf[0, :], diag.rf[2, :], bins,
@@ -96,7 +98,8 @@ def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
 
 @partial(jax.jit, static_argnames=(
     "layout", "n_steps", "diagnostic", "probing_direction", "bins",
-    "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane"))
+    "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane",
+    "coherent_convention"))
 def synth_image(
     s_rows: jnp.ndarray,
     channels: jnp.ndarray,
@@ -117,6 +120,7 @@ def synth_image(
     Lx: float = 18.0,
     Ly: float = 13.5,
     focal_plane: float = 0.0,
+    coherent_convention: str = "legacy",
 ) -> jnp.ndarray:
     """Time-tracer pipeline on (Np, 9) ray rows. Returns (ny, nx) image."""
     sf_rows = trace_rk4(s_rows, channels, origin, inv_spacing, dt,
@@ -124,13 +128,15 @@ def synth_image(
     return _image_from_sf(
         sf_rows.T, probing_depth, diagnostic=diagnostic,
         probing_direction=probing_direction, bins=bins, lwl=lwl, L=L, R=R,
-        Lx=Lx, Ly=Ly, focal_plane=focal_plane)
+        Lx=Lx, Ly=Ly, focal_plane=focal_plane,
+        coherent_convention=coherent_convention)
 
 
 @partial(jax.jit, static_argnames=(
     "layout", "n_slabs", "substeps", "diagnostic", "probing_direction",
     "bins", "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane", "p0",
-    "dp_static", "sort_rays", "segmented", "seg_K", "shape_ab"))
+    "dp_static", "sort_rays", "segmented", "seg_K", "shape_ab",
+    "coherent_convention"))
 def synth_image_zscan(
     s0: jnp.ndarray,
     planes: jnp.ndarray,
@@ -157,6 +163,7 @@ def synth_image_zscan(
     Lx: float = 18.0,
     Ly: float = 13.5,
     focal_plane: float = 0.0,
+    coherent_convention: str = "legacy",
 ) -> jnp.ndarray:
     """z-scan pipeline on a (9, Np) initial state. Returns (ny, nx) image.
 
@@ -199,7 +206,8 @@ def synth_image_zscan(
     return _image_from_sf(
         sf, probing_depth, diagnostic=diagnostic,
         probing_direction=probing_direction, bins=bins, lwl=lwl, L=L, R=R,
-        Lx=Lx, Ly=Ly, focal_plane=focal_plane)
+        Lx=Lx, Ly=Ly, focal_plane=focal_plane,
+        coherent_convention=coherent_convention)
 
 
 def _pad_ray_cols(s0: jnp.ndarray, multiple: int, a_ax: int,

@@ -202,3 +202,25 @@ def test_grf_matches_with_matmul_dft():
         dft.force_matmul(False)
     np.testing.assert_allclose(np.asarray(f_matmul), np.asarray(f_native),
                                atol=2e-5)
+
+
+def test_complex_histogram_intensity_convention():
+    """intensity = |sum ax|^2 + |sum ay|^2 uses the imaginary channels the
+    legacy convention discards (reference diagnostics.py:377 discards
+    them too)."""
+    x = jnp.array([0.1, 0.1])
+    y = jnp.array([0.1, 0.1])
+    # two rays, same pixel, +/- 90 deg phases: legacy sees Re = 0,
+    # intensity sees |1j - 1j ... | correctly per component
+    Jx = jnp.array([1.0j, 1.0j])
+    Jy = jnp.array([1.0 + 0j, -1.0 + 0j])
+    Hleg = complex_histogram(x, y, Jx, Jy, 19, 15, 18.0, 13.5)
+    Hint = complex_histogram(x, y, Jx, Jy, 19, 15, 18.0, 13.5,
+                             convention="intensity")
+    assert float(np.abs(np.asarray(Hleg)).sum()) == 0.0  # Re parts all zero
+    # |2j|^2 + |0|^2 = 4
+    np.testing.assert_allclose(float(np.asarray(Hint).sum()), 4.0, rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        complex_histogram(x, y, Jx, Jy, 19, 15, 18.0, 13.5,
+                          convention="nope")
