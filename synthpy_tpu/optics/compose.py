@@ -11,7 +11,13 @@ edges) as separate masking stages. A full bench then becomes
 
 Elements are declared as ("lens", f1, f2) / ("travel", d) /
 ("aperture", R) / ("stop", R) / ("rect", Lx, Ly) /
-("knife", offset, axis, direction).
+("knife", offset, axis, direction), plus two coherent bookkeeping
+stages: ("phase",) advances the Jones phase by k*|transverse path| since
+the last checkpoint plane (the per-element propagate_E of the reference,
+diagnostics.py:505-524 — exactly equal because lenses and apertures do
+not move ray positions, so only travel segments contribute), and
+("mark",) resets the checkpoint without adding phase (for benches that
+skip the first travel's phase, like the coherent refractometer).
 """
 
 from __future__ import annotations
@@ -70,15 +76,27 @@ def compose(elements: Sequence[Tuple]) -> List[Tuple]:
 
 
 def apply_stages(r: jnp.ndarray, stages: Sequence[Tuple],
-                 E: jnp.ndarray | None = None):
-    """Apply a composed stage list to (4, N) rays (jit-safe).
+                 E: jnp.ndarray | None = None,
+                 wavelength: float | None = None):
+    """Apply a composed stage list to (4, N) rays [mm] (jit-safe).
 
     Returns rays (and Jones vectors if given; filters NaN both).
+    ``wavelength`` [m] is required when the stage list contains
+    ("phase",) checkpoints.
     """
+    r_mark = r
     for st in stages:
         kind = st[0]
         if kind == "matrix":
             r = jnp.asarray(st[1], r.dtype) @ r
+        elif kind == "mark":
+            r_mark = r
+        elif kind == "phase":
+            k = 2.0 * jnp.pi / wavelength
+            dx = (r[0, :] - r_mark[0, :]) * 1e-3  # mm -> m
+            dy = (r[2, :] - r_mark[2, :]) * 1e-3
+            E = E * jnp.exp(1.0j * k * jnp.sqrt(dx**2 + dy**2))
+            r_mark = r
         elif kind == "aperture":
             if E is not None:
                 r, E = rtm.circular_aperture(r, st[1], E=E)
@@ -95,6 +113,19 @@ def apply_stages(r: jnp.ndarray, stages: Sequence[Tuple],
     if E is not None:
         return r, E
     return r
+
+
+def interfere_ref_beam(r_mm: jnp.ndarray, Jf: jnp.ndarray,
+                       n_fringes: float, deg: float) -> jnp.ndarray:
+    """Add the tilted plane-wave reference to the y polarisation
+    (free-function twin of Interferometry.interfere_ref_beam; reference
+    diagnostics.py:559-581 with its deg >= 45 flip)."""
+    if deg >= 45:
+        deg = -abs(deg - 90)
+    rad = deg * jnp.pi / 180.0
+    ref = jnp.exp(2 * n_fringes / 3 * 1.0j
+                  * (jnp.cos(rad) * r_mm[0, :] + jnp.sin(rad) * r_mm[2, :]))
+    return Jf.at[1, :].add(ref)
 
 
 # -- declarative descriptions of the standard benches -----------------------
@@ -133,3 +164,57 @@ def refractometer(L: float = 400, R: float = 25,
         ("sym_lens", L / 2), ("travel", 3 * L / 2), ("rect", 15, 30),
         ("aperture", R), ("lens", L / 3, L / 2), ("travel", L),
     ])
+
+
+def schlieren_lf(L: float = 400, R: float = 25, aperture_R: float = 1,
+                 focal_plane: float = 0) -> List[Tuple]:
+    """Light-field schlieren: aperture at the focal plane passes only
+    undeflected rays (diagnostics.py:444-458)."""
+    return compose([
+        ("travel", L - focal_plane), ("aperture", R), ("sym_lens", L),
+        ("travel", L), ("aperture", aperture_R), ("travel", L),
+        ("aperture", R), ("sym_lens", L), ("travel", L),
+    ])
+
+
+def interferometry_two_lens(L: float = 400, R: float = 25,
+                            focal_plane: float = 0) -> List[Tuple]:
+    """M = 1 telescope with per-travel Jones phase advance (the
+    rtm_solver-louis InterferometryOptics train, composed numerically;
+    equals Interferometry.two_lens_solve because lenses and apertures do
+    not displace rays, so each ("phase",) sees exactly that travel's
+    transverse path)."""
+    return compose([
+        ("travel", L - focal_plane), ("phase",),
+        ("aperture", R),
+        ("sym_lens", L / 2), ("travel", 2 * L), ("phase",),
+        ("aperture", R),
+        ("sym_lens", L / 2), ("travel", L), ("phase",),
+    ])
+
+
+def refractometer_coherent(L: float = 400, R: float = 25,
+                           focal_plane: float = 0) -> List[Tuple]:
+    """Coherent imaging refractometer (diagnostics.py:505-524): no phase
+    over the first travel (the reference starts propagating after the
+    first aperture), then per-travel phase advance."""
+    return compose([
+        ("travel", 3 * L / 4 - focal_plane), ("mark",),
+        ("aperture", R),
+        ("sym_lens", L / 2), ("travel", 3 * L / 2), ("phase",),
+        ("aperture", R),
+        ("lens", L / 3, L / 2), ("travel", L), ("phase",),
+    ])
+
+
+# composed stage lists for every bench the fused pipeline offers,
+# keyed like pipeline.DIAGNOSTICS: name -> (builder, coherent)
+BENCHES = {
+    "shadowgraphy": (shadowgraphy_two_lens, False),
+    "shadowgraphy_single": (shadowgraphy_single_lens, False),
+    "schlieren_df": (schlieren_df, False),
+    "schlieren_lf": (schlieren_lf, False),
+    "refractometry": (refractometer, False),
+    "refractometry_coherent": (refractometer_coherent, True),
+    "interferometry": (interferometry_two_lens, True),
+}

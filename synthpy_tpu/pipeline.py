@@ -33,12 +33,18 @@ from synthpy_tpu.fields.domain import (
     peak_ne_over_nc,
 )
 from synthpy_tpu.ops.histogram import complex_histogram, histogram2d
+from synthpy_tpu.optics.compose import (
+    BENCHES,
+    apply_stages,
+    interfere_ref_beam,
+)
 from synthpy_tpu.optics.diagnostics import (
     Interferometry,
     Refractometry,
     Schlieren,
     Shadowgraphy,
 )
+from synthpy_tpu.optics.rtm import m_to_mm
 from synthpy_tpu.tracer.propagator import ray_to_Jonesvector, trace_rk4
 from synthpy_tpu.tracer.zscan import (
     _AXIS_OF,
@@ -71,24 +77,31 @@ def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
     pvti_trace_mpi.py:144-170).
     """
     names = (diagnostic,) if isinstance(diagnostic, str) else diagnostic
-    any_coherent = any(DIAGNOSTICS[n][2] for n in names)
+    any_coherent = any(BENCHES[n][1] for n in names)
     rf, Jf = ray_to_Jonesvector(sf, probing_depth,
                                 probing_direction=probing_direction,
                                 return_E=any_coherent)
+    r_mm = m_to_mm(rf)
     images = []
     for name in names:
-        cls, method, coherent = DIAGNOSTICS[name]
-        diag = cls(lwl, rf, Jf if coherent else None,
-                   focal_plane=focal_plane, L=L, R=R, Lx=Lx, Ly=Ly)
-        getattr(diag, method)()
+        builder, coherent = BENCHES[name]
+        # composed ABCD stages: every aperture-free run of elements is one
+        # folded 4x4 matmul (optics.compose; the reference composes these
+        # symbolically with sympy, rtm_solver-louis.py:185-271)
+        stages = builder(L=L, R=R, focal_plane=focal_plane)
         if coherent:
+            E = Jf
+            if name == "interferometry":
+                E = interfere_ref_beam(r_mm, E, 10, 20)
+            r_out, E_out = apply_stages(r_mm, stages, E=E, wavelength=lwl)
             images.append(complex_histogram(
-                diag.rf[0, :], diag.rf[2, :], diag.Jf[0, :], diag.Jf[1, :],
+                r_out[0, :], r_out[2, :], E_out[0, :], E_out[1, :],
                 bins[0] + 1, bins[1] + 1, Lx, Ly,
                 convention=coherent_convention))
         else:
+            r_out = apply_stages(r_mm, stages)
             H, _, _ = histogram2d(
-                diag.rf[0, :], diag.rf[2, :], bins,
+                r_out[0, :], r_out[2, :], bins,
                 ((-Lx / 2, Lx / 2), (-Ly / 2, Ly / 2)))
             images.append(H)
     if isinstance(diagnostic, str):
