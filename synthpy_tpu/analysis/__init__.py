@@ -6,3 +6,4 @@ from synthpy_tpu.analysis.fringes import (  # noqa: F401
     extract_phase,
     phase_difference,
 )
+from synthpy_tpu.analysis import memprof  # noqa: F401

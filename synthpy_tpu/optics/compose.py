@@ -166,6 +166,18 @@ def refractometer(L: float = 400, R: float = 25,
     ])
 
 
+def shadowgraphy_single_exp(L: float = 400, R: float = 25,
+                            detL: float = 400,
+                            focal_plane: float = 0) -> List[Tuple]:
+    """Single lens with variable detector arm (legacy
+    rtm_solver.py:216-222; object plane fixed at L, focal_plane unused —
+    kept in the signature for BENCHES uniformity)."""
+    return compose([
+        ("travel", L), ("aperture", R), ("sym_lens", L / 2),
+        ("travel", detL),
+    ])
+
+
 def schlieren_lf(L: float = 400, R: float = 25, aperture_R: float = 1,
                  focal_plane: float = 0) -> List[Tuple]:
     """Light-field schlieren: aperture at the focal plane passes only
@@ -212,6 +224,7 @@ def refractometer_coherent(L: float = 400, R: float = 25,
 BENCHES = {
     "shadowgraphy": (shadowgraphy_two_lens, False),
     "shadowgraphy_single": (shadowgraphy_single_lens, False),
+    "shadowgraphy_exp": (shadowgraphy_single_exp, False),
     "schlieren_df": (schlieren_df, False),
     "schlieren_lf": (schlieren_lf, False),
     "refractometry": (refractometer, False),

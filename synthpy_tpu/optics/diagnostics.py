@@ -167,6 +167,17 @@ class Shadowgraphy(Diagnostic):
         self.rf = travel(r6, self.L)
         return self.rf
 
+    def single_exp_solve(self, detL: float = 400):
+        """Single lens with a variable detector arm (M ~ detL/(L/2) - 1,
+        the real experimental layout; legacy rtm_solver.py:216-222). The
+        object plane sits at L (no focal_plane offset, matching the
+        legacy solver exactly)."""
+        r1 = travel(self.r0, self.L)
+        r2 = circular_aperture(r1, self.R)
+        r3 = sym_lens(r2, self.L / 2)
+        self.rf = travel(r3, detL)
+        return self.rf
+
     # default solve = the experimentally used single-lens system
     solve = single_lens_solve
 

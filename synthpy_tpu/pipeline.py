@@ -57,6 +57,7 @@ from synthpy_tpu.tracer.zscan import (
 DIAGNOSTICS = {
     "shadowgraphy": (Shadowgraphy, "two_lens_solve", False),
     "shadowgraphy_single": (Shadowgraphy, "single_lens_solve", False),
+    "shadowgraphy_exp": (Shadowgraphy, "single_exp_solve", False),
     "schlieren_df": (Schlieren, "DF_solve", False),
     "schlieren_lf": (Schlieren, "LF_solve", False),
     "refractometry": (Refractometry, "incoherent_solve", False),

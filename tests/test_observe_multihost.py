@@ -98,3 +98,22 @@ def test_multihost_initialize_noop_without_env(monkeypatch):
     from jax._src import distributed as _dist
 
     assert _dist.global_state.client is None
+
+
+def test_memprof_parses_real_dump(tmp_path):
+    """Write a real jax device-memory profile, then parse it with the
+    dependency-free pprof reader and the reference-named directory scan
+    (memory_plots.py equivalent)."""
+    _ = jnp.zeros((256, 256))  # ensure something is allocated
+    path = observe.save_device_memory_profile(str(tmp_path), 128, 4096)
+    from synthpy_tpu.analysis import memprof
+
+    info = memprof.parse_prof(path)
+    assert info["n_samples"] >= 0 and info["sample_types"]
+    mb = memprof.total_mb(path)
+    assert mb >= 0.0
+
+    recs = memprof.summarize_dir(str(tmp_path))
+    assert len(recs) == 1
+    assert recs[0]["domain"] == 128 and recs[0]["rays"] == 4096
+    assert recs[0]["memory_mb"] == mb

@@ -371,3 +371,30 @@ def test_interferogram_intensity_convention_fringe_contrast():
     p = prof[sel]
     contrast = (p.max() - p.min()) / (p.max() + p.min())
     assert contrast > 0.8
+
+
+def test_shadowgraphy_single_exp_solve():
+    """Variable detector arm (legacy rtm_solver.py:216-222): detL = L/2
+    puts the detector near the lens focal plane (point focus for a
+    collimated beam); detL = 3L/2 reproduces single_lens_solve modulo the
+    object-plane offset."""
+    rng = np.random.default_rng(7)
+    N = 2000
+    rf_m = np.zeros((4, N))
+    rf_m[0] = rng.uniform(-2e-3, 2e-3, N)
+    rf_m[2] = rng.uniform(-2e-3, 2e-3, N)
+    sh = Shadowgraphy(532e-9, jnp.asarray(rf_m))
+    out_focus = np.asarray(sh.single_exp_solve(detL=200))  # f = L/2 = 200
+    # collimated beam focuses: transverse extent collapses
+    spread_focus = np.nanstd(out_focus[0])
+    sh2 = Shadowgraphy(532e-9, jnp.asarray(rf_m))
+    out_img = np.asarray(sh2.single_exp_solve(detL=600))
+    spread_img = np.nanstd(out_img[0])
+    assert spread_focus < 1e-3 * spread_img
+
+    # composed train equals elementwise
+    from synthpy_tpu.optics import compose
+    out_c = np.asarray(compose.apply_stages(
+        sh2.r0, compose.shadowgraphy_single_exp(detL=600)))
+    np.testing.assert_allclose(out_c, out_img, rtol=1e-5, atol=1e-6,
+                               equal_nan=True)
