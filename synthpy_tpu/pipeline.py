@@ -333,6 +333,8 @@ def run(
             return x
 
     seg_K = bench_kwargs.pop("seg_K", 64)
+    batch_pack_bytes = bench_kwargs.pop("batch_pack_bytes", 4 << 30)
+    batch_corner_bytes = bench_kwargs.pop("batch_corner_bytes", 1 << 30)
     if solver in ("zscan", "zscan_seg"):
         if solver == "zscan_seg":
             if spack is None:
@@ -341,21 +343,53 @@ def run(
                 spack = make_segment_pack(
                     zp, K=min(seg_K, zp.planes.shape[0] - 1))
             n_slabs = spack.seg_planes.shape[0] * spack.K
-            if ray_chunk is None and mesh is None:
+
+            def _call(s_batch, rc):
+                return synth_image_zscan(
+                    s_batch, _repl(spack.seg_planes),
+                    _repl(spack.origin_ab), _repl(spack.inv_spacing_ab),
+                    depth, layout=layout, n_slabs=n_slabs, p0=spack.p0,
+                    dp_static=spack.dp,
+                    substeps=max(int(round(steps_per_cell)), 1),
+                    diagnostic=diagnostic, segmented=True, seg_K=spack.K,
+                    shape_ab=spack.shape_ab,
+                    probing_direction=domain.probing_direction, bins=bins,
+                    ray_chunk=rc, lwl=lwl, **bench_kwargs)
+
+            pack_bytes = spack.seg_planes.size * spack.seg_planes.dtype.itemsize
+            C = spack.seg_planes.shape[-1] // (spack.K + 1)
+            per_ray = (4 * (spack.K + 1) * C
+                       * spack.seg_planes.dtype.itemsize)
+            if mesh is None and pack_bytes > batch_pack_bytes:
+                # HBM-pressure regime (1024^3-class packs): in-program ray
+                # chunking (lax.map) does not compile over multi-GB packs
+                # on this runtime, and a single oversized program OOMs.
+                # Fall back to per-CALL batching: pad the bundle so every
+                # batch shares one compiled shape, trace batch-by-batch,
+                # sum the images (detectors are linear in rays).
+                max_rays = max(int(batch_corner_bytes // per_ray), 1024)
+                if s0.shape[1] > max_rays:
+                    p_ax = _AXIS_OF[domain.probing_direction]
+                    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+                    s_pad = _pad_ray_cols(s0, max_rays, a_ax, b_ax)
+                    acc = None
+                    for i0 in range(0, s_pad.shape[1], max_rays):
+                        res = _call(s_pad[:, i0:i0 + max_rays], None)
+                        if acc is None:
+                            acc = res
+                        elif isinstance(res, tuple):
+                            acc = tuple(a + b for a, b in zip(acc, res))
+                        else:
+                            acc = acc + res
+                    return _out(acc)
+                ray_chunk = None  # single small batch: one plain program
+            elif ray_chunk is None and mesh is None:
                 # Under a mesh, HBM pressure is divided across devices and
                 # in-program chunking would fight GSPMD's ray partition.
                 from synthpy_tpu.tracer.zscan import _auto_ray_chunk
 
                 ray_chunk = _auto_ray_chunk(spack)
-            return _out(synth_image_zscan(
-                s0, _repl(spack.seg_planes), _repl(spack.origin_ab),
-                _repl(spack.inv_spacing_ab), depth, layout=layout,
-                n_slabs=n_slabs, p0=spack.p0, dp_static=spack.dp,
-                substeps=max(int(round(steps_per_cell)), 1),
-                diagnostic=diagnostic, segmented=True, seg_K=spack.K,
-                shape_ab=spack.shape_ab,
-                probing_direction=domain.probing_direction, bins=bins,
-                ray_chunk=ray_chunk, lwl=lwl, **bench_kwargs))
+            return _out(_call(s0, ray_chunk))
         zp = zpack or make_zscan_pack(pack, layout,
                                       domain.probing_direction)
         return _out(synth_image_zscan(

@@ -462,9 +462,55 @@ def _seg_deriv_cols(cols, corners, k, f, ia0, ib0, origin_ab, inv_ab,
             d_pol)
 
 
+def _seg_deriv_win(cols, wins, f, ia0, ib0, origin_ab, inv_ab,
+                   shape_ab, layout: ChannelLayout, atten_sign: float,
+                   C: int):
+    """du/dp from PRE-SLICED 2-plane corner windows.
+
+    Same arithmetic as :func:`_seg_deriv_cols` but the (N, 2C) plane
+    windows are sliced once per slab by the caller instead of once per
+    RK4 stage — the four stages of a slab read the identical window, so
+    hoisting the slice removes 3/4 of the window traffic and lets the
+    blocked march keep a whole sub-segment's windows VMEM-resident inside
+    one fusion.
+    """
+    na, nb = shape_ab
+    a, b, va, vb, vp, amp, ph, pol = cols
+    ta = (a - origin_ab[0]) * inv_ab[0]
+    tb = (b - origin_ab[1]) * inv_ab[1]
+    inside = (ta >= 0) & (ta <= na - 1) & (tb >= 0) & (tb <= nb - 1)
+    fa = jnp.clip(ta - ia0, 0.0, 1.0)[:, None]
+    fb = jnp.clip(tb - ib0, 0.0, 1.0)[:, None]
+
+    def val(win):
+        w = win.astype(a.dtype)
+        return (1.0 - f) * w[:, :C] + f * w[:, C:]
+
+    w00, w01, w10, w11 = wins
+    vals = ((1 - fa) * (1 - fb) * val(w00) + (1 - fa) * fb * val(w01)
+            + fa * (1 - fb) * val(w10) + fa * fb * val(w11))
+    vals = jnp.where(inside[:, None], vals, 0.0)
+
+    inv_vp = 1.0 / vp
+    zeros = jnp.zeros_like(a)
+    d_amp = (atten_sign * vals[:, layout.kappa_index] * amp * inv_vp
+             if layout.inv_brems else zeros)
+    d_phase = (vals[:, layout.phase_index] * inv_vp
+               if layout.phaseshift else zeros)
+    if layout.B_on:
+        fi = layout.faraday_index
+        d_pol = (vals[:, fi] * va + vals[:, fi + 1] * vb
+                 + vals[:, fi + 2] * vp) * inv_vp
+    else:
+        d_pol = zeros
+    return (va * inv_vp, vb * inv_vp, vals[:, 0] * inv_vp,
+            vals[:, 1] * inv_vp, vals[:, 2] * inv_vp, d_amp, d_phase,
+            d_pol)
+
+
 @partial(jax.jit, static_argnames=("layout", "K", "n_seg", "shape_ab",
                                    "substeps", "atten_sign", "ray_chunk",
-                                   "unroll"))
+                                   "unroll", "block"))
 def trace_zscan_segments(
     u: jnp.ndarray,
     seg_planes: jnp.ndarray,
@@ -480,6 +526,7 @@ def trace_zscan_segments(
     atten_sign: float = -1.0,
     ray_chunk: Optional[int] = None,
     unroll: int = 2,
+    block: Optional[int] = None,
 ) -> jnp.ndarray:
     """Gather-hoisted slab march over n_seg segments of K slabs each.
 
@@ -487,10 +534,20 @@ def trace_zscan_segments(
     corners are hoisted; measured on v5e at 512^3/K=511/bf16/4M rays:
     unroll=1 1.10, unroll=2 1.18, unroll=4 1.08 Mrays/s (identical
     checksums) — hence the default of 2 (scratch/bench_unroll.py).
+
+    ``block`` (requires ``K % block == 0`` and ``substeps == 1``) switches
+    the inner march to VMEM-blocked form: the scan advances ``block``
+    slabs per iteration, reading ONE contiguous (N, (block+1)*C) corner
+    window per corner and unrolling the ``block`` RK4 steps inside the
+    iteration, so the window stays fusion-resident and ray state makes
+    one HBM round-trip per block instead of per slab. Identical
+    arithmetic (same frozen corners, same stage fractions).
     """
     na, nb = shape_ab
     C = seg_planes.shape[-1] // (K + 1)
     h = dp / substeps
+    blocked = (block is not None and substeps == 1 and K % block == 0
+               and block < K)
 
     def run(u0):
         def segment(uc, s):
@@ -508,6 +565,35 @@ def trace_zscan_segments(
                 for off in (0, 1, nb, nb + 1))
             ia0f = ia0.astype(uc.dtype)
             ib0f = ib0.astype(uc.dtype)
+
+            def rk4(cc, stage_fn):
+                k1 = stage_fn(cc, 0.0)
+                k2 = stage_fn(tuple(x + 0.5 * h * kv
+                                    for x, kv in zip(cc, k1)), 0.5)
+                k3 = stage_fn(tuple(x + 0.5 * h * kv
+                                    for x, kv in zip(cc, k2)), 0.5)
+                k4 = stage_fn(tuple(x + h * kv
+                                    for x, kv in zip(cc, k3)), 1.0)
+                return tuple(x + (h / 6.0) * (a + 2 * b2 + 2 * c2 + d2)
+                             for x, a, b2, c2, d2
+                             in zip(cc, k1, k2, k3, k4))
+
+            def slab_block(cols, blk):
+                base_c = blk * (block * C)
+                wins_blk = tuple(
+                    jax.lax.dynamic_slice_in_dim(
+                        c, base_c, (block + 1) * C, axis=1)
+                    for c in corners)
+                for j in range(block):
+                    wins = tuple(w[:, j * C:(j + 2) * C] for w in wins_blk)
+
+                    def stage(cc, f, _w=wins):
+                        return _seg_deriv_win(
+                            cc, _w, f, ia0f, ib0f, origin_ab, inv_ab,
+                            shape_ab, layout, atten_sign, C)
+
+                    cols = rk4(cols, stage)
+                return cols, None
 
             def slab(cols, k):
                 def stage(cc, f):
@@ -540,8 +626,12 @@ def trace_zscan_segments(
                 return cols, None
 
             cols = tuple(uc[:, i] for i in range(8))
-            cols, _ = jax.lax.scan(slab, cols, jnp.arange(K),
-                                   unroll=unroll)
+            if blocked:
+                cols, _ = jax.lax.scan(slab_block, cols,
+                                       jnp.arange(K // block))
+            else:
+                cols, _ = jax.lax.scan(slab, cols, jnp.arange(K),
+                                       unroll=unroll)
             uc = jnp.stack(cols, axis=1)
             return uc, None
 

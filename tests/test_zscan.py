@@ -345,3 +345,83 @@ def test_zscan_segments_full_K_image_equivalence():
     assert H_fast.sum() == H_ref.sum()
     # <2% of rays land in a different (adjacent) pixel
     assert np.abs(H_fast - H_ref).sum() < 0.04 * H_ref.sum()
+
+
+def test_pipeline_run_auto_batches_oversized_packs():
+    """When the segment pack exceeds the batching threshold, pipeline.run
+    splits the bundle into same-shape per-call batches (padded with
+    off-grid rays) and sums the images — the 1024^3-at-the-API-surface
+    path, exercised here with tiny thresholds."""
+    import numpy as np
+
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.fields import ScalarDomain
+    from synthpy_tpu.tracer import init_beam
+
+    ext = 5e-3
+    d = ScalarDomain(2 * ext, 25).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(30), 3000, 2e-3, 0.0, ext, "circular")
+
+    ref = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                  bins=(54, 40)))
+    # force batching: pack "exceeds" 1 byte and the corner budget floors
+    # max_rays at 1024 -> 3 padded batches of 1024 rays each
+    out = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                  bins=(54, 40), batch_pack_bytes=1,
+                                  batch_corner_bytes=1))
+    assert out.sum() == ref.sum()
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    # multi-diagnostic batching accumulates every image
+    d.phaseshift = True
+    outs = pipeline.run(d, s0, solver="zscan_seg", seg_K=8, bins=(30, 22),
+                        diagnostic=("shadowgraphy", "interferometry"),
+                        batch_pack_bytes=1, batch_corner_bytes=1)
+    refs = pipeline.run(d, s0, solver="zscan_seg", seg_K=8, bins=(30, 22),
+                        diagnostic=("shadowgraphy", "interferometry"))
+    np.testing.assert_allclose(np.asarray(outs["shadowgraphy"]),
+                               np.asarray(refs["shadowgraphy"]),
+                               rtol=1e-6, atol=1e-6)
+    # coherent images add per-batch amplitudes (the documented MPI-sum
+    # convention) — only check shape/finiteness here
+    assert np.isfinite(np.asarray(outs["interferometry"])).all()
+
+
+def test_zscan_segments_blocked_matches_unblocked():
+    """block=Kb mode: identical arithmetic (same frozen corners, same
+    stage fractions) -> images and exit states match the per-slab scan
+    to float tolerance."""
+    import numpy as np
+
+    from synthpy_tpu.fields import ScalarDomain, build_pack, layout_of
+    from synthpy_tpu.tracer import init_beam
+    from synthpy_tpu.tracer.zscan import (make_segment_pack,
+                                          make_zscan_pack,
+                                          trace_zscan_segments)
+
+    ext = 5e-3
+    d = ScalarDomain(2 * ext, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    lay = layout_of(d)
+    sp = make_segment_pack(make_zscan_pack(build_pack(d), lay), K=16)
+    s0 = init_beam(jax.random.PRNGKey(40), 512, 2e-3, 1e-3, ext,
+                   "circular")
+    s = jnp.asarray(s0)
+    u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]], axis=1)
+    dp = jnp.float32(sp.dp)
+    kwargs = dict(shape_ab=sp.shape_ab, layout=lay, K=sp.K,
+                  n_seg=sp.seg_planes.shape[0])
+
+    ref = np.asarray(trace_zscan_segments(
+        u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp, **kwargs))
+    for blk in (2, 4, 8):
+        out = np.asarray(trace_zscan_segments(
+            u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp,
+            block=blk, **kwargs))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7,
+                                   err_msg=f"block={blk}")
+    # non-dividing block falls back to the per-slab path
+    out = np.asarray(trace_zscan_segments(
+        u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp,
+        block=5, **kwargs))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
