@@ -150,7 +150,7 @@ def synth_image(
     "layout", "n_slabs", "substeps", "diagnostic", "probing_direction",
     "bins", "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane", "p0",
     "dp_static", "sort_rays", "segmented", "seg_K", "shape_ab",
-    "coherent_convention"))
+    "coherent_convention", "integrator"))
 def synth_image_zscan(
     s0: jnp.ndarray,
     planes: jnp.ndarray,
@@ -178,6 +178,7 @@ def synth_image_zscan(
     Ly: float = 13.5,
     focal_plane: float = 0.0,
     coherent_convention: str = "legacy",
+    integrator: str = "rk4",
 ) -> jnp.ndarray:
     """z-scan pipeline on a (9, Np) initial state. Returns (ny, nx) image.
 
@@ -202,7 +203,7 @@ def synth_image_zscan(
         uf = trace_zscan_segments(
             u, planes, origin_ab, inv_ab, dp, shape_ab=shape_ab,
             layout=layout, K=seg_K, n_seg=n_seg, substeps=substeps,
-            ray_chunk=ray_chunk)
+            ray_chunk=ray_chunk, integrator=integrator)
         p_end = p0 + n_seg * seg_K * dp_static
     else:
         uf = trace_zscan(u, planes, origin_ab, inv_ab, dp, layout=layout,
@@ -357,8 +358,8 @@ def run(
                     ray_chunk=rc, lwl=lwl, **bench_kwargs)
 
             pack_bytes = spack.seg_planes.size * spack.seg_planes.dtype.itemsize
-            C = spack.seg_planes.shape[-1] // (spack.K + 1)
-            per_ray = (4 * (spack.K + 1) * C
+            n_chan = spack.seg_planes.shape[-1] // (spack.K + 1)
+            per_ray = (4 * (spack.K + 1) * n_chan
                        * spack.seg_planes.dtype.itemsize)
             if mesh is None and pack_bytes > batch_pack_bytes:
                 # HBM-pressure regime (1024^3-class packs): in-program ray

@@ -462,6 +462,51 @@ def _seg_deriv_cols(cols, corners, k, f, ia0, ib0, origin_ab, inv_ab,
             d_pol)
 
 
+def _seg_deriv_pre(cols, wv, ia0, ib0, origin_ab, inv_ab, shape_ab,
+                   layout: ChannelLayout, atten_sign: float):
+    """du/dp from PRE-BLENDED per-corner plane values.
+
+    wv: (v00, v01, v10, v11), each (N, C) already z-blended to the stage
+    fraction and cast to the compute dtype. Hoisting the z-blend out of
+    the stage matters because the blend depends only on the stage
+    FRACTION, not on the ray state: within one RK4 slab step the f=0
+    stage is plane k verbatim, f=1 is plane k+1 verbatim (no arithmetic
+    at all), and the two f=0.5 stages share one midpoint average —
+    1 real blend per slab instead of 4, and the bf16->f32 window convert
+    runs once. Profiled on v5e at 512^3 (scratch/profile_zscan_r2.py):
+    the slab loop is VPU-compute-bound, so removing blend/convert ops
+    translates directly to throughput.
+    """
+    na, nb = shape_ab
+    a, b, va, vb, vp, amp, ph, pol = cols
+    ta = (a - origin_ab[0]) * inv_ab[0]
+    tb = (b - origin_ab[1]) * inv_ab[1]
+    inside = (ta >= 0) & (ta <= na - 1) & (tb >= 0) & (tb <= nb - 1)
+    fa = jnp.clip(ta - ia0, 0.0, 1.0)[:, None]
+    fb = jnp.clip(tb - ib0, 0.0, 1.0)[:, None]
+
+    v00, v01, v10, v11 = wv
+    vals = ((1 - fa) * (1 - fb) * v00 + (1 - fa) * fb * v01
+            + fa * (1 - fb) * v10 + fa * fb * v11)
+    vals = jnp.where(inside[:, None], vals, 0.0)
+
+    inv_vp = 1.0 / vp
+    zeros = jnp.zeros_like(a)
+    d_amp = (atten_sign * vals[:, layout.kappa_index] * amp * inv_vp
+             if layout.inv_brems else zeros)
+    d_phase = (vals[:, layout.phase_index] * inv_vp
+               if layout.phaseshift else zeros)
+    if layout.B_on:
+        fi = layout.faraday_index
+        d_pol = (vals[:, fi] * va + vals[:, fi + 1] * vb
+                 + vals[:, fi + 2] * vp) * inv_vp
+    else:
+        d_pol = zeros
+    return (va * inv_vp, vb * inv_vp, vals[:, 0] * inv_vp,
+            vals[:, 1] * inv_vp, vals[:, 2] * inv_vp, d_amp, d_phase,
+            d_pol)
+
+
 def _seg_deriv_win(cols, wins, f, ia0, ib0, origin_ab, inv_ab,
                    shape_ab, layout: ChannelLayout, atten_sign: float,
                    C: int):
@@ -510,7 +555,7 @@ def _seg_deriv_win(cols, wins, f, ia0, ib0, origin_ab, inv_ab,
 
 @partial(jax.jit, static_argnames=("layout", "K", "n_seg", "shape_ab",
                                    "substeps", "atten_sign", "ray_chunk",
-                                   "unroll", "block"))
+                                   "unroll", "block", "integrator"))
 def trace_zscan_segments(
     u: jnp.ndarray,
     seg_planes: jnp.ndarray,
@@ -527,6 +572,7 @@ def trace_zscan_segments(
     ray_chunk: Optional[int] = None,
     unroll: int = 2,
     block: Optional[int] = None,
+    integrator: str = "rk4",
 ) -> jnp.ndarray:
     """Gather-hoisted slab march over n_seg segments of K slabs each.
 
@@ -541,7 +587,18 @@ def trace_zscan_segments(
     window per corner and unrolling the ``block`` RK4 steps inside the
     iteration, so the window stays fusion-resident and ray state makes
     one HBM round-trip per block instead of per slab. Identical
-    arithmetic (same frozen corners, same stage fractions).
+    arithmetic (same frozen corners, same stage fractions). Measured on
+    v5e at 512^3/4M rays it LOSES to the default per-slab scan (1.60 vs
+    1.93 Mrays/s, scratch/bench_block.py) — XLA already CSEs the four
+    identical stage window slices — so it stays opt-in.
+
+    ``integrator``: "rk4" (default, reference parity) or "rk2" (midpoint
+    method). The field is piecewise-LINEAR along the probing axis (plane
+    blend), so the midpoint rule's O(h^3) local error is commensurate
+    with the interpolation error; it runs 2 stage evaluations per slab
+    instead of 4 on the VPU-compute-bound march. Validated against the
+    scipy oracle in tests/test_zscan.py (same tolerance class as rk4 at
+    512-slab resolution).
     """
     na, nb = shape_ab
     C = seg_planes.shape[-1] // (K + 1)
@@ -596,7 +653,45 @@ def trace_zscan_segments(
                 return cols, None
 
             def slab(cols, k):
-                def stage(cc, f):
+                if substeps == 1:
+                    # Hoist the z-blend out of the stages: slice+convert
+                    # the 2-plane window once, then f=0 is plane k
+                    # verbatim, f=1 plane k+1 verbatim, and both f=0.5
+                    # stages share one midpoint average.
+                    dtype = cols[0].dtype
+                    wins = tuple(
+                        jax.lax.dynamic_slice_in_dim(
+                            c, k * C, 2 * C, axis=1).astype(dtype)
+                        for c in corners)
+                    w0 = tuple(w[:, :C] for w in wins)
+                    w1 = tuple(w[:, C:] for w in wins)
+
+                    def stage(cc, wv):
+                        return _seg_deriv_pre(cc, wv, ia0f, ib0f,
+                                              origin_ab, inv_ab, shape_ab,
+                                              layout, atten_sign)
+
+                    if integrator == "rk2":
+                        wm = tuple(0.5 * (x + y) for x, y in zip(w0, w1))
+                        k1 = stage(cols, w0)
+                        k2 = stage(tuple(x + 0.5 * h * kv
+                                         for x, kv in zip(cols, k1)), wm)
+                        return tuple(x + h * kv
+                                     for x, kv in zip(cols, k2)), None
+                    wm = tuple(0.5 * (x + y) for x, y in zip(w0, w1))
+                    k1 = stage(cols, w0)
+                    k2 = stage(tuple(x + 0.5 * h * kv
+                                     for x, kv in zip(cols, k1)), wm)
+                    k3 = stage(tuple(x + 0.5 * h * kv
+                                     for x, kv in zip(cols, k2)), wm)
+                    k4 = stage(tuple(x + h * kv
+                                     for x, kv in zip(cols, k3)), w1)
+                    return tuple(
+                        x + (h / 6.0) * (a + 2 * b2 + 2 * c2 + d2)
+                        for x, a, b2, c2, d2
+                        in zip(cols, k1, k2, k3, k4)), None
+
+                def stage_f(cc, f):
                     return _seg_deriv_cols(cc, corners, k, f, ia0f, ib0f,
                                            origin_ab, inv_ab, shape_ab,
                                            layout, atten_sign, C)
@@ -605,24 +700,21 @@ def trace_zscan_segments(
                     f0 = j / substeps
                     fh = (j + 0.5) / substeps
                     f1 = (j + 1.0) / substeps
-                    k1 = stage(cols, f0)
-                    k2 = stage(tuple(u + 0.5 * h * kv
-                                     for u, kv in zip(cols, k1)), fh)
-                    k3 = stage(tuple(u + 0.5 * h * kv
-                                     for u, kv in zip(cols, k2)), fh)
-                    k4 = stage(tuple(u + h * kv
-                                     for u, kv in zip(cols, k3)), f1)
+                    k1 = stage_f(cols, f0)
+                    k2 = stage_f(tuple(u + 0.5 * h * kv
+                                       for u, kv in zip(cols, k1)), fh)
+                    k3 = stage_f(tuple(u + 0.5 * h * kv
+                                       for u, kv in zip(cols, k2)), fh)
+                    k4 = stage_f(tuple(u + h * kv
+                                       for u, kv in zip(cols, k3)), f1)
                     return tuple(
                         u + (h / 6.0) * (a + 2 * b2 + 2 * c2 + d2)
                         for u, a, b2, c2, d2
                         in zip(cols, k1, k2, k3, k4)), None
 
-                if substeps == 1:
-                    cols, _ = substep(cols, 0.0)
-                else:
-                    cols, _ = jax.lax.scan(
-                        substep, cols,
-                        jnp.arange(substeps, dtype=cols[0].dtype))
+                cols, _ = jax.lax.scan(
+                    substep, cols,
+                    jnp.arange(substeps, dtype=cols[0].dtype))
                 return cols, None
 
             cols = tuple(uc[:, i] for i in range(8))
@@ -677,6 +769,7 @@ def solve_zscan_segments(
     spack: Optional[SegmentPack] = None,
     ray_chunk: Optional[int] = None,
     unroll: int = 2,
+    integrator: str = "rk4",
 ) -> TraceResult:
     """Gather-hoisted drop-in for solve_zscan (paraxial fast path)."""
     layout = layout_of(domain)
@@ -704,7 +797,7 @@ def solve_zscan_segments(
         u, spack.seg_planes, spack.origin_ab, spack.inv_spacing_ab, dp,
         shape_ab=spack.shape_ab, layout=layout, K=K, n_seg=n_seg,
         substeps=substeps, atten_sign=atten_sign, ray_chunk=ray_chunk,
-        unroll=unroll)
+        unroll=unroll, integrator=integrator)
     uf.block_until_ready()
     duration = time.perf_counter() - start
 

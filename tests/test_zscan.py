@@ -425,3 +425,37 @@ def test_zscan_segments_blocked_matches_unblocked():
         u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp,
         block=5, **kwargs))
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
+
+
+def test_zscan_segments_rk2_matches_rk4_and_oracle():
+    """integrator="rk2" (midpoint): the blended field is piecewise-linear
+    along p, so midpoint sampling loses almost nothing at 1 step/cell —
+    exit states match rk4 to ~1e-5 relative and the scipy oracle to the
+    same tolerance class as rk4 (reference accuracy gate:
+    solver_comparisons.py:82-85)."""
+    import numpy as np
+
+    from oracle import OracleTracer
+    from synthpy_tpu.fields import ScalarDomain, build_pack, layout_of
+    from synthpy_tpu.tracer import init_beam
+    from synthpy_tpu.tracer.zscan import (make_segment_pack,
+                                          make_zscan_pack,
+                                          solve_zscan_segments)
+
+    ext = 5e-3
+    d = ScalarDomain(2 * ext, 41).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(7), 48, 1.5e-3, 0.0, ext, "circular")
+
+    r4 = solve_zscan_segments(s0, d, K=8)
+    r2 = solve_zscan_segments(s0, d, K=8, integrator="rk2")
+    sf4, sf2 = np.asarray(r4.sf), np.asarray(r2.sf)
+    np.testing.assert_allclose(sf2[0], sf4[0], atol=2e-8)       # position
+    np.testing.assert_allclose(sf2[3], sf4[3], rtol=5e-5,
+                               atol=150.0)                      # velocity
+
+    oracle = OracleTracer(np.asarray(d.x), np.asarray(d.y), np.asarray(d.z),
+                          np.asarray(d.ne))
+    sf_o = oracle.solve(np.asarray(s0), ext)
+    np.testing.assert_allclose(
+        sf2[0], sf_o[0] - sf_o[3] * (sf_o[2] - ext) / sf_o[5], atol=1e-6)
+    np.testing.assert_allclose(sf2[3], sf_o[3], rtol=2e-3, atol=300.0)
