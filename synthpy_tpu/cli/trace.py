@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solver", default="zscan_seg",
                choices=("zscan_seg", "zscan", "time"))
     p.add_argument("--bin-scale", type=int, default=8)
+    p.add_argument("--integrator", default="rk4", choices=("rk4", "rk2"),
+                   help="zscan_seg slab integrator: rk4 (reference parity)"
+                        " or rk2 (midpoint; ~1.4x faster on TPU,"
+                        " oracle-validated)")
     p.add_argument("--phaseshift", action="store_true")
     p.add_argument("-o", "--output", default=None,
                    help="output prefix (writes <prefix>.npz)")
@@ -93,25 +97,28 @@ def main(argv=None) -> dict:
     if args.diagnostic == "none":
         if args.solver == "zscan_seg":
             from synthpy_tpu.tracer.zscan import solve_zscan_segments
-            solver = solve_zscan_segments
+            res = solve_zscan_segments(s0, domain, lwl=args.lwl,
+                                       integrator=args.integrator)
         elif args.solver == "zscan":
-            solver = solve_zscan
+            res = solve_zscan(s0, domain, lwl=args.lwl)
         else:
-            solver = solve
-        res = solver(s0, domain, lwl=args.lwl)
+            res = solve(s0, domain, lwl=args.lwl)
         H = None
         trace_s = res.duration
         if args.save_rays:
             save_rays(args.save_rays, np.asarray(res.rf))
     else:
         t1 = time.perf_counter()
+        extra = ({"integrator": args.integrator}
+                 if args.solver == "zscan_seg" else {})
         out = pipeline.run(domain, s0,
                            diagnostic=diags if len(diags) > 1 else diags[0],
                            lwl=args.lwl,
                            steps_per_cell=args.steps_per_cell,
                            solver=args.solver,
                            bins=(3448 // args.bin_scale,
-                                 2574 // args.bin_scale))
+                                 2574 // args.bin_scale),
+                           **extra)
         if len(diags) == 1:
             out = {diags[0]: out}
         jax.block_until_ready(out)
