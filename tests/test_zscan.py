@@ -459,3 +459,23 @@ def test_zscan_segments_rk2_matches_rk4_and_oracle():
     np.testing.assert_allclose(
         sf2[0], sf_o[0] - sf_o[3] * (sf_o[2] - ext) / sf_o[5], atol=1e-6)
     np.testing.assert_allclose(sf2[3], sf_o[3], rtol=2e-3, atol=300.0)
+
+
+def test_pipeline_rk2_image_close_to_rk4():
+    """integrator="rk2" through pipeline.run: same detector sum, <2% of
+    rays land in a different (adjacent) pixel vs rk4."""
+    import numpy as np
+
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.fields import ScalarDomain
+    from synthpy_tpu.tracer import init_beam
+
+    ext = 5e-3
+    d = ScalarDomain(2 * ext, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(11), 4000, 2e-3, 0.0, ext, "circular")
+    H4 = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                 bins=(54, 40)))
+    H2 = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                 bins=(54, 40), integrator="rk2"))
+    assert H2.sum() == H4.sum()
+    assert np.abs(H2 - H4).sum() < 0.04 * H4.sum()
