@@ -8,7 +8,7 @@ same-shape per-call batches, summing the detector images — the user just
 calls run() with 4M+ rays (the reference's auto-batching analogue,
 domain.py:137-227, re-expressed at the API surface).
 
-Usage: python examples/scale_1024.py [dim] [rays]   (defaults 1024, 4e6)
+Usage: python examples/scale_1024.py [dim] [rays] [rk2|rk4]   (defaults 1024, 4e6, rk2)
 """
 import json
 import os
@@ -38,14 +38,15 @@ t_pack = time.perf_counter() - t0
 s0 = init_beam(jax.random.PRNGKey(0), rays, 2e-3, 0.0, ext, "circular")
 
 t0 = time.perf_counter()
+integ = sys.argv[3] if len(sys.argv) > 3 else "rk2"
 H = pipeline.run(domain, s0, spack=spack, solver="zscan_seg",
-                 bins=(431, 321), critical_guard=None)
+                 bins=(431, 321), critical_guard=None, integrator=integ)
 H = jnp.asarray(H)
 H.block_until_ready()
 t_trace = time.perf_counter() - t0
 
 print(json.dumps({
-    "dim": dim, "rays": rays,
+    "dim": dim, "rays": rays, "integrator": integ,
     "pack_s": round(t_pack, 1), "trace_s": round(t_trace, 1),
     "rays_per_s": round(rays / t_trace),
     "image_sum": float(H.sum()),
