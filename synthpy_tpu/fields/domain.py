@@ -27,7 +27,6 @@ from typing import NamedTuple, Optional, Sequence, Tuple, Union
 import jax.numpy as jnp
 
 from synthpy_tpu import constants
-from synthpy_tpu.ops.interp import grid_geometry
 
 AXES = ("x", "y", "z")
 
@@ -408,7 +407,9 @@ def build_pack(domain: ScalarDomain,
     # Scalar spacings (grids are uniform by construction): the plain central
     # difference cancels exactly for constant fields, unlike the
     # coordinate-array quadratic formula which leaves f32 rounding residue.
-    spacings = [float(c[1] - c[0]) for c in (domain.x, domain.y, domain.z)]
+    import numpy as _np
+    spacings = [float(_np.asarray(c)[1] - _np.asarray(c)[0])
+                for c in (domain.x, domain.y, domain.z)]
     grads = jnp.gradient(ne_nc, *spacings)
     chans = [(-0.5 * constants.C**2) * g for g in grads]
 
@@ -427,9 +428,18 @@ def build_pack(domain: ScalarDomain,
 
     channels = jnp.stack(
         [c.astype(dtype or domain.dtype) for c in chans], axis=-1)
-    origin, inv_spacing = grid_geometry((domain.x, domain.y, domain.z))
-    return TracePack(channels, origin.astype(domain.dtype),
-                     inv_spacing.astype(domain.dtype), omega)
+    # Geometry is derived HOST-SIDE (numpy) and stays a concrete numpy
+    # array in the pack: coordinate vectors never trace, and concrete
+    # geometry lets make_zscan_pack take float() on it even while the
+    # channel math above is being traced under jit/grad
+    # (synthpy_tpu.inverse.make_renderer differentiates through here).
+    # numpy operands are valid jit inputs everywhere the pack is consumed.
+    cs = [_np.asarray(c) for c in (domain.x, domain.y, domain.z)]
+    np_dt = _np.dtype(jnp.dtype(domain.dtype).name)
+    origin = _np.stack([c[0] for c in cs]).astype(np_dt)
+    inv_spacing = _np.stack([1.0 / (c[1] - c[0])
+                             for c in cs]).astype(np_dt)
+    return TracePack(channels, origin, inv_spacing, omega)
 
 
 def layout_of(domain: ScalarDomain) -> ChannelLayout:

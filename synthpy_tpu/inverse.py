@@ -1,0 +1,173 @@
+"""Differentiable diagnostics: jax.grad through field -> trace -> image.
+
+A capability the reference architecture cannot offer: its trace runs
+through scipy.solve_ivp / diffrax-with-NaN-filtering and bins with
+histogram2d (reference full_solver.py:376-403, diagnostics.py:323-353),
+none of which propagate derivatives. Here the whole forward model —
+electron density grid -> gradient pack -> segmented RK slab march ->
+composed ABCD optics -> detector — is a chain of smooth jnp ops, so an
+experimental image can be INVERTED for the density field (or its
+parameters) with standard gradient descent.
+
+Two pieces make the chain differentiable end-to-end:
+
+- ``apply_stages_weighted``: the optics benches kill aperture-clipped
+  rays by setting their coordinates to NaN (reference
+  diagnostics.py:173-245), which poisons reverse-mode gradients. Here
+  apertures/stops instead multiply a per-ray transmission weight in
+  {0, 1}; positions stay finite and the weight (a constant factor with
+  zero derivative) masks the deposit.
+- ``cic_image``: histogram2d's floor-indexing has zero derivative with
+  respect to ray positions. Cloud-in-cell deposition (the adjoint of
+  bilinear interpolation, as in ops.deposit_cic) is piecewise-linear in
+  position, giving the nonzero detector gradient the inverse problem
+  needs.
+
+Usage::
+
+    render = make_renderer(domain, s0, bins=(64, 48))
+    image = render(ne)                       # forward
+    g = jax.grad(lambda n: loss(render(n)))(ne)   # reverse
+
+See examples/inverse_shadowgraphy.py for a full parameter-recovery run.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from synthpy_tpu.fields.domain import (ScalarDomain, build_pack, layout_of)
+from synthpy_tpu.optics.compose import BENCHES
+from synthpy_tpu.optics.rtm import m_to_mm
+from synthpy_tpu.tracer.propagator import ray_to_Jonesvector
+from synthpy_tpu.tracer.zscan import (make_segment_pack, make_zscan_pack,
+                                      trace_zscan_segments)
+
+__all__ = ["apply_stages_weighted", "cic_image", "make_renderer"]
+
+
+def apply_stages_weighted(r: jnp.ndarray, stages: Sequence[Tuple]
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply composed optics stages, tracking a transmission weight.
+
+    Same matrices as optics.compose.apply_stages, but filter elements
+    multiply a per-ray weight instead of NaN-killing coordinates, so the
+    output rays stay differentiable. Returns (rays (4, N), weight (N,)).
+    """
+    w = jnp.ones(r.shape[1], r.dtype)
+    for st in stages:
+        kind = st[0]
+        if kind == "matrix":
+            r = jnp.asarray(st[1], r.dtype) @ r
+        elif kind in ("mark", "phase"):
+            # phase checkpoints only matter for coherent benches; the
+            # weighted path is intensity-only
+            continue
+        elif kind == "aperture":
+            w = w * (r[0, :] ** 2 + r[2, :] ** 2 <= st[1] ** 2)
+        elif kind == "stop":
+            w = w * (r[0, :] ** 2 + r[2, :] ** 2 > st[1] ** 2)
+        elif kind == "rect":
+            w = w * ((jnp.abs(r[0, :]) <= st[1])
+                     & (jnp.abs(r[2, :]) <= st[2]))
+        elif kind == "knife":
+            axis, sign, edge = st[1], st[2], st[3]
+            row = 0 if axis == "x" else 2
+            w = w * (sign * r[row, :] > sign * edge)
+        else:
+            raise ValueError(f"unknown stage {kind!r}")
+    return r, w
+
+
+def cic_image(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
+              bins: Tuple[int, int], Lx: float, Ly: float) -> jnp.ndarray:
+    """Differentiable detector: cloud-in-cell DENSITY deposition.
+
+    Each ray deposits its weight onto the 4 surrounding pixel centres
+    with bilinear fractions — piecewise-linear in (x, y), so reverse-mode
+    gradients flow back to ray positions (unlike histogram2d). Detector
+    spans [-Lx/2, Lx/2] x [-Ly/2, Ly/2] mm like ops.histogram2d.
+    """
+    nx, ny = bins
+    dx = Lx / nx
+    dy = Ly / ny
+    tx = (x + Lx / 2) / dx - 0.5   # pixel-centre coordinates
+    ty = (y + Ly / 2) / dy - 0.5
+    inside = ((tx > -1) & (tx < nx) & (ty > -1) & (ty < ny)
+              & jnp.isfinite(tx) & jnp.isfinite(ty))
+    ix = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, nx - 2)
+    iy = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, ny - 2)
+    fx = jnp.clip(tx - ix, 0.0, 1.0)
+    fy = jnp.clip(ty - iy, 0.0, 1.0)
+    wv = jnp.where(inside, w, 0.0)
+    H = jnp.zeros((nx, ny), x.dtype)
+    for ddx, wx in ((0, 1.0 - fx), (1, fx)):
+        for ddy, wy in ((0, 1.0 - fy), (1, fy)):
+            H = H.at[ix + ddx, iy + ddy].add(wv * wx * wy, mode="drop")
+    return H.T   # (ny, nx) image convention, matching ops.histogram2d
+
+
+def make_renderer(
+    domain: ScalarDomain,
+    s0: jnp.ndarray,
+    *,
+    diagnostic: str = "shadowgraphy",
+    bins: Tuple[int, int] = (64, 48),
+    lwl: float = 1064e-9,
+    K: int = 16,
+    L: float = 400.0,
+    R: float = 25.0,
+    Lx: float = 18.0,
+    Ly: float = 13.5,
+    focal_plane: float = 0.0,
+    probing_depth: float | None = None,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Build ``render(ne) -> image``, differentiable with respect to ne.
+
+    ``domain`` provides the static geometry (grid coordinates, probing
+    direction); the returned closure re-derives the gradient pack from
+    the ``ne`` argument on every call so jax.grad sees the full chain.
+    Intensity benches only (shadowgraphy/schlieren/refractometry).
+    """
+    if BENCHES[diagnostic][1]:
+        raise ValueError(f"{diagnostic}: coherent benches are not "
+                         "supported by the weighted (intensity) path")
+    geom = copy.copy(domain)
+    layout = layout_of(domain)
+    depth = domain.extent if probing_depth is None else probing_depth
+    pd = domain.probing_direction
+    p_ax = {"x": 0, "y": 1, "z": 2}[pd]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+    stages = BENCHES[diagnostic][0](L=L, R=R, focal_plane=focal_plane)
+    s = jnp.asarray(s0)
+    u0 = jnp.stack([s[a_ax], s[b_ax], s[3 + a_ax], s[3 + b_ax],
+                    s[3 + p_ax], s[6], s[7], s[8]], axis=1)
+
+    def render(ne: jnp.ndarray) -> jnp.ndarray:
+        geom.ne = ne
+        pack = build_pack(geom, lwl)
+        zp = make_zscan_pack(pack, layout, pd)
+        sp = make_segment_pack(zp, K=K)
+        uf = trace_zscan_segments(
+            u0, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab,
+            jnp.asarray(sp.dp, u0.dtype), shape_ab=sp.shape_ab,
+            layout=layout, K=sp.K, n_seg=sp.seg_planes.shape[0])
+        N = uf.shape[0]
+        cols = [None] * 9
+        cols[a_ax], cols[b_ax] = uf[:, 0], uf[:, 1]
+        cols[p_ax] = jnp.full((N,), sp.p0 + sp.seg_planes.shape[0]
+                              * sp.K * sp.dp, uf.dtype)
+        cols[3 + a_ax], cols[3 + b_ax], cols[3 + p_ax] = (uf[:, 2],
+                                                          uf[:, 3],
+                                                          uf[:, 4])
+        cols[6], cols[7], cols[8] = uf[:, 5], uf[:, 6], uf[:, 7]
+        sf = jnp.stack(cols)
+        rf, _ = ray_to_Jonesvector(sf, depth, probing_direction=pd)
+        r_out, w = apply_stages_weighted(m_to_mm(rf), stages)
+        return cic_image(r_out[0, :], r_out[2, :], w, bins, Lx, Ly)
+
+    return render

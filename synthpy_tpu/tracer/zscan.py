@@ -100,11 +100,15 @@ def make_zscan_pack(pack: TracePack, layout: ChannelLayout,
     if dtype is not None:
         planes = planes.astype(dtype)
 
-    origin_ab = jnp.stack([pack.origin[a_ax], pack.origin[b_ax]])
-    inv_ab = jnp.stack([pack.inv_spacing[a_ax], pack.inv_spacing[b_ax]])
+    # geometry stays host-side concrete so float() works under jit/grad
+    # tracing of the field channels (synthpy_tpu.inverse)
+    import numpy as _np
+    o = _np.asarray(pack.origin)
+    s = _np.asarray(pack.inv_spacing)
+    origin_ab = jnp.asarray(_np.stack([o[a_ax], o[b_ax]]))
+    inv_ab = jnp.asarray(_np.stack([s[a_ax], s[b_ax]]))
     return ZScanPack(planes, origin_ab, inv_ab,
-                     float(pack.origin[p_ax]),
-                     float(1.0 / pack.inv_spacing[p_ax]), pack.omega)
+                     float(o[p_ax]), float(1.0 / s[p_ax]), pack.omega)
 
 
 def _bilinear(plane, pa, pb, origin_ab, inv_ab):
