@@ -100,10 +100,15 @@ def parse_prof(path: str) -> Dict:
                     u = v2
             vtypes.append((t, u))
         elif field == 2 and wire == 2:  # Sample
+            # Sample.value is repeated int64: writers may emit it PACKED
+            # (one length-delimited blob) or as one varint per entry —
+            # accumulate into a single per-sample list either way, so
+            # zip(sample_types, values) pairs stay aligned.
+            vals = []
             for f2, w2, v2 in _fields(val):
                 if f2 == 2:
-                    vals = (_packed_varints(v2) if w2 == 2 else [v2])
-                    sample_values.append(vals)
+                    vals.extend(_packed_varints(v2) if w2 == 2 else [v2])
+            sample_values.append(vals)
 
     def s(i: int) -> str:
         return strings[i].decode() if i < len(strings) else str(i)

@@ -84,6 +84,9 @@ def main(argv=None) -> dict:
         domain = ScalarDomain(args.length, args.domain,
                               ne_type=args.ne_type,
                               probing_direction=args.probing)
+    if args.integrator != "rk4" and args.solver != "zscan_seg":
+        raise SystemExit("--integrator rk2 requires --solver zscan_seg "
+                         "(other solvers are rk4-only)")
     diags = tuple(d.strip() for d in args.diagnostic.split(",") if d.strip())
     coherent = any(d in ("interferometry", "refractometry_coherent")
                    for d in diags)

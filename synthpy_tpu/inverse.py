@@ -72,12 +72,22 @@ def apply_stages_weighted(r: jnp.ndarray, stages: Sequence[Tuple]
         elif kind == "stop":
             w = w * (r[0, :] ** 2 + r[2, :] ** 2 > st[1] ** 2)
         elif kind == "rect":
-            w = w * ((jnp.abs(r[0, :]) <= st[1])
-                     & (jnp.abs(r[2, :]) <= st[2]))
+            # match rtm.rect_aperture EXACTLY (the reference-parity
+            # corner-clip: only rays outside BOTH half-widths die,
+            # rtm.py:81-90) so the rendered forward model agrees with
+            # the production pipeline it inverts against
+            w = w * ~((r[0, :] ** 2 > st[1] ** 2)
+                      & (r[2, :] ** 2 > st[2] ** 2))
         elif kind == "knife":
-            axis, sign, edge = st[1], st[2], st[3]
+            # stage layout ("knife", offset, axis, direction), as consumed
+            # by apply_stages -> rtm.knife_edge(r, st[1], st[2], st[3]);
+            # knife_edge KILLS r > offset for direction > 0 (rtm.py:93-99)
+            offset, axis, direction = st[1], st[2], st[3]
             row = 0 if axis == "x" else 2
-            w = w * (sign * r[row, :] > sign * edge)
+            if direction > 0:
+                w = w * (r[row, :] <= offset)
+            else:
+                w = w * (r[row, :] >= offset)
         else:
             raise ValueError(f"unknown stage {kind!r}")
     return r, w
@@ -97,17 +107,27 @@ def cic_image(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
     dy = Ly / ny
     tx = (x + Lx / 2) / dx - 0.5   # pixel-centre coordinates
     ty = (y + Ly / 2) / dy - 0.5
-    inside = ((tx > -1) & (tx < nx) & (ty > -1) & (ty < ny)
-              & jnp.isfinite(tx) & jnp.isfinite(ty))
-    ix = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, nx - 2)
-    iy = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, ny - 2)
-    fx = jnp.clip(tx - ix, 0.0, 1.0)
-    fy = jnp.clip(ty - iy, 0.0, 1.0)
-    wv = jnp.where(inside, w, 0.0)
+    finite = jnp.isfinite(tx) & jnp.isfinite(ty)
+    tx = jnp.where(finite, tx, -10.0)   # park NaNs safely off-detector
+    ty = jnp.where(finite, ty, -10.0)
+    # true CIC at the edges: indices are NOT clipped — deposits whose
+    # target pixel falls outside [0, nx) x [0, ny) are dropped by the
+    # scatter, so a cloud half-off the detector deposits only its
+    # overlapping fraction (and dI/dposition stays nonzero in the edge
+    # band, unlike a clip-and-saturate scheme)
+    ix = jnp.floor(tx).astype(jnp.int32)
+    iy = jnp.floor(ty).astype(jnp.int32)
+    fx = tx - ix
+    fy = ty - iy
+    wv = jnp.where(finite, w, 0.0)
     H = jnp.zeros((nx, ny), x.dtype)
     for ddx, wx in ((0, 1.0 - fx), (1, fx)):
         for ddy, wy in ((0, 1.0 - fy), (1, fy)):
-            H = H.at[ix + ddx, iy + ddy].add(wv * wx * wy, mode="drop")
+            # mode="drop" only drops indices >= n; NEGATIVE indices wrap
+            # (numpy semantics), so mask the low side explicitly
+            ok = (ix + ddx >= 0) & (iy + ddy >= 0)
+            H = H.at[ix + ddx, iy + ddy].add(
+                jnp.where(ok, wv * wx * wy, 0.0), mode="drop")
     return H.T   # (ny, nx) image convention, matching ops.histogram2d
 
 

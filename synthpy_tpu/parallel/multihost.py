@@ -72,9 +72,13 @@ def initialize(coordinator_address: Optional[str] = None,
         return
     try:
         jax.distributed.initialize()
-    except ValueError:
-        # a cluster marker was present but auto-detection could not
-        # resolve a coordinator (e.g. partial env) — stay single-process
+    except (ValueError, RuntimeError):
+        # ValueError: a cluster marker was present but auto-detection could
+        # not resolve a coordinator (e.g. partial env).
+        # RuntimeError: the XLA backend was already initialized (jax 0.9
+        # raises RuntimeError, not ValueError, for late initialize calls;
+        # false-positive markers like SLURM_JOB_NUM_NODES=1 plus any prior
+        # jnp op land here). Both cases: stay single-process.
         import warnings
 
         warnings.warn(

@@ -68,7 +68,7 @@ DIAGNOSTICS = {
 
 def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
                    bins, lwl, L, R, Lx, Ly, focal_plane,
-                   coherent_convention="legacy"):
+                   coherent_convention="legacy", detL=None):
     """Exit state -> optics -> detector (traced, shared by both solvers).
 
     ``diagnostic`` may be a tuple of names: the exit state is converted
@@ -89,7 +89,9 @@ def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
         # composed ABCD stages: every aperture-free run of elements is one
         # folded 4x4 matmul (optics.compose; the reference composes these
         # symbolically with sympy, rtm_solver-louis.py:185-271)
-        stages = builder(L=L, R=R, focal_plane=focal_plane)
+        extra = ({"detL": detL} if detL is not None
+                 and name == "shadowgraphy_exp" else {})
+        stages = builder(L=L, R=R, focal_plane=focal_plane, **extra)
         if coherent:
             E = Jf
             if name == "interferometry":
@@ -113,7 +115,7 @@ def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
 @partial(jax.jit, static_argnames=(
     "layout", "n_steps", "diagnostic", "probing_direction", "bins",
     "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane",
-    "coherent_convention"))
+    "coherent_convention", "detL"))
 def synth_image(
     s_rows: jnp.ndarray,
     channels: jnp.ndarray,
@@ -135,6 +137,7 @@ def synth_image(
     Ly: float = 13.5,
     focal_plane: float = 0.0,
     coherent_convention: str = "legacy",
+    detL: float | None = None,
 ) -> jnp.ndarray:
     """Time-tracer pipeline on (Np, 9) ray rows. Returns (ny, nx) image."""
     sf_rows = trace_rk4(s_rows, channels, origin, inv_spacing, dt,
@@ -143,14 +146,14 @@ def synth_image(
         sf_rows.T, probing_depth, diagnostic=diagnostic,
         probing_direction=probing_direction, bins=bins, lwl=lwl, L=L, R=R,
         Lx=Lx, Ly=Ly, focal_plane=focal_plane,
-        coherent_convention=coherent_convention)
+        coherent_convention=coherent_convention, detL=detL)
 
 
 @partial(jax.jit, static_argnames=(
     "layout", "n_slabs", "substeps", "diagnostic", "probing_direction",
     "bins", "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane", "p0",
     "dp_static", "sort_rays", "segmented", "seg_K", "shape_ab",
-    "coherent_convention", "integrator"))
+    "coherent_convention", "integrator", "detL"))
 def synth_image_zscan(
     s0: jnp.ndarray,
     planes: jnp.ndarray,
@@ -179,6 +182,7 @@ def synth_image_zscan(
     focal_plane: float = 0.0,
     coherent_convention: str = "legacy",
     integrator: str = "rk4",
+    detL: float | None = None,
 ) -> jnp.ndarray:
     """z-scan pipeline on a (9, Np) initial state. Returns (ny, nx) image.
 
@@ -198,6 +202,9 @@ def synth_image_zscan(
                 + jnp.clip(tb.astype(jnp.int32), 0, None))
         u = jnp.take(u, jnp.argsort(cell), axis=0)
     dp = jnp.asarray(dp_static, s0.dtype)
+    if not segmented and integrator != "rk4":
+        raise ValueError("integrator is only selectable on the segmented "
+                         "(zscan_seg) path; the plain zscan tracer is rk4")
     if segmented:
         n_seg = planes.shape[0]
         uf = trace_zscan_segments(
@@ -222,7 +229,7 @@ def synth_image_zscan(
         sf, probing_depth, diagnostic=diagnostic,
         probing_direction=probing_direction, bins=bins, lwl=lwl, L=L, R=R,
         Lx=Lx, Ly=Ly, focal_plane=focal_plane,
-        coherent_convention=coherent_convention)
+        coherent_convention=coherent_convention, detL=detL)
 
 
 def _pad_ray_cols(s0: jnp.ndarray, multiple: int, a_ax: int,
@@ -367,9 +374,24 @@ def run(
                 # on this runtime, and a single oversized program OOMs.
                 # Fall back to per-CALL batching: pad the bundle so every
                 # batch shares one compiled shape, trace batch-by-batch,
-                # sum the images (detectors are linear in rays).
+                # sum the images. Incoherent detectors are exactly linear
+                # in rays; coherent ones are NOT (|sum E|^2 and the legacy
+                # sqrt convention lose cross-batch interference), so warn.
                 max_rays = max(int(batch_corner_bytes // per_ray), 1024)
                 if s0.shape[1] > max_rays:
+                    names = ((diagnostic,) if isinstance(diagnostic, str)
+                             else diagnostic)
+                    if any(BENCHES[n][1] for n in names):
+                        import warnings
+
+                        warnings.warn(
+                            "coherent diagnostic summed across ray "
+                            "batches: per-batch complex accumulation "
+                            "drops cross-batch interference (same "
+                            "convention as per-rank MPI reduction, "
+                            "reference pvti_trace_mpi.py:169); use a "
+                            "smaller bundle or raise batch_pack_bytes "
+                            "for exact single-program coherence")
                     p_ax = _AXIS_OF[domain.probing_direction]
                     a_ax, b_ax = [a for a in range(3) if a != p_ax]
                     s_pad = _pad_ray_cols(s0, max_rays, a_ax, b_ax)
@@ -383,7 +405,9 @@ def run(
                         else:
                             acc = acc + res
                     return _out(acc)
-                ray_chunk = None  # single small batch: one plain program
+                # single small batch: one plain program — but honor an
+                # EXPLICIT user chunk size (they may be dodging a compile
+                # OOM the auto heuristic misjudges)
             elif ray_chunk is None and mesh is None:
                 # Under a mesh, HBM pressure is divided across devices and
                 # in-program chunking would fight GSPMD's ray partition.

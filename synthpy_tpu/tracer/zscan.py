@@ -416,6 +416,48 @@ def _seg_deriv(u, corners, k, f, ia0, ib0, origin_ab, inv_ab, shape_ab,
         [va * inv_vp, vb * inv_vp, G, d_amp, d_phase, d_pol], axis=1)
 
 
+def _cols_bilinear(cols, corner_vals, ia0, ib0, origin_ab, inv_ab,
+                   shape_ab):
+    """Transverse bilinear blend of 4 per-corner channel rows -> vals.
+
+    corner_vals: (v00, v01, v10, v11), each (N, C) in the compute dtype,
+    already z-blended to the stage fraction. Shared by every stage-value
+    flavor so the weight/mask arithmetic exists exactly once.
+    """
+    na, nb = shape_ab
+    a, b = cols[0], cols[1]
+    ta = (a - origin_ab[0]) * inv_ab[0]
+    tb = (b - origin_ab[1]) * inv_ab[1]
+    inside = (ta >= 0) & (ta <= na - 1) & (tb >= 0) & (tb <= nb - 1)
+    fa = jnp.clip(ta - ia0, 0.0, 1.0)[:, None]
+    fb = jnp.clip(tb - ib0, 0.0, 1.0)[:, None]
+    v00, v01, v10, v11 = corner_vals
+    vals = ((1 - fa) * (1 - fb) * v00 + (1 - fa) * fb * v01
+            + fa * (1 - fb) * v10 + fa * fb * v11)
+    return jnp.where(inside[:, None], vals, 0.0)
+
+
+def _cols_rhs(cols, vals, layout: ChannelLayout, atten_sign: float):
+    """du/dp tuple from interpolated channel values (single source of the
+    physics RHS for every integrator/blend variant)."""
+    a, b, va, vb, vp, amp, ph, pol = cols
+    inv_vp = 1.0 / vp
+    zeros = jnp.zeros_like(a)
+    d_amp = (atten_sign * vals[:, layout.kappa_index] * amp * inv_vp
+             if layout.inv_brems else zeros)
+    d_phase = (vals[:, layout.phase_index] * inv_vp
+               if layout.phaseshift else zeros)
+    if layout.B_on:
+        fi = layout.faraday_index
+        d_pol = (vals[:, fi] * va + vals[:, fi + 1] * vb
+                 + vals[:, fi + 2] * vp) * inv_vp
+    else:
+        d_pol = zeros
+    return (va * inv_vp, vb * inv_vp, vals[:, 0] * inv_vp,
+            vals[:, 1] * inv_vp, vals[:, 2] * inv_vp, d_amp, d_phase,
+            d_pol)
+
+
 def _seg_deriv_cols(cols, corners, k, f, ia0, ib0, origin_ab, inv_ab,
                     shape_ab, layout: ChannelLayout, atten_sign: float,
                     C: int):
@@ -431,39 +473,16 @@ def _seg_deriv_cols(cols, corners, k, f, ia0, ib0, origin_ab, inv_ab,
     contiguous 2C block, so no (N, K+1, C) reshape copy is ever
     materialised (the reshape cost 4 x 6 ms per 262k-ray chunk — 19%).
     """
-    na, nb = shape_ab
-    a, b, va, vb, vp, amp, ph, pol = cols
-    ta = (a - origin_ab[0]) * inv_ab[0]
-    tb = (b - origin_ab[1]) * inv_ab[1]
-    inside = (ta >= 0) & (ta <= na - 1) & (tb >= 0) & (tb <= nb - 1)
-    fa = jnp.clip(ta - ia0, 0.0, 1.0)[:, None]
-    fb = jnp.clip(tb - ib0, 0.0, 1.0)[:, None]
+    dt = cols[0].dtype
 
     def val(c):
         win = jax.lax.dynamic_slice_in_dim(c, k * C, 2 * C,
-                                           axis=1).astype(a.dtype)
+                                           axis=1).astype(dt)
         return (1.0 - f) * win[:, :C] + f * win[:, C:]
 
-    c00, c01, c10, c11 = corners
-    vals = ((1 - fa) * (1 - fb) * val(c00) + (1 - fa) * fb * val(c01)
-            + fa * (1 - fb) * val(c10) + fa * fb * val(c11))
-    vals = jnp.where(inside[:, None], vals, 0.0)
-
-    inv_vp = 1.0 / vp
-    zeros = jnp.zeros_like(a)
-    d_amp = (atten_sign * vals[:, layout.kappa_index] * amp * inv_vp
-             if layout.inv_brems else zeros)
-    d_phase = (vals[:, layout.phase_index] * inv_vp
-               if layout.phaseshift else zeros)
-    if layout.B_on:
-        fi = layout.faraday_index
-        d_pol = (vals[:, fi] * va + vals[:, fi + 1] * vb
-                 + vals[:, fi + 2] * vp) * inv_vp
-    else:
-        d_pol = zeros
-    return (va * inv_vp, vb * inv_vp, vals[:, 0] * inv_vp,
-            vals[:, 1] * inv_vp, vals[:, 2] * inv_vp, d_amp, d_phase,
-            d_pol)
+    vals = _cols_bilinear(cols, tuple(val(c) for c in corners),
+                          ia0, ib0, origin_ab, inv_ab, shape_ab)
+    return _cols_rhs(cols, vals, layout, atten_sign)
 
 
 def _seg_deriv_pre(cols, wv, ia0, ib0, origin_ab, inv_ab, shape_ab,
@@ -471,90 +490,36 @@ def _seg_deriv_pre(cols, wv, ia0, ib0, origin_ab, inv_ab, shape_ab,
     """du/dp from PRE-BLENDED per-corner plane values.
 
     wv: (v00, v01, v10, v11), each (N, C) already z-blended to the stage
-    fraction and cast to the compute dtype. Hoisting the z-blend out of
-    the stage matters because the blend depends only on the stage
-    FRACTION, not on the ray state: within one RK4 slab step the f=0
-    stage is plane k verbatim, f=1 is plane k+1 verbatim (no arithmetic
-    at all), and the two f=0.5 stages share one midpoint average —
-    1 real blend per slab instead of 4, and the bf16->f32 window convert
-    runs once. Profiled on v5e at 512^3 (scratch/profile_zscan_r2.py):
-    the slab loop is VPU-compute-bound, so removing blend/convert ops
-    translates directly to throughput.
+    fraction and cast to the compute dtype. The caller hoists the z-blend
+    out of the stages because it depends only on the stage FRACTION, not
+    the ray state: within one RK4 slab step the f=0 stage is plane k
+    verbatim, f=1 is plane k+1 verbatim, and the two f=0.5 stages share
+    one midpoint average — 1 real blend per slab instead of 4, and the
+    bf16->f32 window convert runs once.
     """
-    na, nb = shape_ab
-    a, b, va, vb, vp, amp, ph, pol = cols
-    ta = (a - origin_ab[0]) * inv_ab[0]
-    tb = (b - origin_ab[1]) * inv_ab[1]
-    inside = (ta >= 0) & (ta <= na - 1) & (tb >= 0) & (tb <= nb - 1)
-    fa = jnp.clip(ta - ia0, 0.0, 1.0)[:, None]
-    fb = jnp.clip(tb - ib0, 0.0, 1.0)[:, None]
-
-    v00, v01, v10, v11 = wv
-    vals = ((1 - fa) * (1 - fb) * v00 + (1 - fa) * fb * v01
-            + fa * (1 - fb) * v10 + fa * fb * v11)
-    vals = jnp.where(inside[:, None], vals, 0.0)
-
-    inv_vp = 1.0 / vp
-    zeros = jnp.zeros_like(a)
-    d_amp = (atten_sign * vals[:, layout.kappa_index] * amp * inv_vp
-             if layout.inv_brems else zeros)
-    d_phase = (vals[:, layout.phase_index] * inv_vp
-               if layout.phaseshift else zeros)
-    if layout.B_on:
-        fi = layout.faraday_index
-        d_pol = (vals[:, fi] * va + vals[:, fi + 1] * vb
-                 + vals[:, fi + 2] * vp) * inv_vp
-    else:
-        d_pol = zeros
-    return (va * inv_vp, vb * inv_vp, vals[:, 0] * inv_vp,
-            vals[:, 1] * inv_vp, vals[:, 2] * inv_vp, d_amp, d_phase,
-            d_pol)
+    vals = _cols_bilinear(cols, wv, ia0, ib0, origin_ab, inv_ab, shape_ab)
+    return _cols_rhs(cols, vals, layout, atten_sign)
 
 
 def _seg_deriv_win(cols, wins, f, ia0, ib0, origin_ab, inv_ab,
                    shape_ab, layout: ChannelLayout, atten_sign: float,
                    C: int):
-    """du/dp from PRE-SLICED 2-plane corner windows.
+    """du/dp from PRE-SLICED 2-plane corner windows (blocked march).
 
-    Same arithmetic as :func:`_seg_deriv_cols` but the (N, 2C) plane
-    windows are sliced once per slab by the caller instead of once per
-    RK4 stage — the four stages of a slab read the identical window, so
-    hoisting the slice removes 3/4 of the window traffic and lets the
-    blocked march keep a whole sub-segment's windows VMEM-resident inside
-    one fusion.
+    The (N, 2C) windows are sliced once per slab by the caller; only the
+    z-blend at fraction ``f`` remains per stage. Measured SLOWER than the
+    default scan (scratch/bench_block.py) — kept for the opt-in block=
+    path only.
     """
-    na, nb = shape_ab
-    a, b, va, vb, vp, amp, ph, pol = cols
-    ta = (a - origin_ab[0]) * inv_ab[0]
-    tb = (b - origin_ab[1]) * inv_ab[1]
-    inside = (ta >= 0) & (ta <= na - 1) & (tb >= 0) & (tb <= nb - 1)
-    fa = jnp.clip(ta - ia0, 0.0, 1.0)[:, None]
-    fb = jnp.clip(tb - ib0, 0.0, 1.0)[:, None]
+    dt = cols[0].dtype
 
     def val(win):
-        w = win.astype(a.dtype)
+        w = win.astype(dt)
         return (1.0 - f) * w[:, :C] + f * w[:, C:]
 
-    w00, w01, w10, w11 = wins
-    vals = ((1 - fa) * (1 - fb) * val(w00) + (1 - fa) * fb * val(w01)
-            + fa * (1 - fb) * val(w10) + fa * fb * val(w11))
-    vals = jnp.where(inside[:, None], vals, 0.0)
-
-    inv_vp = 1.0 / vp
-    zeros = jnp.zeros_like(a)
-    d_amp = (atten_sign * vals[:, layout.kappa_index] * amp * inv_vp
-             if layout.inv_brems else zeros)
-    d_phase = (vals[:, layout.phase_index] * inv_vp
-               if layout.phaseshift else zeros)
-    if layout.B_on:
-        fi = layout.faraday_index
-        d_pol = (vals[:, fi] * va + vals[:, fi + 1] * vb
-                 + vals[:, fi + 2] * vp) * inv_vp
-    else:
-        d_pol = zeros
-    return (va * inv_vp, vb * inv_vp, vals[:, 0] * inv_vp,
-            vals[:, 1] * inv_vp, vals[:, 2] * inv_vp, d_amp, d_phase,
-            d_pol)
+    vals = _cols_bilinear(cols, tuple(val(w) for w in wins),
+                          ia0, ib0, origin_ab, inv_ab, shape_ab)
+    return _cols_rhs(cols, vals, layout, atten_sign)
 
 
 @partial(jax.jit, static_argnames=("layout", "K", "n_seg", "shape_ab",
@@ -609,6 +574,13 @@ def trace_zscan_segments(
     h = dp / substeps
     blocked = (block is not None and substeps == 1 and K % block == 0
                and block < K)
+    if integrator not in ("rk4", "rk2"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    if integrator == "rk2" and (substeps != 1 or blocked):
+        # the rk2 branch lives in the substeps==1 per-slab arm only;
+        # refusing beats silently tracing rk4 under an rk2 label
+        raise ValueError("integrator='rk2' requires substeps=1 and no "
+                         "block= (the blocked march is rk4-only)")
 
     def run(u0):
         def segment(uc, s):

@@ -99,3 +99,50 @@ def test_weighted_stages_match_nan_filtered_histogram():
             ca = (A * w).sum() / A.sum()
             cb = (B * w).sum() / B.sum()
             assert abs(ca - cb) < 0.5
+
+
+def test_weighted_filters_match_rtm_kill_semantics():
+    """Weighted aperture/stop/rect/knife keep exactly the rays the
+    production rtm filters keep (rect keeps the corner-clip parity quirk,
+    knife honors (offset, axis, direction) ordering)."""
+    from synthpy_tpu.inverse import apply_stages_weighted
+    from synthpy_tpu.optics import rtm
+
+    k = jax.random.PRNGKey(9)
+    r = jax.random.normal(k, (4, 256)) * 20.0
+    cases = [
+        [("aperture", 10.0)],
+        [("stop", 5.0)],
+        [("rect", 8.0, 12.0)],
+        [("knife", 1.0, "x", 1)],
+        [("knife", -2.0, "y", -1)],
+    ]
+    kills = [
+        lambda rr: rtm.circular_aperture(rr, 10.0),
+        lambda rr: rtm.circular_stop(rr, 5.0),
+        lambda rr: rtm.rect_aperture(rr, 8.0, 12.0),
+        lambda rr: rtm.knife_edge(rr, 1.0, "x", 1),
+        lambda rr: rtm.knife_edge(rr, -2.0, "y", -1),
+    ]
+    for stages, kill in zip(cases, kills):
+        _, w = apply_stages_weighted(r, stages)
+        survived_ref = np.isfinite(np.asarray(kill(r))[0])
+        np.testing.assert_array_equal(np.asarray(w) > 0, survived_ref,
+                                      err_msg=str(stages))
+
+
+def test_cic_edge_deposits_partial_weight():
+    """A ray whose CIC cloud half-overlaps the detector edge deposits
+    half its weight (true CIC), and off-edge motion has nonzero gradient."""
+    Lx, Ly, bins = 16.0, 16.0, (16, 16)
+    dx = Lx / bins[0]
+    # pixel-centre coord tx = -0.5 -> x = -Lx/2
+    x_edge = jnp.array([-Lx / 2])
+    y_mid = jnp.array([0.0])
+    H = cic_image(x_edge, y_mid, jnp.ones(1), bins, Lx, Ly)
+    np.testing.assert_allclose(float(H.sum()), 0.5, rtol=1e-6)
+    g = jax.grad(lambda x: cic_image(jnp.atleast_1d(x), y_mid,
+                                     jnp.ones(1), bins, Lx, Ly).sum())(
+        -Lx / 2 + 0.01)
+    assert np.isfinite(float(g)) and float(g) != 0.0
+    assert dx > 0  # geometry sanity

@@ -479,3 +479,71 @@ def test_pipeline_rk2_image_close_to_rk4():
                                  bins=(54, 40), integrator="rk2"))
     assert H2.sum() == H4.sum()
     assert np.abs(H2 - H4).sum() < 0.04 * H4.sum()
+
+
+def test_rk2_guard_rejects_unsupported_modes():
+    """integrator='rk2' raises instead of silently tracing rk4 when
+    combined with substeps>1, block=, the non-segmented path, or a
+    non-zscan_seg solver."""
+    import numpy as np
+    import pytest as _pytest
+
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.fields import ScalarDomain, build_pack, layout_of
+    from synthpy_tpu.tracer import init_beam
+    from synthpy_tpu.tracer.zscan import (make_segment_pack,
+                                          make_zscan_pack,
+                                          trace_zscan_segments)
+
+    ext = 5e-3
+    d = ScalarDomain(2 * ext, 17).test_lens(ne_0=5e24, LR=1.5e-3)
+    lay = layout_of(d)
+    sp = make_segment_pack(make_zscan_pack(build_pack(d), lay), K=8)
+    s = jnp.asarray(init_beam(jax.random.PRNGKey(1), 32, 2e-3, 0.0, ext,
+                              "circular"))
+    u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]], axis=1)
+    kw = dict(shape_ab=sp.shape_ab, layout=lay, K=sp.K,
+              n_seg=sp.seg_planes.shape[0])
+    dp = jnp.float32(sp.dp)
+    with _pytest.raises(ValueError, match="rk2"):
+        trace_zscan_segments(u, sp.seg_planes, sp.origin_ab,
+                             sp.inv_spacing_ab, dp, integrator="rk2",
+                             substeps=2, **kw)
+    with _pytest.raises(ValueError, match="rk2"):
+        trace_zscan_segments(u, sp.seg_planes, sp.origin_ab,
+                             sp.inv_spacing_ab, dp, integrator="rk2",
+                             block=4, **kw)
+    with _pytest.raises(ValueError, match="unknown integrator"):
+        trace_zscan_segments(u, sp.seg_planes, sp.origin_ab,
+                             sp.inv_spacing_ab, dp, integrator="euler",
+                             **kw)
+    s0 = np.asarray(s)
+    with _pytest.raises(ValueError, match="segmented"):
+        pipeline.run(d, s0, solver="zscan", integrator="rk2",
+                     bins=(20, 16))
+
+
+def test_shadowgraphy_exp_detL_reaches_the_bench():
+    """pipeline.run(diagnostic='shadowgraphy_exp', detL=...) changes the
+    detector arm (the legacy single_exp_solve parameter,
+    rtm_solver.py:216-222) instead of freezing it at 400 mm."""
+    import numpy as np
+
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.fields import ScalarDomain
+    from synthpy_tpu.tracer import init_beam
+
+    ext = 5e-3
+    d = ScalarDomain(2 * ext, 21).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(2), 2000, 2e-3, 0.0, ext, "circular")
+    H_400 = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                    diagnostic="shadowgraphy_exp",
+                                    bins=(40, 30)))
+    H_800 = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                    diagnostic="shadowgraphy_exp",
+                                    bins=(40, 30), detL=800.0))
+    H_def = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                    diagnostic="shadowgraphy_exp",
+                                    bins=(40, 30), detL=400.0))
+    np.testing.assert_allclose(H_def, H_400)
+    assert np.abs(H_800 - H_400).sum() > 0
