@@ -47,26 +47,37 @@ from synthpy_tpu.tracer.propagator import ray_to_Jonesvector
 from synthpy_tpu.tracer.zscan import (make_segment_pack, make_zscan_pack,
                                       trace_zscan_segments)
 
-__all__ = ["apply_stages_weighted", "cic_image", "make_renderer"]
+__all__ = ["apply_stages_weighted", "cic_image", "cic_intensity_image",
+           "make_renderer"]
 
 
-def apply_stages_weighted(r: jnp.ndarray, stages: Sequence[Tuple]
-                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def apply_stages_weighted(r: jnp.ndarray, stages: Sequence[Tuple],
+                          E: jnp.ndarray | None = None,
+                          wavelength: float | None = None):
     """Apply composed optics stages, tracking a transmission weight.
 
     Same matrices as optics.compose.apply_stages, but filter elements
     multiply a per-ray weight instead of NaN-killing coordinates, so the
-    output rays stay differentiable. Returns (rays (4, N), weight (N,)).
+    output rays stay differentiable. Returns (rays (4, N), weight (N,)),
+    or (rays, E, weight) when a Jones vector ``E`` (2, N) is given —
+    phase checkpoints then advance E by e^{ik·path} exactly like
+    optics.compose.apply_stages (wavelength [m] required).
     """
     w = jnp.ones(r.shape[1], r.dtype)
+    r_mark = r
     for st in stages:
         kind = st[0]
         if kind == "matrix":
             r = jnp.asarray(st[1], r.dtype) @ r
-        elif kind in ("mark", "phase"):
-            # phase checkpoints only matter for coherent benches; the
-            # weighted path is intensity-only
-            continue
+        elif kind == "mark":
+            r_mark = r
+        elif kind == "phase":
+            if E is not None:
+                k = 2.0 * jnp.pi / wavelength
+                dxp = (r[0, :] - r_mark[0, :]) * 1e-3  # mm -> m
+                dyp = (r[2, :] - r_mark[2, :]) * 1e-3
+                E = E * jnp.exp(1.0j * k * jnp.sqrt(dxp**2 + dyp**2))
+            r_mark = r
         elif kind == "aperture":
             w = w * (r[0, :] ** 2 + r[2, :] ** 2 <= st[1] ** 2)
         elif kind == "stop":
@@ -90,6 +101,8 @@ def apply_stages_weighted(r: jnp.ndarray, stages: Sequence[Tuple]
                 w = w * (r[row, :] >= offset)
         else:
             raise ValueError(f"unknown stage {kind!r}")
+    if E is not None:
+        return r, E, w
     return r, w
 
 
@@ -131,6 +144,47 @@ def cic_image(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
     return H.T   # (ny, nx) image convention, matching ops.histogram2d
 
 
+def cic_intensity_image(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
+                        E: jnp.ndarray, bins: Tuple[int, int],
+                        Lx: float, Ly: float) -> jnp.ndarray:
+    """Differentiable COHERENT detector: |sum w·E|^2 per pixel via CIC.
+
+    Per-polarisation complex field amplitudes are deposited cloud-in-cell
+    (real/imag channels separately — complex scatter-add is unimplemented
+    on TPU, see ops.histogram), then the intensity
+    I = |sum Ex|^2 + |sum Ey|^2 is formed per pixel: the physically
+    standard convention (ops.complex_histogram(convention="intensity")),
+    smooth in ray positions AND phases, so interferograms can be
+    inverted for the phase object that produced them.
+    """
+    nx, ny = bins
+    dx = Lx / nx
+    dy = Ly / ny
+    tx = (x + Lx / 2) / dx - 0.5
+    ty = (y + Ly / 2) / dy - 0.5
+    finite = jnp.isfinite(tx) & jnp.isfinite(ty)
+    tx = jnp.where(finite, tx, -10.0)
+    ty = jnp.where(finite, ty, -10.0)
+    ix = jnp.floor(tx).astype(jnp.int32)
+    iy = jnp.floor(ty).astype(jnp.int32)
+    fx = tx - ix
+    fy = ty - iy
+    wv = jnp.where(finite, w, 0.0)
+    chans = jnp.stack([jnp.real(E[0]), jnp.imag(E[0]),
+                       jnp.real(E[1]), jnp.imag(E[1])], axis=-1)
+    chans = chans * wv[:, None]
+    acc = jnp.zeros((nx, ny, 4), chans.dtype)
+    for ddx, wx in ((0, 1.0 - fx), (1, fx)):
+        for ddy, wy in ((0, 1.0 - fy), (1, fy)):
+            ok = ((ix + ddx >= 0) & (iy + ddy >= 0))[:, None]
+            acc = acc.at[ix + ddx, iy + ddy].add(
+                jnp.where(ok, chans * (wx * wy)[:, None], 0.0),
+                mode="drop")
+    I = (acc[..., 0] ** 2 + acc[..., 1] ** 2
+         + acc[..., 2] ** 2 + acc[..., 3] ** 2)
+    return I.T   # (ny, nx) image convention
+
+
 def make_renderer(
     domain: ScalarDomain,
     s0: jnp.ndarray,
@@ -145,17 +199,27 @@ def make_renderer(
     Ly: float = 13.5,
     focal_plane: float = 0.0,
     probing_depth: float | None = None,
+    n_fringes: float = 10.0,
+    deg: float = 20.0,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build ``render(ne) -> image``, differentiable with respect to ne.
 
     ``domain`` provides the static geometry (grid coordinates, probing
     direction); the returned closure re-derives the gradient pack from
     the ``ne`` argument on every call so jax.grad sees the full chain.
-    Intensity benches only (shadowgraphy/schlieren/refractometry).
+
+    Incoherent benches (shadowgraphy/schlieren/refractometry) deposit
+    transmission weights (cic_image); coherent benches (interferometry /
+    refractometry_coherent) require ``domain.phaseshift=True``, carry the
+    Jones vector through the phase-checkpointed stages, add the tilted
+    reference beam for interferometry (``n_fringes``/``deg``, reference
+    diagnostics.py:559-581) and deposit |sum E|^2 (cic_intensity_image) —
+    an interferogram you can differentiate for the phase object.
     """
-    if BENCHES[diagnostic][1]:
-        raise ValueError(f"{diagnostic}: coherent benches are not "
-                         "supported by the weighted (intensity) path")
+    coherent = BENCHES[diagnostic][1]
+    if coherent and not domain.phaseshift:
+        raise ValueError(f"{diagnostic} requires domain.phaseshift=True "
+                         "(the trace must accumulate refractive phase)")
     geom = copy.copy(domain)
     layout = layout_of(domain)
     depth = domain.extent if probing_depth is None else probing_depth
@@ -186,8 +250,19 @@ def make_renderer(
                                                           uf[:, 4])
         cols[6], cols[7], cols[8] = uf[:, 5], uf[:, 6], uf[:, 7]
         sf = jnp.stack(cols)
-        rf, _ = ray_to_Jonesvector(sf, depth, probing_direction=pd)
-        r_out, w = apply_stages_weighted(m_to_mm(rf), stages)
+        rf, Jf = ray_to_Jonesvector(sf, depth, probing_direction=pd,
+                                    return_E=coherent)
+        r_mm = m_to_mm(rf)
+        if coherent:
+            from synthpy_tpu.optics.compose import interfere_ref_beam
+
+            if diagnostic == "interferometry":
+                Jf = interfere_ref_beam(r_mm, Jf, n_fringes, deg)
+            r_out, E_out, w = apply_stages_weighted(r_mm, stages, E=Jf,
+                                                    wavelength=lwl)
+            return cic_intensity_image(r_out[0, :], r_out[2, :], w,
+                                       E_out, bins, Lx, Ly)
+        r_out, w = apply_stages_weighted(r_mm, stages)
         return cic_image(r_out[0, :], r_out[2, :], w, bins, Lx, Ly)
 
     return render
