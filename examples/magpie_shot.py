@@ -27,6 +27,8 @@ def main():
     p.add_argument("-o", default="magpie_shot")
     p.add_argument("--checkpoint", default=None,
                    help="resume-able campaign state .npz")
+    p.add_argument("--integrator", default="rk2", choices=("rk2", "rk4"),
+                   help="slab integrator (rk2 = midpoint production mode)")
     args = p.parse_args()
 
     from synthpy_tpu import pipeline
@@ -62,6 +64,7 @@ def main():
             # state (~3x over per-diagnostic re-tracing)
             **pipeline.run(
                 domain, s, spack=spack, solver="zscan_seg",
+                integrator=args.integrator,
                 diagnostic=("shadowgraphy", "schlieren_df",
                             "interferometry"), bins=bins),
         }

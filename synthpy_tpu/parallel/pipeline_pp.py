@@ -35,6 +35,7 @@ def make_pipelined_segment_tracer(
     substeps: int = 1,
     atten_sign: float = -1.0,
     axis: str = "seg",
+    integrator: str = "rk4",
 ):
     """Build a jitted PP tracer over ``axis`` of ``mesh``.
 
@@ -42,8 +43,15 @@ def make_pipelined_segment_tracer(
     ``f(chunks, seg_planes, origin_ab, inv_ab, dp) -> chunks_out`` where
     ``chunks`` is (n_chunks, chunk_rays, 8) permuted ray state and
     ``seg_planes`` the full (n_seg, nab, (K+1)C) table (GSPMD shards it
-    over ``axis``).
+    over ``axis``). ``integrator``: "rk4" (parity) or "rk2" (midpoint
+    production mode, same semantics as trace_zscan_segments; requires
+    substeps=1) — keeps the multi-chip path at fast-mode parity with the
+    single-chip tracer.
     """
+    if integrator not in ("rk4", "rk2"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    if integrator == "rk2" and substeps != 1:
+        raise ValueError("integrator='rk2' requires substeps=1")
     D = mesh.shape[axis]
     n_seg = spack.seg_planes.shape[0]
     assert n_seg % D == 0, f"n_seg {n_seg} must divide over {D} devices"
@@ -94,6 +102,10 @@ def make_pipelined_segment_tracer(
                                                  + k4), None
 
                     if substeps == 1:
+                        if integrator == "rk2":
+                            k1 = stage(uc, 0.0)
+                            k2 = stage(uc + 0.5 * h * k1, 0.5)
+                            return uc + h * k2, None
                         uc, _ = substep(uc, 0.0)
                     else:
                         uc, _ = jax.lax.scan(

@@ -257,3 +257,45 @@ def test_pipeline_run_mesh_coherent_and_time():
             np.testing.assert_allclose(np.asarray(out[k]),
                                        np.asarray(ref[k]),
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_pp_tracer_rk2_matches_single_device_rk2():
+    """PP tracer with integrator='rk2' == single-device rk2 march."""
+    from jax.sharding import AxisType
+
+    from synthpy_tpu.fields import layout_of as _layout_of
+    from synthpy_tpu.parallel.pipeline_pp import (
+        make_pipelined_segment_tracer,
+    )
+    from synthpy_tpu.tracer.zscan import (
+        make_segment_pack,
+        make_zscan_pack,
+        trace_zscan_segments,
+    )
+
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    lay = _layout_of(d)
+    sp = make_segment_pack(make_zscan_pack(build_pack(d), lay), K=8)
+
+    s0 = init_beam(jax.random.PRNGKey(15), 128, 1.5e-3, 1e-3, EXT,
+                   "circular")
+    s = jnp.asarray(s0)
+    u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]], axis=1)
+    dp = jnp.float32(sp.dp)
+
+    ref = np.asarray(trace_zscan_segments(
+        u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp,
+        shape_ab=sp.shape_ab, layout=lay, K=sp.K,
+        n_seg=sp.seg_planes.shape[0], integrator="rk2"))
+
+    mesh = jax.make_mesh((4,), ("seg",), devices=jax.devices()[:4],
+                         axis_types=(AxisType.Auto,))
+    tracer = make_pipelined_segment_tracer(mesh, lay, sp, n_chunks=2,
+                                           integrator="rk2")
+    chunks = u.reshape(2, 64, 8)
+    out = np.asarray(tracer(chunks, sp.seg_planes, sp.origin_ab,
+                            sp.inv_spacing_ab, dp)).reshape(128, 8)
+    # single-device rk2 blends via 0.5*(w0+w1), the PP matrix form via
+    # (1-f)*w0 + f*w1 — identical arithmetic up to f32 reassociation
+    np.testing.assert_allclose(out, ref, rtol=5e-5, atol=1e-8)
