@@ -82,6 +82,7 @@ def jax_init(
     core_limit: Optional[int] = None,
     x64: bool = False,
     kill_blas_threads: bool = True,
+    compilation_cache: Optional[str] = "/tmp/synthpy_xla_cache",
 ) -> None:
     """Set process environment for jax BEFORE jax is imported.
 
@@ -95,6 +96,11 @@ def jax_init(
         x64: enable double precision (via JAX_ENABLE_X64 env).
         kill_blas_threads: pin BLAS libraries to one thread each, as the
             reference does (config.py:84-88) — XLA does its own threading.
+        compilation_cache: directory for jax's persistent compilation
+            cache (None disables). On remote-attached TPU services the
+            compile step is the dominant, highly variable cost (measured
+            1-300 s for the same program on this host); a warm persistent
+            cache turns repeat pack builds into ~1 s.
     """
     assert "jax" not in sys.modules, (
         "jax_init() must be called before jax is imported "
@@ -124,6 +130,17 @@ def jax_init(
     if x64:
         os.environ["JAX_ENABLE_X64"] = "true"
         flags.update("X64", True)
+
+    if compilation_cache:
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                              compilation_cache)
+        # cache every entry, however quick the compile — repeat latency on
+        # tunnel-attached chips is dominated by the compile SERVICE, not
+        # local compile time
+        os.environ.setdefault(
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+        os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES",
+                              "0")
 
     flags.update("JAX_INITIALISED", True)
 
