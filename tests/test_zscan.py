@@ -547,3 +547,45 @@ def test_shadowgraphy_exp_detL_reaches_the_bench():
                                     bins=(40, 30), detL=400.0))
     np.testing.assert_allclose(H_def, H_400)
     assert np.abs(H_800 - H_400).sum() > 0
+
+
+@pytest.mark.parametrize("direction", ["x", "y", "z"])
+def test_rk2_matches_rk4_all_probing_directions(direction):
+    """rk2 == rk4 (to f32 tolerance) for every probing direction."""
+    import numpy as np
+
+    from synthpy_tpu.fields import ScalarDomain
+    from synthpy_tpu.tracer import init_beam
+    from synthpy_tpu.tracer.zscan import solve_zscan_segments
+
+    ext = 5e-3
+    d = ScalarDomain(2 * ext, 25, probing_direction=direction)
+    d.test_lens(ne_0=5e24, LR=1.5e-3) if direction == "z" else \
+        d.test_liner(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(21), 64, 2e-3, 0.0, ext, "circular",
+                   direction)
+    r4 = np.asarray(solve_zscan_segments(s0, d, K=8).sf)
+    r2 = np.asarray(solve_zscan_segments(s0, d, K=8, integrator="rk2").sf)
+    np.testing.assert_allclose(r2[:3], r4[:3], atol=5e-8)
+    np.testing.assert_allclose(r2[3:6], r4[3:6], rtol=1e-4, atol=200.0)
+
+
+def test_rk2_non_cubic_grid():
+    """rk2 on a rectangular (non-cubic) grid matches rk4 — the per-axis
+    coordinate design (no NaN padding) holds for both integrators."""
+    import numpy as np
+
+    from synthpy_tpu.fields import ScalarDomain
+    from synthpy_tpu.tracer import init_beam
+    from synthpy_tpu.tracer.zscan import solve_zscan_segments
+
+    ext = 5e-3
+    d = ScalarDomain((2 * ext, 1.5 * ext, 2.5 * ext), (21, 17, 29))
+    d.test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(22), 64, 1e-3, 0.0, d.extent,
+                   "circular")
+    r4 = np.asarray(solve_zscan_segments(s0, d, K=4).sf)
+    r2 = np.asarray(solve_zscan_segments(s0, d, K=4, integrator="rk2").sf)
+    assert np.isfinite(r2).all()
+    np.testing.assert_allclose(r2[:3], r4[:3], atol=5e-8)
+    np.testing.assert_allclose(r2[3:6], r4[3:6], rtol=1e-4, atol=200.0)
