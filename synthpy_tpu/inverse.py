@@ -201,6 +201,7 @@ def make_renderer(
     probing_depth: float | None = None,
     n_fringes: float = 10.0,
     deg: float = 20.0,
+    remat: bool = True,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build ``render(ne) -> image``, differentiable with respect to ne.
 
@@ -215,6 +216,11 @@ def make_renderer(
     reference beam for interferometry (``n_fringes``/``deg``, reference
     diagnostics.py:559-581) and deposit |sum E|^2 (cic_intensity_image) —
     an interferogram you can differentiate for the phase object.
+
+    ``remat`` (default True) checkpoints the march at segment
+    granularity: reverse-mode memory scales with n_seg instead of the
+    slab count (one forward recompute per segment in the backward pass),
+    which is what lets 512^3-class inverse problems fit in HBM.
     """
     coherent = BENCHES[diagnostic][1]
     if coherent and not domain.phaseshift:
@@ -239,7 +245,8 @@ def make_renderer(
         uf = trace_zscan_segments(
             u0, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab,
             jnp.asarray(sp.dp, u0.dtype), shape_ab=sp.shape_ab,
-            layout=layout, K=sp.K, n_seg=sp.seg_planes.shape[0])
+            layout=layout, K=sp.K, n_seg=sp.seg_planes.shape[0],
+            remat=remat)
         N = uf.shape[0]
         cols = [None] * 9
         cols[a_ax], cols[b_ax] = uf[:, 0], uf[:, 1]

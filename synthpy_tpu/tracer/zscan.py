@@ -524,7 +524,8 @@ def _seg_deriv_win(cols, wins, f, ia0, ib0, origin_ab, inv_ab,
 
 @partial(jax.jit, static_argnames=("layout", "K", "n_seg", "shape_ab",
                                    "substeps", "atten_sign", "ray_chunk",
-                                   "unroll", "block", "integrator"))
+                                   "unroll", "block", "integrator",
+                                   "remat"))
 def trace_zscan_segments(
     u: jnp.ndarray,
     seg_planes: jnp.ndarray,
@@ -542,6 +543,7 @@ def trace_zscan_segments(
     unroll: int = 2,
     block: Optional[int] = None,
     integrator: str = "rk4",
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Gather-hoisted slab march over n_seg segments of K slabs each.
 
@@ -703,7 +705,12 @@ def trace_zscan_segments(
             uc = jnp.stack(cols, axis=1)
             return uc, None
 
-        out, _ = jax.lax.scan(segment, u0, jnp.arange(n_seg))
+        # remat: checkpoint at SEGMENT granularity so reverse-mode AD
+        # (synthpy_tpu.inverse) stores one ray state per segment instead
+        # of one per slab — memory / K at the cost of one extra forward
+        # recompute of each segment in the backward pass.
+        seg_fn = jax.checkpoint(segment) if remat else segment
+        out, _ = jax.lax.scan(seg_fn, u0, jnp.arange(n_seg))
         return out
 
     if ray_chunk is None or u.shape[0] <= ray_chunk:

@@ -187,3 +187,22 @@ def test_coherent_renderer_produces_fringes_and_gradients():
     # (the incoherent path matches to 2%, test above); require sign and
     # magnitude agreement rather than tight equality
     np.testing.assert_allclose(float(g), float(fd), rtol=0.3)
+
+
+def test_remat_gradients_match_plain_gradients():
+    """Segment-granularity jax.checkpoint (remat=True, the default)
+    changes memory, not math: gradients match the unrematerialized
+    chain."""
+    d, profile = _lens_profile(21)
+    s0 = init_beam(jax.random.PRNGKey(23), 400, 2e-3, 0.0, EXT, "circular")
+    r_remat = make_renderer(d, s0, bins=(24, 18), K=4, remat=True)
+    r_plain = make_renderer(d, s0, bins=(24, 18), K=4, remat=False)
+
+    target = r_plain(5e24 * profile)
+
+    def loss(render, amp):
+        return jnp.mean((render(amp * profile) - target) ** 2)
+
+    g1 = jax.grad(lambda a: loss(r_remat, a))(4e24)
+    g2 = jax.grad(lambda a: loss(r_plain, a))(4e24)
+    np.testing.assert_allclose(float(g1), float(g2), rtol=1e-6)
