@@ -45,6 +45,7 @@ from synthpy_tpu.optics.compose import BENCHES
 from synthpy_tpu.optics.rtm import m_to_mm
 from synthpy_tpu.tracer.propagator import ray_to_Jonesvector
 from synthpy_tpu.tracer.zscan import (make_segment_pack, make_zscan_pack,
+                                      reassemble_state,
                                       trace_zscan_segments)
 
 __all__ = ["apply_stages_weighted", "cic_image", "cic_intensity_image",
@@ -106,6 +107,26 @@ def apply_stages_weighted(r: jnp.ndarray, stages: Sequence[Tuple],
     return r, w
 
 
+def _cic_coords(x, y, bins, Lx, Ly):
+    """Pixel-centre CIC coordinates: (ix, iy, fx, fy, finite-mask).
+
+    True CIC at the edges: indices are NOT clipped — deposits whose
+    target pixel falls outside [0, nx) x [0, ny) are dropped by the
+    scatter, so a cloud half-off the detector deposits only its
+    overlapping fraction (and dI/dposition stays nonzero in the edge
+    band, unlike a clip-and-saturate scheme).
+    """
+    nx, ny = bins
+    tx = (x + Lx / 2) * (nx / Lx) - 0.5
+    ty = (y + Ly / 2) * (ny / Ly) - 0.5
+    finite = jnp.isfinite(tx) & jnp.isfinite(ty)
+    tx = jnp.where(finite, tx, -10.0)   # park NaNs safely off-detector
+    ty = jnp.where(finite, ty, -10.0)
+    ix = jnp.floor(tx).astype(jnp.int32)
+    iy = jnp.floor(ty).astype(jnp.int32)
+    return ix, iy, tx - ix, ty - iy, finite
+
+
 def cic_image(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
               bins: Tuple[int, int], Lx: float, Ly: float) -> jnp.ndarray:
     """Differentiable detector: cloud-in-cell DENSITY deposition.
@@ -116,22 +137,7 @@ def cic_image(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
     spans [-Lx/2, Lx/2] x [-Ly/2, Ly/2] mm like ops.histogram2d.
     """
     nx, ny = bins
-    dx = Lx / nx
-    dy = Ly / ny
-    tx = (x + Lx / 2) / dx - 0.5   # pixel-centre coordinates
-    ty = (y + Ly / 2) / dy - 0.5
-    finite = jnp.isfinite(tx) & jnp.isfinite(ty)
-    tx = jnp.where(finite, tx, -10.0)   # park NaNs safely off-detector
-    ty = jnp.where(finite, ty, -10.0)
-    # true CIC at the edges: indices are NOT clipped — deposits whose
-    # target pixel falls outside [0, nx) x [0, ny) are dropped by the
-    # scatter, so a cloud half-off the detector deposits only its
-    # overlapping fraction (and dI/dposition stays nonzero in the edge
-    # band, unlike a clip-and-saturate scheme)
-    ix = jnp.floor(tx).astype(jnp.int32)
-    iy = jnp.floor(ty).astype(jnp.int32)
-    fx = tx - ix
-    fy = ty - iy
+    ix, iy, fx, fy, finite = _cic_coords(x, y, bins, Lx, Ly)
     wv = jnp.where(finite, w, 0.0)
     H = jnp.zeros((nx, ny), x.dtype)
     for ddx, wx in ((0, 1.0 - fx), (1, fx)):
@@ -158,17 +164,7 @@ def cic_intensity_image(x: jnp.ndarray, y: jnp.ndarray, w: jnp.ndarray,
     inverted for the phase object that produced them.
     """
     nx, ny = bins
-    dx = Lx / nx
-    dy = Ly / ny
-    tx = (x + Lx / 2) / dx - 0.5
-    ty = (y + Ly / 2) / dy - 0.5
-    finite = jnp.isfinite(tx) & jnp.isfinite(ty)
-    tx = jnp.where(finite, tx, -10.0)
-    ty = jnp.where(finite, ty, -10.0)
-    ix = jnp.floor(tx).astype(jnp.int32)
-    iy = jnp.floor(ty).astype(jnp.int32)
-    fx = tx - ix
-    fy = ty - iy
+    ix, iy, fx, fy, finite = _cic_coords(x, y, bins, Lx, Ly)
     wv = jnp.where(finite, w, 0.0)
     chans = jnp.stack([jnp.real(E[0]), jnp.imag(E[0]),
                        jnp.real(E[1]), jnp.imag(E[1])], axis=-1)
@@ -247,16 +243,8 @@ def make_renderer(
             jnp.asarray(sp.dp, u0.dtype), shape_ab=sp.shape_ab,
             layout=layout, K=sp.K, n_seg=sp.seg_planes.shape[0],
             remat=remat)
-        N = uf.shape[0]
-        cols = [None] * 9
-        cols[a_ax], cols[b_ax] = uf[:, 0], uf[:, 1]
-        cols[p_ax] = jnp.full((N,), sp.p0 + sp.seg_planes.shape[0]
-                              * sp.K * sp.dp, uf.dtype)
-        cols[3 + a_ax], cols[3 + b_ax], cols[3 + p_ax] = (uf[:, 2],
-                                                          uf[:, 3],
-                                                          uf[:, 4])
-        cols[6], cols[7], cols[8] = uf[:, 5], uf[:, 6], uf[:, 7]
-        sf = jnp.stack(cols)
+        sf = reassemble_state(
+            uf, sp.p0 + sp.seg_planes.shape[0] * sp.K * sp.dp, pd)
         rf, Jf = ray_to_Jonesvector(sf, depth, probing_direction=pd,
                                     return_E=coherent)
         r_mm = m_to_mm(rf)

@@ -50,6 +50,7 @@ from synthpy_tpu.tracer.zscan import (
     _AXIS_OF,
     make_segment_pack,
     make_zscan_pack,
+    reassemble_state,
     trace_zscan,
     trace_zscan_segments,
 )
@@ -217,14 +218,7 @@ def synth_image_zscan(
                          n_slabs=n_slabs, substeps=substeps,
                          ray_chunk=ray_chunk)
         p_end = p0 + n_slabs * dp_static
-    N = uf.shape[0]
-    cols = [None] * 9
-    cols[a_ax], cols[b_ax] = uf[:, 0], uf[:, 1]
-    cols[p_ax] = jnp.full((N,), p_end, uf.dtype)
-    cols[3 + a_ax], cols[3 + b_ax], cols[3 + p_ax] = (uf[:, 2], uf[:, 3],
-                                                      uf[:, 4])
-    cols[6], cols[7], cols[8] = uf[:, 5], uf[:, 6], uf[:, 7]
-    sf = jnp.stack(cols)
+    sf = reassemble_state(uf, p_end, probing_direction)
     return _image_from_sf(
         sf, probing_depth, diagnostic=diagnostic,
         probing_direction=probing_direction, bins=bins, lwl=lwl, L=L, R=R,

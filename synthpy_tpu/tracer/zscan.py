@@ -60,6 +60,26 @@ from synthpy_tpu.tracer.propagator import TraceResult, ray_to_Jonesvector
 _AXIS_OF = {"x": 0, "y": 1, "z": 2}
 
 
+def reassemble_state(uf: jnp.ndarray, p_end,
+                     probing_direction: str = "z") -> jnp.ndarray:
+    """(N, 8) permuted exit columns -> (9, N) canonical exit state.
+
+    Inverse of the (a, b, va, vb, vp, amp, phase, pol) state permutation
+    used by the z-scan tracers; every ray sits at the exit-plane
+    coordinate ``p_end`` along the probing axis.
+    """
+    p_ax = _AXIS_OF[probing_direction]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+    N = uf.shape[0]
+    cols = [None] * 9
+    cols[a_ax], cols[b_ax] = uf[:, 0], uf[:, 1]
+    cols[p_ax] = jnp.full((N,), p_end, uf.dtype)
+    cols[3 + a_ax], cols[3 + b_ax], cols[3 + p_ax] = (uf[:, 2], uf[:, 3],
+                                                      uf[:, 4])
+    cols[6], cols[7], cols[8] = uf[:, 5], uf[:, 6], uf[:, 7]
+    return jnp.stack(cols)
+
+
 class ZScanPack(NamedTuple):
     """Trace pack permuted so the probing axis leads.
 
@@ -291,15 +311,8 @@ def solve_zscan(
 
     # reassemble the 9 x N state in original axis order; all rays sit at
     # the far grid face p_end
-    p_end = zpack.p0 + n_slabs * zpack.dp
-    N = uf.shape[0]
-    cols = [None] * 9
-    cols[a_ax], cols[b_ax] = uf[:, 0], uf[:, 1]
-    cols[p_ax] = jnp.full((N,), p_end, uf.dtype)
-    cols[3 + a_ax], cols[3 + b_ax], cols[3 + p_ax] = (uf[:, 2], uf[:, 3],
-                                                      uf[:, 4])
-    cols[6], cols[7], cols[8] = uf[:, 5], uf[:, 6], uf[:, 7]
-    sf = jnp.stack(cols)
+    sf = reassemble_state(uf, zpack.p0 + n_slabs * zpack.dp,
+                          domain.probing_direction)
 
     rf, Jf = ray_to_Jonesvector(sf, probing_depth,
                                 probing_direction=domain.probing_direction,
@@ -649,14 +662,13 @@ def trace_zscan_segments(
                                               origin_ab, inv_ab, shape_ab,
                                               layout, atten_sign)
 
+                    wm = tuple(0.5 * (x + y) for x, y in zip(w0, w1))
                     if integrator == "rk2":
-                        wm = tuple(0.5 * (x + y) for x, y in zip(w0, w1))
                         k1 = stage(cols, w0)
                         k2 = stage(tuple(x + 0.5 * h * kv
                                          for x, kv in zip(cols, k1)), wm)
                         return tuple(x + h * kv
                                      for x, kv in zip(cols, k2)), None
-                    wm = tuple(0.5 * (x + y) for x, y in zip(w0, w1))
                     k1 = stage(cols, w0)
                     k2 = stage(tuple(x + 0.5 * h * kv
                                      for x, kv in zip(cols, k1)), wm)
@@ -784,15 +796,8 @@ def solve_zscan_segments(
     uf.block_until_ready()
     duration = time.perf_counter() - start
 
-    p_end = spack.p0 + n_seg * K * spack.dp
-    N = uf.shape[0]
-    cols = [None] * 9
-    cols[a_ax], cols[b_ax] = uf[:, 0], uf[:, 1]
-    cols[p_ax] = jnp.full((N,), p_end, uf.dtype)
-    cols[3 + a_ax], cols[3 + b_ax], cols[3 + p_ax] = (uf[:, 2], uf[:, 3],
-                                                      uf[:, 4])
-    cols[6], cols[7], cols[8] = uf[:, 5], uf[:, 6], uf[:, 7]
-    sf = jnp.stack(cols)
+    sf = reassemble_state(uf, spack.p0 + n_seg * K * spack.dp,
+                          domain.probing_direction)
     rf, Jf = ray_to_Jonesvector(sf, probing_depth,
                                 probing_direction=domain.probing_direction,
                                 return_E=return_E)
