@@ -25,7 +25,7 @@ from synthpy_tpu.tracer.zscan import build_segment_pack_device
 try:
     ext = 5e-3
     dim = 512
-    CHUNK = 4_000_000
+    CHUNK = int(os.environ.get("NS_CHUNK", 4_000_000))
     TOTAL = 100_000_000
     INTEG = sys.argv[1] if len(sys.argv) > 1 else "rk2"
 
