@@ -48,10 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solver", default="zscan_seg",
                choices=("zscan_seg", "zscan", "time"))
     p.add_argument("--bin-scale", type=int, default=8)
-    p.add_argument("--integrator", default="rk4", choices=("rk4", "rk2"),
-                   help="zscan_seg slab integrator: rk4 (reference parity)"
-                        " or rk2 (midpoint; ~1.4x faster on TPU,"
-                        " oracle-validated)")
+    p.add_argument("--integrator", default="rk4",
+                   choices=("rk4", "rk2", "rk2s2"),
+                   help="zscan_seg slab integrator: rk4 (reference parity),"
+                        " rk2 (midpoint; ~1.4x faster on TPU), or rk2s2"
+                        " (stride-2 midpoint; ~2x; both oracle-validated)")
     p.add_argument("--phaseshift", action="store_true")
     p.add_argument("-o", "--output", default=None,
                    help="output prefix (writes <prefix>.npz)")

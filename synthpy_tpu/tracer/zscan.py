@@ -589,13 +589,13 @@ def trace_zscan_segments(
     h = dp / substeps
     blocked = (block is not None and substeps == 1 and K % block == 0
                and block < K)
-    if integrator not in ("rk4", "rk2"):
+    if integrator not in ("rk4", "rk2", "rk2s2"):
         raise ValueError(f"unknown integrator {integrator!r}")
-    if integrator == "rk2" and (substeps != 1 or blocked):
-        # the rk2 branch lives in the substeps==1 per-slab arm only;
+    if integrator in ("rk2", "rk2s2") and (substeps != 1 or blocked):
+        # the rk2 branches live in the substeps==1 per-slab arm only;
         # refusing beats silently tracing rk4 under an rk2 label
-        raise ValueError("integrator='rk2' requires substeps=1 and no "
-                         "block= (the blocked march is rk4-only)")
+        raise ValueError(f"integrator={integrator!r} requires substeps=1 "
+                         "and no block= (the blocked march is rk4-only)")
 
     def run(u0):
         def segment(uc, s):
@@ -663,7 +663,7 @@ def trace_zscan_segments(
                                               layout, atten_sign)
 
                     wm = tuple(0.5 * (x + y) for x, y in zip(w0, w1))
-                    if integrator == "rk2":
+                    if integrator in ("rk2", "rk2s2"):
                         k1 = stage(cols, w0)
                         k2 = stage(tuple(x + 0.5 * h * kv
                                          for x, kv in zip(cols, k1)), wm)
@@ -707,10 +707,45 @@ def trace_zscan_segments(
                     jnp.arange(substeps, dtype=cols[0].dtype))
                 return cols, None
 
+            def slab_pair(cols, j):
+                # stride-2 midpoint: one rk2 step spans TWO slabs
+                # (h = 2*dp); the midpoint plane k+1 exists exactly in
+                # the pack, so the start (plane k) and midpoint
+                # (plane k+1) stage values are direct plane reads — no
+                # z-blend arithmetic at all, and half the window slices
+                # of the per-slab rk2 march.
+                k = 2 * j
+                dtype = cols[0].dtype
+                wins = tuple(
+                    jax.lax.dynamic_slice_in_dim(
+                        c, k * C, 2 * C, axis=1).astype(dtype)
+                    for c in corners)
+                w0 = tuple(win[:, :C] for win in wins)
+                wm = tuple(win[:, C:] for win in wins)
+
+                def stage(cc, wv):
+                    return _seg_deriv_pre(cc, wv, ia0f, ib0f, origin_ab,
+                                          inv_ab, shape_ab, layout,
+                                          atten_sign)
+
+                h2 = 2.0 * h
+                k1 = stage(cols, w0)
+                k2 = stage(tuple(x + h * kv
+                                 for x, kv in zip(cols, k1)), wm)
+                return tuple(x + h2 * kv
+                             for x, kv in zip(cols, k2)), None
+
             cols = tuple(uc[:, i] for i in range(8))
             if blocked:
                 cols, _ = jax.lax.scan(slab_block, cols,
                                        jnp.arange(K // block))
+            elif integrator == "rk2s2":
+                cols, _ = jax.lax.scan(slab_pair, cols,
+                                       jnp.arange(K // 2), unroll=unroll)
+                if K % 2:
+                    # odd K (e.g. 511 slabs at 512^3): one trailing
+                    # single-slab rk2 step covers the remainder
+                    cols, _ = slab(cols, jnp.int32(K - 1))
             else:
                 cols, _ = jax.lax.scan(slab, cols, jnp.arange(K),
                                        unroll=unroll)

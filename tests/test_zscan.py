@@ -589,3 +589,35 @@ def test_rk2_non_cubic_grid():
     assert np.isfinite(r2).all()
     np.testing.assert_allclose(r2[:3], r4[:3], atol=5e-8)
     np.testing.assert_allclose(r2[3:6], r4[3:6], rtol=1e-4, atol=200.0)
+
+
+def test_rk2s2_matches_rk4_and_images():
+    """integrator='rk2s2' (stride-2 midpoint: h=2*dp, the midpoint plane
+    read directly from the pack, no z-blends): exit states match rk4 to
+    the f32 tolerance class for even and odd K, and the shadowgram is
+    detector-identical (<1% adjacent-pixel moves) on a turbulent field."""
+    import numpy as np
+
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.fields import ScalarDomain
+    from synthpy_tpu.tracer import init_beam
+    from synthpy_tpu.tracer.zscan import solve_zscan_segments
+
+    ext = 5e-3
+    d = ScalarDomain(2 * ext, 41).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(31), 64, 1.5e-3, 0.0, ext, "circular")
+    rf4 = np.asarray(solve_zscan_segments(s0, d, K=8).rf)
+    for K in (8, 9):   # even and odd (odd exercises the trailing step)
+        rfs = np.asarray(solve_zscan_segments(
+            s0, d, K=K, integrator="rk2s2").rf)
+        np.testing.assert_allclose(rfs[0], rf4[0], atol=5e-7,
+                                   err_msg=f"K={K}")
+        np.testing.assert_allclose(rfs[1], rf4[1], atol=2e-5,
+                                   err_msg=f"K={K}")
+
+    H4 = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                 bins=(40, 30)))
+    Hs = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                 bins=(40, 30), integrator="rk2s2"))
+    assert Hs.sum() == H4.sum()
+    assert np.abs(Hs - H4).sum() <= 0.02 * H4.sum()
