@@ -88,10 +88,14 @@ def main() -> None:
         return H, min(times)
 
     H, elapsed = timed(integrator)
-    rk4_rays_s = None
+    rk4_rays_s = rk2s2_rays_s = None
     if solver == "zscan_seg" and integrator == "rk2":
         _, el4 = timed("rk4")
         rk4_rays_s = round(rays / el4, 1)
+        # stride-2 midpoint (validated to the same tolerance class;
+        # tests/test_zscan.py::test_rk2s2_matches_rk4_and_images)
+        _, els2 = timed("rk2s2")
+        rk2s2_rays_s = round(rays / els2, 1)
 
     rays_per_sec = rays / elapsed
     # north-star: 1e8 rays end-to-end in 60 s on a v5e-8 -> per chip:
@@ -113,6 +117,7 @@ def main() -> None:
             "elapsed_s": round(elapsed, 4),
             "extrapolated_1e8_rays_s": round(1e8 / rays_per_sec, 2),
             "rk4_rays_s": rk4_rays_s,
+            "rk2s2_rays_s": rk2s2_rays_s,
             "measured_1e8_end_to_end_s": 39.9,  # scratch/results_1e8_r2.jsonl
             "checksum": float(jnp.asarray(H).sum()),
         },
