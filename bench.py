@@ -54,12 +54,15 @@ def main() -> None:
     if solver == "zscan_seg":
         from synthpy_tpu.tracer.zscan import build_segment_pack_device
 
-        K = int(os.environ.get("BENCH_K", dim - 1))
+        # default K = dim (EVEN): one zero-field pad slab, image-exact,
+        # and the stride-2 march runs pure slab pairs (an odd K's
+        # trailing single step costs ~20% on rk2s2)
+        K = int(os.environ.get("BENCH_K", dim))
         pdt = (jnp.bfloat16
                if os.environ.get("BENCH_PACK_DTYPE", "bf16") == "bf16"
                else jnp.float32)
         pack_kwargs = {"spack": build_segment_pack_device(
-            domain, K=min(K, dim - 1), dtype=pdt)}
+            domain, K=min(K, dim), dtype=pdt)}
 
     s0 = init_beam(jax.random.PRNGKey(0), rays, 2e-3, 0.0, ext, "circular")
     # headline = the production configuration: midpoint (rk2) integrator,
