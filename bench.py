@@ -121,7 +121,7 @@ def main() -> None:
             "extrapolated_1e8_rays_s": round(1e8 / rays_per_sec, 2),
             "rk4_rays_s": rk4_rays_s,
             "rk2s2_rays_s": rk2s2_rays_s,
-            "measured_1e8_end_to_end_s": 33.4,  # scratch/results_1e8_r2.jsonl
+            "measured_1e8_end_to_end_s": 27.9,  # scratch/results_1e8_r2.jsonl
             "checksum": float(jnp.asarray(H).sum()),
         },
     }
