@@ -77,12 +77,19 @@ flags = Flags(
 )
 
 
+#: Default persistent-compile-cache directory: per-user (a fixed
+#: world-writable /tmp path lets another local user pre-own or poison the
+#: cached executables on shared hosts).
+DEFAULT_COMPILE_CACHE = os.path.join(
+    os.path.expanduser("~"), ".cache", "synthpy_xla")
+
+
 def jax_init(
     force_device: Optional[str] = None,
     core_limit: Optional[int] = None,
     x64: bool = False,
     kill_blas_threads: bool = True,
-    compilation_cache: Optional[str] = "/tmp/synthpy_xla_cache",
+    compilation_cache: Optional[str] = DEFAULT_COMPILE_CACHE,
 ) -> None:
     """Set process environment for jax BEFORE jax is imported.
 

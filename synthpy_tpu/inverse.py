@@ -77,7 +77,14 @@ def apply_stages_weighted(r: jnp.ndarray, stages: Sequence[Tuple],
                 k = 2.0 * jnp.pi / wavelength
                 dxp = (r[0, :] - r_mark[0, :]) * 1e-3  # mm -> m
                 dyp = (r[2, :] - r_mark[2, :]) * 1e-3
-                E = E * jnp.exp(1.0j * k * jnp.sqrt(dxp**2 + dyp**2))
+                # safe norm (double-where): d sqrt(x^2+y^2) is 0/0 at the
+                # origin, so an undeflected ray (exactly zero transverse
+                # path — e.g. the ne=0 descent init) would poison the whole
+                # reverse-mode gradient with NaN
+                d2 = dxp**2 + dyp**2
+                path = jnp.where(d2 > 0,
+                                 jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
+                E = E * jnp.exp(1.0j * k * path)
             r_mark = r
         elif kind == "aperture":
             w = w * (r[0, :] ** 2 + r[2, :] ** 2 <= st[1] ** 2)

@@ -95,7 +95,12 @@ def apply_stages(r: jnp.ndarray, stages: Sequence[Tuple],
             k = 2.0 * jnp.pi / wavelength
             dx = (r[0, :] - r_mark[0, :]) * 1e-3  # mm -> m
             dy = (r[2, :] - r_mark[2, :]) * 1e-3
-            E = E * jnp.exp(1.0j * k * jnp.sqrt(dx**2 + dy**2))
+            # safe norm (double-where): keeps jax.grad through the bench
+            # finite for rays with exactly zero transverse path
+            d2 = dx**2 + dy**2
+            path = jnp.where(d2 > 0,
+                             jnp.sqrt(jnp.where(d2 > 0, d2, 1.0)), 0.0)
+            E = E * jnp.exp(1.0j * k * path)
             r_mark = r
         elif kind == "aperture":
             if E is not None:

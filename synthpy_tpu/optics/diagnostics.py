@@ -65,12 +65,18 @@ class Diagnostic:
         Lx, Ly: detector size [mm] (KAF-8300 defaults 18 x 13.5).
         x, y, x_l, y_l, amp, phase: optional deposition grid + per-ray
             amplitude/phase for the Fresnel refractometer.
+        legacy_mm_wavenumber: bug-compat switch. The reference's
+            ``propagate_E`` multiplies a 1/m wavenumber by a path in MM
+            (diagnostics.py:315-321), overstating inter-element phases by
+            1e3; this rebuild converts the path to metres first. Set True
+            to reproduce the reference's convention bit-for-bit, for
+            legacy-vs-rebuild interferogram cross-validation.
     """
 
     def __init__(self, wavelength, rf, Jf=None, *, focal_plane: float = 0,
                  L: float = 400, R: float = 25, Lx: float = 18,
                  Ly: float = 13.5, x=None, y=None, x_l=None, y_l=None,
-                 amp=None, phase=None):
+                 amp=None, phase=None, legacy_mm_wavenumber: bool = False):
         if rf is None:
             raise ValueError("rf must not be None")
         self.wavelength = wavelength
@@ -78,6 +84,7 @@ class Diagnostic:
         self.Lx, self.Ly = Lx, Ly
         self.x, self.y, self.x_l, self.y_l = x, y, x_l, y_l
         self.amp, self.phase = amp, phase
+        self.legacy_mm_wavenumber = legacy_mm_wavenumber
 
         self.Jf = jnp.asarray(Jf) if Jf is not None else None
         self.r0 = m_to_mm(jnp.asarray(rf))
@@ -90,8 +97,9 @@ class Diagnostic:
 
     def propagate_E(self, r1, r0):
         """Advance Jones phases by k * transverse path between two planes."""
-        dx = (r1[0, :] - r0[0, :]) * 1e-3  # mm -> m
-        dy = (r1[2, :] - r0[2, :]) * 1e-3
+        scale = 1.0 if self.legacy_mm_wavenumber else 1e-3  # mm -> m
+        dx = (r1[0, :] - r0[0, :]) * scale
+        dy = (r1[2, :] - r0[2, :]) * scale
         k = 2 * jnp.pi / self.wavelength
         path = jnp.sqrt(dx**2 + dy**2)
         self.Jf = self.Jf * jnp.exp(1.0j * k * path)

@@ -57,10 +57,21 @@ def initialize(coordinator_address: Optional[str] = None,
     device/process query happens on the path to the initialize call.
     Idempotent: repeated calls return immediately once connected.
     """
-    from jax._src import distributed as _dist
+    # Detect an existing connection without touching the backend. jax
+    # gives no stability guarantee for _src internals, so fall through to
+    # the initialize call (whose RuntimeError handler covers the
+    # already-connected case) if the private layout ever changes.
+    try:
+        if jax.distributed.is_initialized():
+            return
+    except AttributeError:
+        try:
+            from jax._src import distributed as _dist
 
-    if _dist.global_state.client is not None:
-        return  # already initialised (no backend touch in this check)
+            if _dist.global_state.client is not None:
+                return
+        except (ImportError, AttributeError):
+            pass
     explicit = coordinator_address is not None
     if not explicit and not _distributed_env_detected():
         return  # single-process run: leave jax untouched
