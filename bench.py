@@ -14,7 +14,13 @@ Prints exactly one JSON line. Environment overrides:
     BENCH_DIM (default 512), BENCH_RAYS (default 4_000_000),
     BENCH_SOLVER (zscan_seg | zscan | time), BENCH_K (segment length,
     default dim-1 = fast profile), BENCH_PACK_DTYPE (bf16 | f32),
-    BENCH_STEPS_PER_CELL, BENCH_INTEGRATOR (rk2 | rk4).
+    BENCH_STEPS_PER_CELL, BENCH_INTEGRATOR (rk2 | rk4),
+    BENCH_WEIGHTS (stage | slab: per-slab transverse-weight hoist,
+    image-equivalent fast mode),
+    BENCH_FULL=1 (additionally run the REAL 1e8-ray end-to-end north
+    star — field + pack + trace + detector from a cold start — and
+    report it as detail.measured_1e8_end_to_end_s; ~30-90 s extra on one
+    v5e chip).
 
 The default fast profile (bf16 field channels, whole-trace corner
 segments) is image-equivalent to the exact f32 tracer at sub-pixel level
@@ -72,8 +78,11 @@ def main() -> None:
     integrator = os.environ.get(
         "BENCH_INTEGRATOR", "rk2" if solver == "zscan_seg" else "rk4")
 
+    weights = os.environ.get("BENCH_WEIGHTS", "stage")
+
     def run(integ):
-        kw = ({"integrator": integ} if solver == "zscan_seg" else {})
+        kw = ({"integrator": integ, "seg_weights": weights}
+              if solver == "zscan_seg" else {})
         return pipeline.run(domain, s0, solver=solver,
                             steps_per_cell=spc, bins=(431, 321),
                             **pack_kwargs, **kw)
@@ -100,6 +109,33 @@ def main() -> None:
         _, els2 = timed("rk2s2")
         rk2s2_rays_s = round(rays / els2, 1)
 
+    # Optional REAL north-star measurement (never a citation: the value
+    # reported is the wall clock of the run this bench just executed).
+    measured_1e8 = None
+    if os.environ.get("BENCH_FULL") == "1" and solver == "zscan_seg":
+        from synthpy_tpu.fields import ScalarDomain as _SD
+        from synthpy_tpu.tracer.zscan import build_segment_pack_device
+
+        ns_integ = os.environ.get("BENCH_FULL_INTEGRATOR", "rk2s2")
+        chunk = int(os.environ.get("BENCH_FULL_CHUNK", 4_000_000))
+        total = int(float(os.environ.get("BENCH_FULL_RAYS", 1e8)))
+        t0 = time.perf_counter()  # field + pack + trace + detector
+        d2 = _SD(2 * ext, dim).test_lens(ne_0=5e24, LR=1.5e-3)
+        sp2 = build_segment_pack_device(d2, K=dim, dtype=jnp.bfloat16,
+                                        free_ne=True)
+        key = jax.random.PRNGKey(0)
+        acc = None
+        from synthpy_tpu.tracer import init_beam as _ib
+        for k in range(max(total // chunk, 1)):
+            s_k = _ib(jax.random.fold_in(key, k), chunk, 2e-3, 0.0, ext,
+                      "circular")
+            Hk = pipeline.run(d2, s_k, spack=sp2, solver="zscan_seg",
+                              bins=(431, 321), critical_guard=None,
+                              integrator=ns_integ)
+            acc = Hk if acc is None else acc + Hk
+        acc.block_until_ready()
+        measured_1e8 = round(time.perf_counter() - t0, 2)
+
     rays_per_sec = rays / elapsed
     # north-star: 1e8 rays end-to-end in 60 s on a v5e-8 -> per chip:
     target = 1e8 / 60.0 / 8.0
@@ -114,6 +150,7 @@ def main() -> None:
             "backend": backend,
             "solver": solver,
             "integrator": integrator,
+            "weights": weights if solver == "zscan_seg" else None,
             "dim": dim,
             "rays": rays,
             "n_steps": n_steps,
@@ -121,7 +158,10 @@ def main() -> None:
             "extrapolated_1e8_rays_s": round(1e8 / rays_per_sec, 2),
             "rk4_rays_s": rk4_rays_s,
             "rk2s2_rays_s": rk2s2_rays_s,
-            "measured_1e8_end_to_end_s": 27.9,  # scratch/results_1e8_r2.jsonl
+            # freshly measured under BENCH_FULL=1, else absent (the
+            # historical record lives in scratch/results_1e8_*.jsonl and
+            # README, not in live bench output)
+            "measured_1e8_end_to_end_s": measured_1e8,
             "checksum": float(jnp.asarray(H).sum()),
         },
     }

@@ -30,6 +30,8 @@ def run_campaign(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
     verbose: bool = False,
+    finalize: Optional[Callable[[Dict[str, np.ndarray]],
+                                Dict[str, np.ndarray]]] = None,
 ) -> Dict[str, np.ndarray]:
     """Accumulate per-chunk detector images with optional checkpointing.
 
@@ -41,6 +43,16 @@ def run_campaign(
         chunk_rays: rays per chunk (the Np_ray_split knob).
         key: base PRNG key; chunk k uses fold_in(key, k).
         checkpoint_path: .npz path for resume state (None = no persistence).
+        finalize: optional transform applied to the accumulated dict on
+            RETURN only (checkpoints keep the raw additive accumulators,
+            so resume stays bit-identical). The intended use is exact
+            coherent campaigns: have chunk_fn run
+            ``pipeline.run(..., coherent_raw=True)`` and pass
+            ``lambda acc: {k: pipeline.finalize_coherent(v, name_of[k])
+            for k, v in acc.items()}`` — per-chunk field sums then add
+            exactly and the image is formed once, retaining cross-chunk
+            interference (the reference's MPI reduce drops it,
+            interference_MPI.py:190-204).
 
     Returns:
         dict of accumulated images (numpy arrays).
@@ -75,4 +87,6 @@ def run_campaign(
             os.replace(tmp, checkpoint_path)
         if verbose:
             print(f"chunk {k + 1}/{n_chunks} done")
+    if finalize is not None:
+        acc = finalize(acc)
     return acc

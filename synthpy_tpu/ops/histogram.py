@@ -76,6 +76,7 @@ def complex_histogram(
     Lx: float,
     Ly: float,
     convention: str = "legacy",
+    return_acc: bool = False,
 ) -> jnp.ndarray:
     """Coherent detector: per-pixel complex Jones accumulation.
 
@@ -94,6 +95,14 @@ def complex_histogram(
     * ``"intensity"`` — |Σax|^2 + |Σay|^2, the physically-standard
       detector intensity (time-averaged Poynting flux of the coherent
       pixel sum), which the reference does not offer.
+
+    ``return_acc=True`` returns the raw per-pixel field-sum accumulator
+    (ny, nx, C) instead of the finalized image. Accumulators are LINEAR
+    in rays, so summing them across ray batches / campaign chunks and
+    applying :func:`finalize_complex` once at the end reproduces the
+    single-program coherent image EXACTLY — unlike summing finalized
+    images, which drops cross-batch interference (the approximation the
+    reference's MPI reduce makes, interference_MPI.py:190-204).
     """
     npx = x_edges_n - 1
     npy = y_edges_n - 1
@@ -124,10 +133,26 @@ def complex_histogram(
     chans = jnp.where(valid[:, None], chans, 0.0)
     acc = jnp.zeros((npy, npx, chans.shape[-1]),
                     dtype=chans.dtype).at[iy, ix].add(chans, mode="drop")
+    if return_acc:
+        return acc
+    return finalize_complex(acc, convention)
+
+
+def finalize_complex(acc: jnp.ndarray, convention: str = "legacy"
+                     ) -> jnp.ndarray:
+    """Finalize a (ny, nx, C) field-sum accumulator into a detector image.
+
+    The counterpart of ``complex_histogram(..., return_acc=True)``:
+    accumulators add exactly across ray batches; call this once on the
+    total.
+    """
     if convention == "legacy":
         return jnp.sqrt(acc[..., 0] ** 2 + acc[..., 1] ** 2)
-    return (acc[..., 0] ** 2 + acc[..., 1] ** 2
-            + acc[..., 2] ** 2 + acc[..., 3] ** 2)
+    if convention == "intensity":
+        return (acc[..., 0] ** 2 + acc[..., 1] ** 2
+                + acc[..., 2] ** 2 + acc[..., 3] ** 2)
+    raise ValueError(f"unknown convention {convention!r}; "
+                     "expected 'legacy' or 'intensity'")
 
 
 def deposit_cic(

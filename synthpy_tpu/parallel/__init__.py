@@ -2,6 +2,7 @@
 
 from synthpy_tpu.parallel.mesh import (  # noqa: F401
     grid_ray_mesh,
+    make_gridsharded_segment_tracer,
     make_gridsharded_tracer,
     ray_mesh,
     replicate,

@@ -167,6 +167,92 @@ def make_gridsharded_tracer(mesh: Mesh, layout: ChannelLayout, n_steps: int,
 
 
 # ---------------------------------------------------------------------------
+# Grid-sharded SEGMENTED march (the fast path, field split across chips)
+# ---------------------------------------------------------------------------
+
+def make_gridsharded_segment_tracer(mesh, layout: ChannelLayout, spack,
+                                    *, grid_axis: str = "grid",
+                                    ray_axis: Optional[str] = None,
+                                    substeps: int = 1,
+                                    atten_sign: float = -1.0,
+                                    integrator: str = "rk4",
+                                    unroll: int = 2):
+    """Gather-hoisted segmented march with the FIELD sharded along the
+    transverse a-axis over ``grid_axis`` — >HBM fields on the FAST path
+    (the plain :func:`make_gridsharded_tracer` wraps the slow full-grid
+    time tracer; PP shards by probing depth instead).
+
+    Layout: device g owns a-rows [g*naloc, (g+1)*naloc) of every
+    segment's (n_seg, na, nb, (K+1)C) corner table plus a one-row halo
+    ppermuted from the right neighbour, so any ray whose frozen corner
+    cell starts in the ownership interval interpolates entirely locally.
+    Each device marches every ray of its ray shard through each segment
+    via ``march_segment(a_offset=g*naloc)`` — all indices, fractions and
+    inside-masks stay in GLOBAL coordinates and only the gather is
+    offset into the local table, so owned rays are BIT-identical to the
+    single-device march. Unowned rays (gather-clipped garbage) are
+    discarded by the ownership mask and one (N, 8) psum per segment
+    selects the owner's result; ownership is frozen at segment start
+    exactly like the corner cells. Compose with ``ray_axis`` on a 2-D
+    mesh for speed; the grid axis buys field capacity (1/G per device).
+
+    The returned function has signature
+    ``f(u, seg_tables, origin_ab, inv_ab, dp) -> uf`` with ``u`` the
+    (N, 8) permuted ray state and ``seg_tables`` the
+    (n_seg, na, nb, (K+1)C) reshape of ``spack.seg_planes`` (GSPMD
+    shards it over ``grid_axis``).
+    """
+    from synthpy_tpu.tracer.zscan import march_segment
+
+    G = mesh.shape[grid_axis]
+    na, nb = spack.shape_ab
+    assert na % G == 0, f"transverse a-dim {na} must divide over {G}"
+    naloc = na // G
+    K = spack.K
+    C = spack.seg_planes.shape[-1] // (K + 1)
+    n_seg = spack.seg_planes.shape[0]
+
+    def local_fn(u, segs_local, origin_ab, inv_ab, dp):
+        g = jax.lax.axis_index(grid_axis)
+        # halo: append the right neighbour's first a-row
+        first = segs_local[:, :1]
+        perm = [(i, (i - 1) % G) for i in range(G)]
+        halo = jax.lax.ppermute(first, grid_axis, perm)
+        segs_h = jnp.concatenate([segs_local, halo], axis=1)
+        segs_flat = segs_h.reshape(n_seg, (naloc + 1) * nb, (K + 1) * C)
+        lo = (g * naloc).astype(jnp.int32)
+
+        def segment(uc, s):
+            seg = jax.lax.dynamic_slice_in_dim(segs_flat, s, 1, axis=0)[0]
+            # ownership from the segment-start frozen corner cell (the
+            # same clip as march_segment's, so every ray — including
+            # off-grid drifters, clipped to the edge rows — has exactly
+            # one owner)
+            ta = (uc[:, 0] - origin_ab[0]) * inv_ab[0]
+            ia0 = jnp.clip(jnp.floor(ta).astype(jnp.int32), 0, na - 2)
+            owned = (ia0 // naloc) == g
+            out = march_segment(
+                uc, seg, origin_ab, inv_ab, dp,
+                shape_ab=(na, nb), layout=layout, K=K, C=C,
+                substeps=substeps, atten_sign=atten_sign,
+                integrator=integrator, unroll=unroll, a_offset=lo)
+            out = jnp.where(owned[:, None], out, 0.0)
+            return jax.lax.psum(out, grid_axis), None
+
+        uf, _ = jax.lax.scan(segment, u, jnp.arange(n_seg))
+        return uf
+
+    u_spec = P(ray_axis, None) if ray_axis else P()
+    mapped = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(u_spec, P(None, grid_axis, None, None), P(), P(), P()),
+        out_specs=u_spec,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+# ---------------------------------------------------------------------------
 # Sharded detector reduction
 # ---------------------------------------------------------------------------
 

@@ -11,10 +11,22 @@ propagator.py:366-450), executed as one XLA program.
 
 Classic 1F pipeline schedule: chunk c is processed by device d at macro
 step c + d; with M chunks and D devices the schedule runs M + D - 1 steps
-at M/(M+D-1) efficiency. Each device holds only its segment shard
-(field memory scales 1/D); in this in-graph version the INPUT ray chunks
-are replicated for injection at device 0 (fine for the chunk sizes used
-per call — feed successive calls for larger campaigns).
+at M/(M+D-1) efficiency. Each device holds only its segment shard (field
+memory scales 1/D).
+
+The per-segment arithmetic is :func:`synthpy_tpu.tracer.zscan.
+march_segment` — the SAME function the single-chip tracer scans over —
+so the PP path carries every single-chip optimisation (columnized tuple
+state, flat-corner slicing, hoisted z-blends, rk2/rk2s2) and stays
+bit-identical to ``trace_zscan_segments`` by construction.
+
+Ray-chunk storage is sharded too whenever ``n_chunks`` divides by the
+axis size: the input chunks live as a P(axis)-sharded (M, R, 8) array
+(device d owns chunks [d*M/D, (d+1)*M/D)), each macro step moves exactly
+one chunk to device 0 with a chunk-sized psum (negligible next to the
+K*segs_local march work), and finished chunks are psum-broadcast from the
+last device and written into the owner's output shard — so RAY memory
+also scales 1/D instead of every device holding every chunk.
 """
 
 from __future__ import annotations
@@ -24,7 +36,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from synthpy_tpu.fields.domain import ChannelLayout
-from synthpy_tpu.tracer.zscan import SegmentPack, _seg_deriv
+from synthpy_tpu.tracer.zscan import SegmentPack, march_segment
 
 
 def make_pipelined_segment_tracer(
@@ -36,6 +48,8 @@ def make_pipelined_segment_tracer(
     atten_sign: float = -1.0,
     axis: str = "seg",
     integrator: str = "rk4",
+    unroll: int = 2,
+    shard_chunks: bool | None = None,
 ):
     """Build a jitted PP tracer over ``axis`` of ``mesh``.
 
@@ -43,80 +57,49 @@ def make_pipelined_segment_tracer(
     ``f(chunks, seg_planes, origin_ab, inv_ab, dp) -> chunks_out`` where
     ``chunks`` is (n_chunks, chunk_rays, 8) permuted ray state and
     ``seg_planes`` the full (n_seg, nab, (K+1)C) table (GSPMD shards it
-    over ``axis``). ``integrator``: "rk4" (parity) or "rk2" (midpoint
-    production mode, same semantics as trace_zscan_segments; requires
-    substeps=1) — keeps the multi-chip path at fast-mode parity with the
-    single-chip tracer.
+    over ``axis``). ``integrator``: "rk4" (parity), "rk2" (midpoint) or
+    "rk2s2" (stride-2 midpoint, the production fast mode) — identical
+    semantics to ``trace_zscan_segments`` because both run
+    :func:`march_segment`. ``shard_chunks`` (default: auto — on whenever
+    ``n_chunks % D == 0``) shards chunk storage over ``axis`` so per-
+    device ray memory is M/D chunks; the output is then returned with the
+    same sharding.
     """
-    if integrator not in ("rk4", "rk2"):
+    if integrator not in ("rk4", "rk2", "rk2s2"):
         raise ValueError(f"unknown integrator {integrator!r}")
-    if integrator == "rk2" and substeps != 1:
-        raise ValueError("integrator='rk2' requires substeps=1")
+    if integrator in ("rk2", "rk2s2") and substeps != 1:
+        raise ValueError(f"integrator={integrator!r} requires substeps=1")
     D = mesh.shape[axis]
     n_seg = spack.seg_planes.shape[0]
     assert n_seg % D == 0, f"n_seg {n_seg} must divide over {D} devices"
     segs_local = n_seg // D
     K = spack.K
     C = spack.seg_planes.shape[-1] // (K + 1)
-    na, nb = spack.shape_ab
     shape_ab = spack.shape_ab
+    M = n_chunks
+    if shard_chunks is None:
+        shard_chunks = M % D == 0
+    if shard_chunks and M % D != 0:
+        raise ValueError(f"shard_chunks needs n_chunks {M} % D {D} == 0")
+    M_local = M // D if shard_chunks else M
 
     def local_fn(chunks, seg_local, origin_ab, inv_ab, dp):
         d = jax.lax.axis_index(axis)
-        h = dp / substeps
-        M, chunk_rays, _ = chunks.shape
+        chunk_rays = chunks.shape[1]
         T = M + D - 1
 
         def march(u):
-            """Process one ray chunk through this device's segments."""
-            def segment(uc, s):
+            """One ray chunk through this device's resident segments."""
+            def seg_step(uc, s):
                 seg = jax.lax.dynamic_slice_in_dim(seg_local, s, 1,
                                                    axis=0)[0]
-                ta = (uc[:, 0] - origin_ab[0]) * inv_ab[0]
-                tb = (uc[:, 1] - origin_ab[1]) * inv_ab[1]
-                ia0 = jnp.clip(jnp.floor(ta).astype(jnp.int32), 0, na - 2)
-                ib0 = jnp.clip(jnp.floor(tb).astype(jnp.int32), 0, nb - 2)
-                base = ia0 * nb + ib0
-                corners = tuple(
-                    jnp.take(seg, base + off, axis=0, mode="clip"
-                             ).reshape(-1, K + 1, C)
-                    for off in (0, 1, nb, nb + 1))
-                ia0f = ia0.astype(uc.dtype)
-                ib0f = ib0.astype(uc.dtype)
+                return march_segment(
+                    uc, seg, origin_ab, inv_ab, dp, shape_ab=shape_ab,
+                    layout=layout, K=K, C=C, substeps=substeps,
+                    atten_sign=atten_sign, integrator=integrator,
+                    unroll=unroll), None
 
-                def slab(uc, k):
-                    def stage(uu, f):
-                        return _seg_deriv(uu, corners, k, f, ia0f, ib0f,
-                                          origin_ab, inv_ab, shape_ab,
-                                          layout, atten_sign, C)
-
-                    def substep(uc, j):
-                        f0 = j / substeps
-                        fh = (j + 0.5) / substeps
-                        f1 = (j + 1.0) / substeps
-                        k1 = stage(uc, f0)
-                        k2 = stage(uc + 0.5 * h * k1, fh)
-                        k3 = stage(uc + 0.5 * h * k2, fh)
-                        k4 = stage(uc + h * k3, f1)
-                        return uc + (h / 6.0) * (k1 + 2 * k2 + 2 * k3
-                                                 + k4), None
-
-                    if substeps == 1:
-                        if integrator == "rk2":
-                            k1 = stage(uc, 0.0)
-                            k2 = stage(uc + 0.5 * h * k1, 0.5)
-                            return uc + h * k2, None
-                        uc, _ = substep(uc, 0.0)
-                    else:
-                        uc, _ = jax.lax.scan(
-                            substep, uc,
-                            jnp.arange(substeps, dtype=uc.dtype))
-                    return uc, None
-
-                uc, _ = jax.lax.scan(slab, uc, jnp.arange(K))
-                return uc, None
-
-            u, _ = jax.lax.scan(segment, u, jnp.arange(segs_local))
+            u, _ = jax.lax.scan(seg_step, u, jnp.arange(segs_local))
             return u
 
         perm = [(i, (i + 1) % D) for i in range(D)]
@@ -124,24 +107,52 @@ def make_pipelined_segment_tracer(
         def macro_step(carry, t):
             buf, out = carry
             # device 0 injects chunk t (if it exists)
-            inject = jnp.where(t < M, t, 0)
-            fresh = jax.lax.dynamic_slice_in_dim(chunks, inject, 1,
-                                                 axis=0)[0]
+            if shard_chunks:
+                # chunk t lives on device t // M_local: its owner
+                # contributes it, the psum delivers it everywhere, and
+                # device 0 keeps it
+                own = (t // M_local) == d
+                slot = jnp.where(own, t - d * M_local, 0)
+                cand = jax.lax.dynamic_slice_in_dim(chunks, slot, 1,
+                                                    axis=0)[0]
+                fresh = jax.lax.psum(
+                    jnp.where(jnp.logical_and(own, t < M), cand, 0.0),
+                    axis)
+            else:
+                inject = jnp.where(t < M, t, 0)
+                fresh = jax.lax.dynamic_slice_in_dim(chunks, inject, 1,
+                                                     axis=0)[0]
             buf = jnp.where(jnp.logical_and(d == 0, t < M), fresh, buf)
             # active devices process their resident chunk
             c_idx = t - d
             active = (c_idx >= 0) & (c_idx < M)
             processed = march(buf)
             buf = jnp.where(active, processed, buf)
-            # the last device deposits finished chunks
-            slot = jnp.where(active, c_idx, 0)
-            contrib = jnp.where(jnp.logical_and(d == D - 1, active),
-                                buf, 0.0)
-            out = jax.lax.dynamic_update_slice_in_dim(
-                out,
-                (jax.lax.dynamic_slice_in_dim(out, slot, 1, axis=0)[0]
-                 + contrib)[None],
-                slot, axis=0)
+            # the last device finishes chunk t - (D-1) this step
+            fin_idx = t - (D - 1)
+            fin_ok = (fin_idx >= 0) & (fin_idx < M)
+            if shard_chunks:
+                fin = jax.lax.psum(
+                    jnp.where(jnp.logical_and(d == D - 1, fin_ok),
+                              buf, 0.0), axis)
+                own_out = (fin_idx // M_local) == d
+                slot_o = jnp.where(own_out, fin_idx - d * M_local, 0)
+                cur = jax.lax.dynamic_slice_in_dim(out, slot_o, 1,
+                                                   axis=0)[0]
+                new = jnp.where(jnp.logical_and(own_out, fin_ok), fin,
+                                cur)
+                out = jax.lax.dynamic_update_slice_in_dim(
+                    out, new[None], slot_o, axis=0)
+            else:
+                slot = jnp.where(fin_ok, fin_idx, 0)
+                contrib = jnp.where(jnp.logical_and(d == D - 1, fin_ok),
+                                    buf, 0.0)
+                out = jax.lax.dynamic_update_slice_in_dim(
+                    out,
+                    (jax.lax.dynamic_slice_in_dim(out, slot, 1,
+                                                  axis=0)[0]
+                     + contrib)[None],
+                    slot, axis=0)
             # hand the chunk to the next device
             buf = jax.lax.ppermute(buf, axis, perm)
             return (buf, out), None
@@ -150,13 +161,16 @@ def make_pipelined_segment_tracer(
         out0 = jnp.zeros_like(chunks)
         (_, out), _ = jax.lax.scan(macro_step, (buf0, out0),
                                    jnp.arange(T))
+        if shard_chunks:
+            return out
         # only device D-1 wrote real outputs; sum-reduce across the axis
         return jax.lax.psum(out, axis)
 
+    chunk_spec = P(axis, None, None) if shard_chunks else P()
     mapped = jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P(axis, None, None), P(), P(), P()),
-        out_specs=P(),
+        in_specs=(chunk_spec, P(axis, None, None), P(), P(), P()),
+        out_specs=chunk_spec,
         check_vma=False,
     )
     return jax.jit(mapped)

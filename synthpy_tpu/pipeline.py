@@ -69,7 +69,8 @@ DIAGNOSTICS = {
 
 def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
                    bins, lwl, L, R, Lx, Ly, focal_plane,
-                   coherent_convention="legacy", detL=None):
+                   coherent_convention="legacy", detL=None,
+                   n_fringes=10.0, deg=20.0, coherent_raw=False):
     """Exit state -> optics -> detector (traced, shared by both solvers).
 
     ``diagnostic`` may be a tuple of names: the exit state is converted
@@ -96,12 +97,12 @@ def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
         if coherent:
             E = Jf
             if name == "interferometry":
-                E = interfere_ref_beam(r_mm, E, 10, 20)
+                E = interfere_ref_beam(r_mm, E, n_fringes, deg)
             r_out, E_out = apply_stages(r_mm, stages, E=E, wavelength=lwl)
             images.append(complex_histogram(
                 r_out[0, :], r_out[2, :], E_out[0, :], E_out[1, :],
                 bins[0] + 1, bins[1] + 1, Lx, Ly,
-                convention=coherent_convention))
+                convention=coherent_convention, return_acc=coherent_raw))
         else:
             r_out = apply_stages(r_mm, stages)
             H, _, _ = histogram2d(
@@ -116,7 +117,8 @@ def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
 @partial(jax.jit, static_argnames=(
     "layout", "n_steps", "diagnostic", "probing_direction", "bins",
     "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane",
-    "coherent_convention", "detL"))
+    "coherent_convention", "detL", "n_fringes", "deg",
+    "coherent_raw"))
 def synth_image(
     s_rows: jnp.ndarray,
     channels: jnp.ndarray,
@@ -139,22 +141,31 @@ def synth_image(
     focal_plane: float = 0.0,
     coherent_convention: str = "legacy",
     detL: float | None = None,
+    n_fringes: float = 10.0,
+    deg: float = 20.0,
+    coherent_raw: bool = False,
 ) -> jnp.ndarray:
-    """Time-tracer pipeline on (Np, 9) ray rows. Returns (ny, nx) image."""
+    """Time-tracer pipeline on (Np, 9) ray rows. Returns (ny, nx) image.
+
+    ``coherent_raw=True`` returns RAW field-sum accumulators for coherent
+    diagnostics (see ops.histogram.complex_histogram) — sum them across
+    batches and finalize once for exact cross-batch coherence."""
     sf_rows = trace_rk4(s_rows, channels, origin, inv_spacing, dt,
                         layout=layout, n_steps=n_steps, ray_chunk=ray_chunk)
     return _image_from_sf(
         sf_rows.T, probing_depth, diagnostic=diagnostic,
         probing_direction=probing_direction, bins=bins, lwl=lwl, L=L, R=R,
         Lx=Lx, Ly=Ly, focal_plane=focal_plane,
-        coherent_convention=coherent_convention, detL=detL)
+        coherent_convention=coherent_convention, detL=detL,
+        n_fringes=n_fringes, deg=deg, coherent_raw=coherent_raw)
 
 
 @partial(jax.jit, static_argnames=(
     "layout", "n_slabs", "substeps", "diagnostic", "probing_direction",
     "bins", "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane", "p0",
     "dp_static", "sort_rays", "segmented", "seg_K", "shape_ab",
-    "coherent_convention", "integrator", "detL"))
+    "coherent_convention", "integrator", "detL", "n_fringes", "deg",
+    "coherent_raw", "seg_weights"))
 def synth_image_zscan(
     s0: jnp.ndarray,
     planes: jnp.ndarray,
@@ -184,6 +195,10 @@ def synth_image_zscan(
     coherent_convention: str = "legacy",
     integrator: str = "rk4",
     detL: float | None = None,
+    n_fringes: float = 10.0,
+    deg: float = 20.0,
+    coherent_raw: bool = False,
+    seg_weights: str = "stage",
 ) -> jnp.ndarray:
     """z-scan pipeline on a (9, Np) initial state. Returns (ny, nx) image.
 
@@ -211,7 +226,8 @@ def synth_image_zscan(
         uf = trace_zscan_segments(
             u, planes, origin_ab, inv_ab, dp, shape_ab=shape_ab,
             layout=layout, K=seg_K, n_seg=n_seg, substeps=substeps,
-            ray_chunk=ray_chunk, integrator=integrator)
+            ray_chunk=ray_chunk, integrator=integrator,
+            weights=seg_weights)
         p_end = p0 + n_seg * seg_K * dp_static
     else:
         uf = trace_zscan(u, planes, origin_ab, inv_ab, dp, layout=layout,
@@ -223,7 +239,45 @@ def synth_image_zscan(
         sf, probing_depth, diagnostic=diagnostic,
         probing_direction=probing_direction, bins=bins, lwl=lwl, L=L, R=R,
         Lx=Lx, Ly=Ly, focal_plane=focal_plane,
-        coherent_convention=coherent_convention, detL=detL)
+        coherent_convention=coherent_convention, detL=detL,
+        n_fringes=n_fringes, deg=deg, coherent_raw=coherent_raw)
+
+
+@partial(jax.jit, static_argnames=(
+    "diagnostic", "probing_direction", "bins", "lwl", "L", "R", "Lx", "Ly",
+    "focal_plane", "coherent_convention", "detL", "n_fringes", "deg",
+    "coherent_raw"))
+def _image_only(
+    sf: jnp.ndarray,
+    probing_depth: jnp.ndarray,
+    *,
+    diagnostic: str = "shadowgraphy",
+    probing_direction: str = "z",
+    bins: Tuple[int, int] = (431, 321),
+    lwl: float = 1064e-9,
+    L: float = 400.0,
+    R: float = 25.0,
+    Lx: float = 18.0,
+    Ly: float = 13.5,
+    focal_plane: float = 0.0,
+    coherent_convention: str = "legacy",
+    detL: float | None = None,
+    n_fringes: float = 10.0,
+    deg: float = 20.0,
+    coherent_raw: bool = False,
+):
+    """(9, Np) exit state -> optics -> detector, as one jitted program.
+
+    The detector stage of the segment-STREAMED path (the trace itself
+    runs as per-segment programs in tracer.zscan.
+    solve_zscan_segments_streamed, so it cannot be fused here).
+    """
+    return _image_from_sf(
+        sf, probing_depth, diagnostic=diagnostic,
+        probing_direction=probing_direction, bins=bins, lwl=lwl, L=L, R=R,
+        Lx=Lx, Ly=Ly, focal_plane=focal_plane,
+        coherent_convention=coherent_convention, detL=detL,
+        n_fringes=n_fringes, deg=deg, coherent_raw=coherent_raw)
 
 
 def _pad_ray_cols(s0: jnp.ndarray, multiple: int, a_ax: int,
@@ -241,6 +295,27 @@ def _pad_ray_cols(s0: jnp.ndarray, multiple: int, a_ax: int,
     pad = jnp.repeat(s0[:, :1], total - Np, axis=1)
     pad = pad.at[a_ax].set(1e9).at[b_ax].set(1e9)
     return jnp.concatenate([s0, pad], axis=1)
+
+
+def finalize_coherent(images, diagnostic, convention: str = "legacy"):
+    """Finalize raw coherent accumulators from ``coherent_raw=True`` runs.
+
+    ``images`` is one array or a tuple matching ``diagnostic`` (one name
+    or a tuple of names); coherent entries are (ny, nx, C) field-sum
+    accumulators and become detector images, incoherent entries pass
+    through. Sum raw results across ray batches / campaign chunks first,
+    then call this exactly once — the result is bit-comparable to a
+    single program over all rays.
+    """
+    from synthpy_tpu.ops.histogram import finalize_complex
+
+    if isinstance(diagnostic, str):
+        if BENCHES[diagnostic][1]:
+            return finalize_complex(images, convention)
+        return images
+    return tuple(
+        finalize_complex(img, convention) if BENCHES[n][1] else img
+        for n, img in zip(diagnostic, images))
 
 
 def run(
@@ -337,6 +412,29 @@ def run(
     seg_K = bench_kwargs.pop("seg_K", 64)
     batch_pack_bytes = bench_kwargs.pop("batch_pack_bytes", 4 << 30)
     batch_corner_bytes = bench_kwargs.pop("batch_corner_bytes", 1 << 30)
+
+    # host-resident SegmentPack (build_segment_pack_streaming(device=False)):
+    # stream segments through the device — packs larger than HBM run on one
+    # chip at full physics (the reference's auto-batching analogue, as
+    # per-segment device programs instead of host slab regeneration)
+    import numpy as _np
+    if (solver == "zscan_seg" and spack is not None
+            and isinstance(spack.seg_planes, _np.ndarray)):
+        if mesh is not None:
+            raise ValueError("streamed host packs are single-device; "
+                             "pass a device spack for mesh mode")
+        from synthpy_tpu.tracer.zscan import solve_zscan_segments_streamed
+
+        integrator = bench_kwargs.pop("integrator", "rk4")
+        res = solve_zscan_segments_streamed(
+            s0, domain, probing_depth, hpack=spack, lwl=lwl,
+            substeps=max(int(round(steps_per_cell)), 1),
+            ray_chunk=ray_chunk, integrator=integrator)
+        return _out(_image_only(
+            res.sf, depth, diagnostic=diagnostic,
+            probing_direction=domain.probing_direction, bins=bins,
+            lwl=lwl, **bench_kwargs))
+
     if solver in ("zscan", "zscan_seg"):
         if solver == "zscan_seg":
             if spack is None:
@@ -368,24 +466,20 @@ def run(
                 # on this runtime, and a single oversized program OOMs.
                 # Fall back to per-CALL batching: pad the bundle so every
                 # batch shares one compiled shape, trace batch-by-batch,
-                # sum the images. Incoherent detectors are exactly linear
-                # in rays; coherent ones are NOT (|sum E|^2 and the legacy
-                # sqrt convention lose cross-batch interference), so warn.
+                # sum the images. Incoherent detectors are linear in rays;
+                # coherent ones are accumulated as RAW per-pixel field
+                # sums (coherent_raw) and finalized once at the end, so
+                # cross-batch interference is retained EXACTLY — unlike
+                # the reference's per-rank MPI image reduction
+                # (interference_MPI.py:190-204).
                 max_rays = max(int(batch_corner_bytes // per_ray), 1024)
                 if s0.shape[1] > max_rays:
                     names = ((diagnostic,) if isinstance(diagnostic, str)
                              else diagnostic)
-                    if any(BENCHES[n][1] for n in names):
-                        import warnings
-
-                        warnings.warn(
-                            "coherent diagnostic summed across ray "
-                            "batches: per-batch complex accumulation "
-                            "drops cross-batch interference (same "
-                            "convention as per-rank MPI reduction, "
-                            "reference pvti_trace_mpi.py:169); use a "
-                            "smaller bundle or raise batch_pack_bytes "
-                            "for exact single-program coherence")
+                    user_raw = bench_kwargs.get("coherent_raw", False)
+                    any_coh = any(BENCHES[n][1] for n in names)
+                    if any_coh:
+                        bench_kwargs["coherent_raw"] = True
                     p_ax = _AXIS_OF[domain.probing_direction]
                     a_ax, b_ax = [a for a in range(3) if a != p_ax]
                     s_pad = _pad_ray_cols(s0, max_rays, a_ax, b_ax)
@@ -398,6 +492,10 @@ def run(
                             acc = tuple(a + b for a, b in zip(acc, res))
                         else:
                             acc = acc + res
+                    if any_coh and not user_raw:
+                        conv = bench_kwargs.get("coherent_convention",
+                                                "legacy")
+                        acc = finalize_coherent(acc, diagnostic, conv)
                     return _out(acc)
                 # single small batch: one plain program — but honor an
                 # EXPLICIT user chunk size (they may be dodging a compile
@@ -482,15 +580,22 @@ def run_split(
 
     diag = kwargs.get("diagnostic", "shadowgraphy")
     names = (diag,) if isinstance(diag, str) else tuple(diag)
-    if any(DIAGNOSTICS[nm][2] for nm in names):
+    any_coh = any(DIAGNOSTICS[nm][2] for nm in names)
+    user_raw = kwargs.get("coherent_raw", False)
+    if any_coh:
         import warnings
 
+        # cross-partition interference IS retained (raw field-sum
+        # accumulation, finalized once) — but the two integrators differ
+        # at the ~1e-3 phase level over hundreds of radians, so fringes
+        # near the fast/slow partition boundary are solver-sensitive
         warnings.warn(
-            "run_split adds per-partition coherent AMPLITUDE images "
-            "(reference MPI-sum convention): cross-partition interference "
-            "is dropped and mixed-solver fringes are phase-sensitive. Use "
+            "run_split mixes z-scan and time-tracer phases in one "
+            "coherent sum; fringes involving both partitions are "
+            "solver-sensitive at the integrator-mismatch level. Use "
             "solver='time' on the full bundle for quantitative coherent "
             "work.", stacklevel=2)
+        kwargs["coherent_raw"] = True
 
     if domain.ne is None:
         raise RuntimeError("run_split needs the domain's ne grid")
@@ -547,4 +652,11 @@ def run_split(
             out = {k: out[k] + out_t[k] for k in out}
         else:
             out = out + out_t
+    if any_coh and not user_raw and out is not None:
+        conv = kwargs.get("coherent_convention", "legacy")
+        if isinstance(out, dict):
+            out = dict(zip(diag, finalize_coherent(
+                tuple(out[nm] for nm in diag), tuple(diag), conv)))
+        else:
+            out = finalize_coherent(out, diag, conv)
     return out

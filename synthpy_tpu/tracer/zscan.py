@@ -380,55 +380,6 @@ def make_segment_pack(zpack: ZScanPack, K: int = 64) -> SegmentPack:
                        zpack.omega)
 
 
-def _seg_deriv(u, corners, k, f, ia0, ib0, origin_ab, inv_ab, shape_ab,
-               layout: ChannelLayout, atten_sign: float, C: int):
-    """du/dp at slab-fraction ``f`` of inner slab ``k`` from hoisted corners.
-
-    corners: (c00, c01, c10, c11), each (N, K+1, C).
-    """
-    na, nb = shape_ab
-    a, b = u[:, 0], u[:, 1]
-    ta = (a - origin_ab[0]) * inv_ab[0]
-    tb = (b - origin_ab[1]) * inv_ab[1]
-    inside = (ta >= 0) & (ta <= na - 1) & (tb >= 0) & (tb <= nb - 1)
-    fa = jnp.clip(ta - ia0, 0.0, 1.0)[:, None]
-    fb = jnp.clip(tb - ib0, 0.0, 1.0)[:, None]
-
-    def val(c):
-        # z-blend between planes k and k+1 at fraction f; the hoisted
-        # buffers stay in the pack dtype (bf16 halves slice traffic) and
-        # are cast at the 2-plane window
-        win = jax.lax.dynamic_slice_in_dim(c, k, 2, axis=1).astype(u.dtype)
-        return (1.0 - f) * win[:, 0, :] + f * win[:, 1, :]
-
-    c00, c01, c10, c11 = corners
-    vals = ((1 - fa) * (1 - fb) * val(c00) + (1 - fa) * fb * val(c01)
-            + fa * (1 - fb) * val(c10) + fa * fb * val(c11))
-    vals = jnp.where(inside[:, None], vals, 0.0)
-
-    va, vb, vp = u[:, 2:3], u[:, 3:4], u[:, 4:5]
-    inv_vp = 1.0 / vp
-    G = vals[:, 0:3] * inv_vp
-    N = u.shape[0]
-    zeros = jnp.zeros((N, 1), u.dtype)
-    if layout.inv_brems:
-        kk = vals[:, layout.kappa_index:layout.kappa_index + 1]
-        d_amp = atten_sign * kk * u[:, 5:6] * inv_vp
-    else:
-        d_amp = zeros
-    if layout.phaseshift:
-        d_phase = vals[:, layout.phase_index:layout.phase_index + 1] * inv_vp
-    else:
-        d_phase = zeros
-    if layout.B_on:
-        W = vals[:, layout.faraday_index:layout.faraday_index + 3]
-        d_pol = (W[:, 0:1] * va + W[:, 1:2] * vb + W[:, 2:3] * vp) * inv_vp
-    else:
-        d_pol = zeros
-    return jnp.concatenate(
-        [va * inv_vp, vb * inv_vp, G, d_amp, d_phase, d_pol], axis=1)
-
-
 def _cols_bilinear(cols, corner_vals, ia0, ib0, origin_ab, inv_ab,
                    shape_ab):
     """Transverse bilinear blend of 4 per-corner channel rows -> vals.
@@ -476,8 +427,8 @@ def _seg_deriv_cols(cols, corners, k, f, ia0, ib0, origin_ab, inv_ab,
                     C: int):
     """Columnized du/dp: tuple state in, tuple derivative out.
 
-    Same arithmetic as :func:`_seg_deriv` but on a tuple of (N,) columns
-    instead of an (N, 8) matrix: the derivative needs no ``concatenate``
+    Tuple state in place of an (N, 8) matrix: the derivative needs no
+    ``concatenate``
     and every RK4 combination is a fusable elementwise chain. Profiling
     one 262k-ray chunk at 512^3 showed the matrix form spending 28% of
     the slab loop in concatenates alone (scratch/profile_seg.py).
@@ -514,6 +465,41 @@ def _seg_deriv_pre(cols, wv, ia0, ib0, origin_ab, inv_ab, shape_ab,
     return _cols_rhs(cols, vals, layout, atten_sign)
 
 
+def _cols_weights(cols, ia0, ib0, origin_ab, inv_ab, shape_ab):
+    """Per-ray corner weights (w00, w01, w10, w11) with the inside-mask
+    FOLDED IN (outside rays get all-zero weights == the fill-0 blend).
+
+    The ``weights='slab'`` fast mode computes these once per slab from
+    the slab-start position; stages then reduce to 4 fused
+    multiply-adds per channel (vals = sum_i w_i * v_i) plus the physics
+    RHS — the index arithmetic, clips, compares and mask of
+    :func:`_cols_bilinear` run once per slab instead of once per stage.
+    Accuracy: within one slab a paraxial ray moves <= ~1e-3 cells, so
+    freezing the transverse fraction across that slab's stages perturbs
+    weights at the 1e-3 level of one cell — the same order as the
+    per-segment frozen-corner clamp already accepted on this path.
+    """
+    na, nb = shape_ab
+    a, b = cols[0], cols[1]
+    ta = (a - origin_ab[0]) * inv_ab[0]
+    tb = (b - origin_ab[1]) * inv_ab[1]
+    inside = (ta >= 0) & (ta <= na - 1) & (tb >= 0) & (tb <= nb - 1)
+    m = inside.astype(a.dtype)
+    fa = jnp.clip(ta - ia0, 0.0, 1.0)
+    fb = jnp.clip(tb - ib0, 0.0, 1.0)
+    return (m * (1 - fa) * (1 - fb), m * (1 - fa) * fb,
+            m * fa * (1 - fb), m * fa * fb)
+
+
+def _seg_deriv_w(cols, wv, w4, layout: ChannelLayout, atten_sign: float):
+    """du/dp from pre-blended plane values + PRE-COMPUTED corner weights."""
+    w00, w01, w10, w11 = w4
+    v00, v01, v10, v11 = wv
+    vals = (w00[:, None] * v00 + w01[:, None] * v01
+            + w10[:, None] * v10 + w11[:, None] * v11)
+    return _cols_rhs(cols, vals, layout, atten_sign)
+
+
 def _seg_deriv_win(cols, wins, f, ia0, ib0, origin_ab, inv_ab,
                    shape_ab, layout: ChannelLayout, atten_sign: float,
                    C: int):
@@ -535,10 +521,237 @@ def _seg_deriv_win(cols, wins, f, ia0, ib0, origin_ab, inv_ab,
     return _cols_rhs(cols, vals, layout, atten_sign)
 
 
+def march_segment(
+    uc: jnp.ndarray,
+    seg: jnp.ndarray,
+    origin_ab: jnp.ndarray,
+    inv_ab: jnp.ndarray,
+    dp,
+    *,
+    shape_ab: Tuple[int, int],
+    layout: ChannelLayout,
+    K: int,
+    C: int,
+    substeps: int = 1,
+    atten_sign: float = -1.0,
+    integrator: str = "rk4",
+    unroll: int = 2,
+    block: Optional[int] = None,
+    a_offset=0,
+    weights: str = "stage",
+) -> jnp.ndarray:
+    """March (N, 8) permuted rays through ONE segment's corner table.
+
+    ``weights``: "stage" (default — transverse weights and inside-mask
+    recomputed at every RK stage position, strict fill-0 parity) or
+    "slab" (weights computed once per slab from the slab-start position,
+    see :func:`_cols_weights`; image-equivalent for paraxial bundles and
+    measurably faster on the VPU-compute-bound march).
+
+    ``seg`` is one row of ``SegmentPack.seg_planes``: the
+    (na*nb, (K+1)*C) corner-column table covering K slabs. This is the
+    single source of the per-segment arithmetic — the single-chip scan
+    (:func:`trace_zscan_segments`), the multi-chip pipeline-parallel
+    tracer (``parallel.pipeline_pp``) and the grid-sharded march
+    (``parallel.mesh.make_gridsharded_segment_tracer``) all call it, so
+    the multi-chip paths inherit every single-chip optimisation
+    (columnized tuple state, flat-corner 2C slices, hoisted z-blends,
+    the rk2s2 stride-2 pairing) and stay bit-identical to the
+    single-chip march by construction.
+
+    ``a_offset`` (static or traced int): subtracted from the frozen
+    a-row index ONLY for the gather into ``seg`` — the hook that lets a
+    transverse-sharded caller pass its local (naloc+1)*nb table while
+    every index, fraction and inside-mask computation stays in GLOBAL
+    coordinates (hence bit-identical to the unsharded march). Rays whose
+    rows fall outside the local table gather clipped garbage; the
+    sharded caller discards them by ownership.
+    """
+    na, nb = shape_ab
+    h = dp / substeps
+    blocked = (block is not None and substeps == 1 and K % block == 0
+               and block < K)
+    if integrator not in ("rk4", "rk2", "rk2s2"):
+        raise ValueError(f"unknown integrator {integrator!r}")
+    if integrator in ("rk2", "rk2s2") and (substeps != 1 or blocked):
+        raise ValueError(f"integrator={integrator!r} requires substeps=1 "
+                         "and no block= (the blocked march is rk4-only)")
+    if weights not in ("stage", "slab"):
+        raise ValueError(f"unknown weights mode {weights!r}")
+    if weights == "slab" and (substeps != 1 or blocked):
+        raise ValueError("weights='slab' requires substeps=1 and no block=")
+
+    # per-ray frozen corner indices for this segment
+    ta = (uc[:, 0] - origin_ab[0]) * inv_ab[0]
+    tb = (uc[:, 1] - origin_ab[1]) * inv_ab[1]
+    ia0 = jnp.clip(jnp.floor(ta).astype(jnp.int32), 0, na - 2)
+    ib0 = jnp.clip(jnp.floor(tb).astype(jnp.int32), 0, nb - 2)
+    base = (ia0 - a_offset) * nb + ib0
+    # corners stay flat (N, (K+1)*C): _seg_deriv_cols slices 2C
+    # blocks, so the gathered rows are never reshape-copied
+    corners = tuple(
+        jnp.take(seg, base + off, axis=0, mode="clip")
+        for off in (0, 1, nb, nb + 1))
+    ia0f = ia0.astype(uc.dtype)
+    ib0f = ib0.astype(uc.dtype)
+
+    def rk4(cc, stage_fn):
+        k1 = stage_fn(cc, 0.0)
+        k2 = stage_fn(tuple(x + 0.5 * h * kv
+                            for x, kv in zip(cc, k1)), 0.5)
+        k3 = stage_fn(tuple(x + 0.5 * h * kv
+                            for x, kv in zip(cc, k2)), 0.5)
+        k4 = stage_fn(tuple(x + h * kv
+                            for x, kv in zip(cc, k3)), 1.0)
+        return tuple(x + (h / 6.0) * (a + 2 * b2 + 2 * c2 + d2)
+                     for x, a, b2, c2, d2
+                     in zip(cc, k1, k2, k3, k4))
+
+    def slab_block(cols, blk):
+        base_c = blk * (block * C)
+        wins_blk = tuple(
+            jax.lax.dynamic_slice_in_dim(
+                c, base_c, (block + 1) * C, axis=1)
+            for c in corners)
+        for j in range(block):
+            wins = tuple(w[:, j * C:(j + 2) * C] for w in wins_blk)
+
+            def stage(cc, f, _w=wins):
+                return _seg_deriv_win(
+                    cc, _w, f, ia0f, ib0f, origin_ab, inv_ab,
+                    shape_ab, layout, atten_sign, C)
+
+            cols = rk4(cols, stage)
+        return cols, None
+
+    def slab(cols, k):
+        if substeps == 1:
+            # Hoist the z-blend out of the stages: slice+convert
+            # the 2-plane window once, then f=0 is plane k
+            # verbatim, f=1 plane k+1 verbatim, and both f=0.5
+            # stages share one midpoint average.
+            dtype = cols[0].dtype
+            wins = tuple(
+                jax.lax.dynamic_slice_in_dim(
+                    c, k * C, 2 * C, axis=1).astype(dtype)
+                for c in corners)
+            w0 = tuple(w[:, :C] for w in wins)
+            w1 = tuple(w[:, C:] for w in wins)
+
+            if weights == "slab":
+                w4 = _cols_weights(cols, ia0f, ib0f, origin_ab,
+                                   inv_ab, shape_ab)
+
+                def stage(cc, wv):
+                    return _seg_deriv_w(cc, wv, w4, layout,
+                                        atten_sign)
+            else:
+                def stage(cc, wv):
+                    return _seg_deriv_pre(cc, wv, ia0f, ib0f,
+                                          origin_ab, inv_ab, shape_ab,
+                                          layout, atten_sign)
+
+            wm = tuple(0.5 * (x + y) for x, y in zip(w0, w1))
+            if integrator in ("rk2", "rk2s2"):
+                k1 = stage(cols, w0)
+                k2 = stage(tuple(x + 0.5 * h * kv
+                                 for x, kv in zip(cols, k1)), wm)
+                return tuple(x + h * kv
+                             for x, kv in zip(cols, k2)), None
+            k1 = stage(cols, w0)
+            k2 = stage(tuple(x + 0.5 * h * kv
+                             for x, kv in zip(cols, k1)), wm)
+            k3 = stage(tuple(x + 0.5 * h * kv
+                             for x, kv in zip(cols, k2)), wm)
+            k4 = stage(tuple(x + h * kv
+                             for x, kv in zip(cols, k3)), w1)
+            return tuple(
+                x + (h / 6.0) * (a + 2 * b2 + 2 * c2 + d2)
+                for x, a, b2, c2, d2
+                in zip(cols, k1, k2, k3, k4)), None
+
+        def stage_f(cc, f):
+            return _seg_deriv_cols(cc, corners, k, f, ia0f, ib0f,
+                                   origin_ab, inv_ab, shape_ab,
+                                   layout, atten_sign, C)
+
+        def substep(cols, j):
+            f0 = j / substeps
+            fh = (j + 0.5) / substeps
+            f1 = (j + 1.0) / substeps
+            k1 = stage_f(cols, f0)
+            k2 = stage_f(tuple(u + 0.5 * h * kv
+                               for u, kv in zip(cols, k1)), fh)
+            k3 = stage_f(tuple(u + 0.5 * h * kv
+                               for u, kv in zip(cols, k2)), fh)
+            k4 = stage_f(tuple(u + h * kv
+                               for u, kv in zip(cols, k3)), f1)
+            return tuple(
+                u + (h / 6.0) * (a + 2 * b2 + 2 * c2 + d2)
+                for u, a, b2, c2, d2
+                in zip(cols, k1, k2, k3, k4)), None
+
+        cols, _ = jax.lax.scan(
+            substep, cols,
+            jnp.arange(substeps, dtype=cols[0].dtype))
+        return cols, None
+
+    def slab_pair(cols, j):
+        # stride-2 midpoint: one rk2 step spans TWO slabs
+        # (h = 2*dp); the midpoint plane k+1 exists exactly in
+        # the pack, so the start (plane k) and midpoint
+        # (plane k+1) stage values are direct plane reads — no
+        # z-blend arithmetic at all, and half the window slices
+        # of the per-slab rk2 march.
+        k = 2 * j
+        dtype = cols[0].dtype
+        wins = tuple(
+            jax.lax.dynamic_slice_in_dim(
+                c, k * C, 2 * C, axis=1).astype(dtype)
+            for c in corners)
+        w0 = tuple(win[:, :C] for win in wins)
+        wm = tuple(win[:, C:] for win in wins)
+
+        if weights == "slab":
+            w4 = _cols_weights(cols, ia0f, ib0f, origin_ab, inv_ab,
+                               shape_ab)
+
+            def stage(cc, wv):
+                return _seg_deriv_w(cc, wv, w4, layout, atten_sign)
+        else:
+            def stage(cc, wv):
+                return _seg_deriv_pre(cc, wv, ia0f, ib0f, origin_ab,
+                                      inv_ab, shape_ab, layout,
+                                      atten_sign)
+
+        h2 = 2.0 * h
+        k1 = stage(cols, w0)
+        k2 = stage(tuple(x + h * kv
+                         for x, kv in zip(cols, k1)), wm)
+        return tuple(x + h2 * kv
+                     for x, kv in zip(cols, k2)), None
+
+    cols = tuple(uc[:, i] for i in range(8))
+    if blocked:
+        cols, _ = jax.lax.scan(slab_block, cols,
+                               jnp.arange(K // block))
+    elif integrator == "rk2s2":
+        cols, _ = jax.lax.scan(slab_pair, cols,
+                               jnp.arange(K // 2), unroll=unroll)
+        if K % 2:
+            # odd K (e.g. 511 slabs at 512^3): one trailing
+            # single-slab rk2 step covers the remainder
+            cols, _ = slab(cols, jnp.int32(K - 1))
+    else:
+        cols, _ = jax.lax.scan(slab, cols, jnp.arange(K),
+                               unroll=unroll)
+    return jnp.stack(cols, axis=1)
+
+
 @partial(jax.jit, static_argnames=("layout", "K", "n_seg", "shape_ab",
                                    "substeps", "atten_sign", "ray_chunk",
                                    "unroll", "block", "integrator",
-                                   "remat"))
+                                   "remat", "weights"))
 def trace_zscan_segments(
     u: jnp.ndarray,
     seg_planes: jnp.ndarray,
@@ -557,6 +770,7 @@ def trace_zscan_segments(
     block: Optional[int] = None,
     integrator: str = "rk4",
     remat: bool = False,
+    weights: str = "stage",
 ) -> jnp.ndarray:
     """Gather-hoisted slab march over n_seg segments of K slabs each.
 
@@ -584,173 +798,18 @@ def trace_zscan_segments(
     scipy oracle in tests/test_zscan.py (same tolerance class as rk4 at
     512-slab resolution).
     """
-    na, nb = shape_ab
     C = seg_planes.shape[-1] // (K + 1)
-    h = dp / substeps
-    blocked = (block is not None and substeps == 1 and K % block == 0
-               and block < K)
     if integrator not in ("rk4", "rk2", "rk2s2"):
         raise ValueError(f"unknown integrator {integrator!r}")
-    if integrator in ("rk2", "rk2s2") and (substeps != 1 or blocked):
-        # the rk2 branches live in the substeps==1 per-slab arm only;
-        # refusing beats silently tracing rk4 under an rk2 label
-        raise ValueError(f"integrator={integrator!r} requires substeps=1 "
-                         "and no block= (the blocked march is rk4-only)")
 
     def run(u0):
         def segment(uc, s):
             seg = jax.lax.dynamic_slice_in_dim(seg_planes, s, 1, axis=0)[0]
-            # per-ray frozen corner indices for this segment
-            ta = (uc[:, 0] - origin_ab[0]) * inv_ab[0]
-            tb = (uc[:, 1] - origin_ab[1]) * inv_ab[1]
-            ia0 = jnp.clip(jnp.floor(ta).astype(jnp.int32), 0, na - 2)
-            ib0 = jnp.clip(jnp.floor(tb).astype(jnp.int32), 0, nb - 2)
-            base = ia0 * nb + ib0
-            # corners stay flat (N, (K+1)*C): _seg_deriv_cols slices 2C
-            # blocks, so the gathered rows are never reshape-copied
-            corners = tuple(
-                jnp.take(seg, base + off, axis=0, mode="clip")
-                for off in (0, 1, nb, nb + 1))
-            ia0f = ia0.astype(uc.dtype)
-            ib0f = ib0.astype(uc.dtype)
-
-            def rk4(cc, stage_fn):
-                k1 = stage_fn(cc, 0.0)
-                k2 = stage_fn(tuple(x + 0.5 * h * kv
-                                    for x, kv in zip(cc, k1)), 0.5)
-                k3 = stage_fn(tuple(x + 0.5 * h * kv
-                                    for x, kv in zip(cc, k2)), 0.5)
-                k4 = stage_fn(tuple(x + h * kv
-                                    for x, kv in zip(cc, k3)), 1.0)
-                return tuple(x + (h / 6.0) * (a + 2 * b2 + 2 * c2 + d2)
-                             for x, a, b2, c2, d2
-                             in zip(cc, k1, k2, k3, k4))
-
-            def slab_block(cols, blk):
-                base_c = blk * (block * C)
-                wins_blk = tuple(
-                    jax.lax.dynamic_slice_in_dim(
-                        c, base_c, (block + 1) * C, axis=1)
-                    for c in corners)
-                for j in range(block):
-                    wins = tuple(w[:, j * C:(j + 2) * C] for w in wins_blk)
-
-                    def stage(cc, f, _w=wins):
-                        return _seg_deriv_win(
-                            cc, _w, f, ia0f, ib0f, origin_ab, inv_ab,
-                            shape_ab, layout, atten_sign, C)
-
-                    cols = rk4(cols, stage)
-                return cols, None
-
-            def slab(cols, k):
-                if substeps == 1:
-                    # Hoist the z-blend out of the stages: slice+convert
-                    # the 2-plane window once, then f=0 is plane k
-                    # verbatim, f=1 plane k+1 verbatim, and both f=0.5
-                    # stages share one midpoint average.
-                    dtype = cols[0].dtype
-                    wins = tuple(
-                        jax.lax.dynamic_slice_in_dim(
-                            c, k * C, 2 * C, axis=1).astype(dtype)
-                        for c in corners)
-                    w0 = tuple(w[:, :C] for w in wins)
-                    w1 = tuple(w[:, C:] for w in wins)
-
-                    def stage(cc, wv):
-                        return _seg_deriv_pre(cc, wv, ia0f, ib0f,
-                                              origin_ab, inv_ab, shape_ab,
-                                              layout, atten_sign)
-
-                    wm = tuple(0.5 * (x + y) for x, y in zip(w0, w1))
-                    if integrator in ("rk2", "rk2s2"):
-                        k1 = stage(cols, w0)
-                        k2 = stage(tuple(x + 0.5 * h * kv
-                                         for x, kv in zip(cols, k1)), wm)
-                        return tuple(x + h * kv
-                                     for x, kv in zip(cols, k2)), None
-                    k1 = stage(cols, w0)
-                    k2 = stage(tuple(x + 0.5 * h * kv
-                                     for x, kv in zip(cols, k1)), wm)
-                    k3 = stage(tuple(x + 0.5 * h * kv
-                                     for x, kv in zip(cols, k2)), wm)
-                    k4 = stage(tuple(x + h * kv
-                                     for x, kv in zip(cols, k3)), w1)
-                    return tuple(
-                        x + (h / 6.0) * (a + 2 * b2 + 2 * c2 + d2)
-                        for x, a, b2, c2, d2
-                        in zip(cols, k1, k2, k3, k4)), None
-
-                def stage_f(cc, f):
-                    return _seg_deriv_cols(cc, corners, k, f, ia0f, ib0f,
-                                           origin_ab, inv_ab, shape_ab,
-                                           layout, atten_sign, C)
-
-                def substep(cols, j):
-                    f0 = j / substeps
-                    fh = (j + 0.5) / substeps
-                    f1 = (j + 1.0) / substeps
-                    k1 = stage_f(cols, f0)
-                    k2 = stage_f(tuple(u + 0.5 * h * kv
-                                       for u, kv in zip(cols, k1)), fh)
-                    k3 = stage_f(tuple(u + 0.5 * h * kv
-                                       for u, kv in zip(cols, k2)), fh)
-                    k4 = stage_f(tuple(u + h * kv
-                                       for u, kv in zip(cols, k3)), f1)
-                    return tuple(
-                        u + (h / 6.0) * (a + 2 * b2 + 2 * c2 + d2)
-                        for u, a, b2, c2, d2
-                        in zip(cols, k1, k2, k3, k4)), None
-
-                cols, _ = jax.lax.scan(
-                    substep, cols,
-                    jnp.arange(substeps, dtype=cols[0].dtype))
-                return cols, None
-
-            def slab_pair(cols, j):
-                # stride-2 midpoint: one rk2 step spans TWO slabs
-                # (h = 2*dp); the midpoint plane k+1 exists exactly in
-                # the pack, so the start (plane k) and midpoint
-                # (plane k+1) stage values are direct plane reads — no
-                # z-blend arithmetic at all, and half the window slices
-                # of the per-slab rk2 march.
-                k = 2 * j
-                dtype = cols[0].dtype
-                wins = tuple(
-                    jax.lax.dynamic_slice_in_dim(
-                        c, k * C, 2 * C, axis=1).astype(dtype)
-                    for c in corners)
-                w0 = tuple(win[:, :C] for win in wins)
-                wm = tuple(win[:, C:] for win in wins)
-
-                def stage(cc, wv):
-                    return _seg_deriv_pre(cc, wv, ia0f, ib0f, origin_ab,
-                                          inv_ab, shape_ab, layout,
-                                          atten_sign)
-
-                h2 = 2.0 * h
-                k1 = stage(cols, w0)
-                k2 = stage(tuple(x + h * kv
-                                 for x, kv in zip(cols, k1)), wm)
-                return tuple(x + h2 * kv
-                             for x, kv in zip(cols, k2)), None
-
-            cols = tuple(uc[:, i] for i in range(8))
-            if blocked:
-                cols, _ = jax.lax.scan(slab_block, cols,
-                                       jnp.arange(K // block))
-            elif integrator == "rk2s2":
-                cols, _ = jax.lax.scan(slab_pair, cols,
-                                       jnp.arange(K // 2), unroll=unroll)
-                if K % 2:
-                    # odd K (e.g. 511 slabs at 512^3): one trailing
-                    # single-slab rk2 step covers the remainder
-                    cols, _ = slab(cols, jnp.int32(K - 1))
-            else:
-                cols, _ = jax.lax.scan(slab, cols, jnp.arange(K),
-                                       unroll=unroll)
-            uc = jnp.stack(cols, axis=1)
-            return uc, None
+            return march_segment(
+                uc, seg, origin_ab, inv_ab, dp, shape_ab=shape_ab,
+                layout=layout, K=K, C=C, substeps=substeps,
+                atten_sign=atten_sign, integrator=integrator,
+                unroll=unroll, block=block, weights=weights), None
 
         # remat: checkpoint at SEGMENT granularity so reverse-mode AD
         # (synthpy_tpu.inverse) stores one ray state per segment instead
@@ -800,6 +859,7 @@ def solve_zscan_segments(
     ray_chunk: Optional[int] = None,
     unroll: int = 2,
     integrator: str = "rk4",
+    weights: str = "stage",
 ) -> TraceResult:
     """Gather-hoisted drop-in for solve_zscan (paraxial fast path)."""
     layout = layout_of(domain)
@@ -827,11 +887,105 @@ def solve_zscan_segments(
         u, spack.seg_planes, spack.origin_ab, spack.inv_spacing_ab, dp,
         shape_ab=spack.shape_ab, layout=layout, K=K, n_seg=n_seg,
         substeps=substeps, atten_sign=atten_sign, ray_chunk=ray_chunk,
-        unroll=unroll, integrator=integrator)
+        unroll=unroll, integrator=integrator, weights=weights)
     uf.block_until_ready()
     duration = time.perf_counter() - start
 
     sf = reassemble_state(uf, spack.p0 + n_seg * K * spack.dp,
+                          domain.probing_direction)
+    rf, Jf = ray_to_Jonesvector(sf, probing_depth,
+                                probing_direction=domain.probing_direction,
+                                return_E=return_E)
+    return TraceResult(rf, Jf, sf, duration)
+
+
+@partial(jax.jit, static_argnames=("shape_ab", "layout", "K", "C",
+                                   "substeps", "atten_sign", "integrator",
+                                   "unroll", "ray_chunk", "weights"))
+def _march_one_segment(u, seg, origin_ab, inv_ab, dp, *, shape_ab, layout,
+                       K, C, substeps, atten_sign, integrator, unroll,
+                       ray_chunk, weights="stage"):
+    """One jitted march of ALL rays (optionally lax.map-chunked) through
+    one uploaded segment table — the program body of the streamed path."""
+    def run(uu):
+        return march_segment(uu, seg, origin_ab, inv_ab, dp,
+                             shape_ab=shape_ab, layout=layout, K=K, C=C,
+                             substeps=substeps, atten_sign=atten_sign,
+                             integrator=integrator, unroll=unroll,
+                             weights=weights)
+
+    if ray_chunk is None or u.shape[0] <= ray_chunk:
+        return run(u)
+    N = u.shape[0]
+    n_chunks = -(-N // ray_chunk)
+    pad = n_chunks * ray_chunk - N
+    blocks = jnp.pad(u, ((0, pad), (0, 0))).reshape(n_chunks, ray_chunk, 8)
+    out = jax.lax.map(run, blocks)
+    return out.reshape(n_chunks * ray_chunk, 8)[:N]
+
+
+def solve_zscan_segments_streamed(
+    s0: jnp.ndarray,
+    domain: ScalarDomain,
+    probing_depth: Optional[float] = None,
+    *,
+    hpack: SegmentPack,
+    lwl: float = 1064e-9,
+    return_E: bool = False,
+    substeps: int = 1,
+    atten_sign: float = -1.0,
+    ray_chunk: Optional[int] = None,
+    unroll: int = 2,
+    integrator: str = "rk4",
+    weights: str = "stage",
+) -> TraceResult:
+    """Segment-streamed march for packs LARGER than device memory.
+
+    ``hpack`` is a SegmentPack whose ``seg_planes`` live on the HOST
+    (``build_segment_pack_streaming(device=False)``). Segments are
+    uploaded one at a time — prefetched one ahead, so the H2D copy of
+    segment s+1 overlaps the march of segment s — and marched with the
+    SAME :func:`march_segment` arithmetic as the in-memory tracer, so
+    results are bit-identical to :func:`solve_zscan_segments`. Device
+    peak memory is two segment tables + ray state + corner buffers,
+    independent of the total pack size: this is the single-chip path for
+    full-physics 1024^3-class fields (the reference reaches these only
+    through its host auto-batching slab loop,
+    /root/reference/src/simulator/domain.py:137-227).
+    """
+    layout = layout_of(domain)
+    if probing_depth is None:
+        probing_depth = domain.extent
+    K = hpack.K
+    n_seg = hpack.seg_planes.shape[0]
+    C = hpack.seg_planes.shape[-1] // (K + 1)
+    if ray_chunk is None:
+        ray_chunk = _auto_ray_chunk(hpack)
+
+    p_ax = _AXIS_OF[domain.probing_direction]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+    s = jnp.asarray(s0)
+    u = jnp.stack([s[a_ax], s[b_ax], s[3 + a_ax], s[3 + b_ax], s[3 + p_ax],
+                   s[6], s[7], s[8]], axis=1)
+    dp = jnp.asarray(hpack.dp, u.dtype)
+    origin_ab = jnp.asarray(hpack.origin_ab)
+    inv_ab = jnp.asarray(hpack.inv_spacing_ab)
+
+    start = time.perf_counter()
+    seg_dev = jax.device_put(hpack.seg_planes[0])
+    for si in range(n_seg):
+        nxt = (jax.device_put(hpack.seg_planes[si + 1])
+               if si + 1 < n_seg else None)
+        u = _march_one_segment(
+            u, seg_dev, origin_ab, inv_ab, dp, shape_ab=hpack.shape_ab,
+            layout=layout, K=K, C=C, substeps=substeps,
+            atten_sign=atten_sign, integrator=integrator, unroll=unroll,
+            ray_chunk=ray_chunk, weights=weights)
+        seg_dev = nxt
+    u.block_until_ready()
+    duration = time.perf_counter() - start
+
+    sf = reassemble_state(u, hpack.p0 + n_seg * K * hpack.dp,
                           domain.probing_direction)
     rf, Jf = ray_to_Jonesvector(sf, probing_depth,
                                 probing_direction=domain.probing_direction,
@@ -845,6 +999,7 @@ def build_segment_pack_streaming(
     K: int = 64,
     dtype=jnp.bfloat16,
     plane_batch: int = 16,
+    device: bool = True,
 ) -> SegmentPack:
     """Build a SegmentPack directly from the domain, plane batch by batch.
 
@@ -854,20 +1009,27 @@ def build_segment_pack_streaming(
     builder computes channel planes in fixed-size batches (one small
     compiled program regardless of grid size), assembles the segment table
     on the host, and uploads it once; device peak memory is
-    ne + one plane batch.
+    one plane batch (input volumes are sliced host-side when they are
+    numpy arrays — pass host-resident fields for >HBM grids — and
+    device arrays are pulled to the host once otherwise).
 
-    Restrictions: gradient channels only (+phase if enabled); inv_brems/B
-    domains go through the monolithic builder.
+    Full physics channels are supported (kappa, phase, Faraday — same
+    channel set/order as make_zscan_pack; legacy precompute semantics
+    full_solver.py:276-289).
+
+    ``device=False`` keeps ``seg_planes`` as a host numpy array — the
+    input format of :func:`solve_zscan_segments_streamed`, which marches
+    packs LARGER than device memory segment by segment.
     """
     import numpy as _np
 
     from synthpy_tpu import constants as _c
 
     layout = layout_of(domain)
-    if layout.inv_brems or layout.B_on:
-        raise NotImplementedError(
-            "streaming builder supports gradient+phase channels; "
-            "use build_pack for inv_brems/B domains")
+    if layout.inv_brems and (domain.Te is None or domain.Z is None):
+        raise RuntimeError("inv_brems requires Te and Z grids")
+    if layout.B_on and domain.B is None:
+        raise RuntimeError("B_on requires a B grid")
     p_ax = _AXIS_OF[domain.probing_direction]
     a_ax, b_ax = [a for a in range(3) if a != p_ax]
     coords = (domain.x, domain.y, domain.z)
@@ -880,29 +1042,47 @@ def build_segment_pack_streaming(
     omega = float(_c.omega_from_lwl(lwl))
     nc = float(_c.critical_density(omega))
     pref = -0.5 * _c.C**2 / nc
+    verdet = _c.verdet_constant(lwl) if layout.B_on else 0.0
     C = layout.n_channels
     PB = min(plane_batch, n_p)
+    n_extra = 2 * layout.inv_brems + 3 * layout.B_on
 
     @jax.jit
-    def batch_channels(slab, prev_plane, next_plane):
+    def batch_channels(slab, prev_plane, next_plane, ex):
         """Channels for PB planes. slab: (PB, na, nb); prev/next are the
         stencil margins for the probe-axis derivative (duplicated at the
-        global boundary, where a one-sided difference is applied)."""
+        global boundary, where a one-sided difference is applied);
+        ex: (n_extra, PB, na, nb) pointwise input planes."""
         ext = jnp.concatenate([prev_plane[None], slab, next_plane[None]], 0)
         Ga = pref * jnp.gradient(slab, da, axis=1)
         Gb = pref * jnp.gradient(slab, db, axis=2)
         Gp = pref * (ext[2:] - ext[:-2]) / (2.0 * dp)
         chans = [Ga, Gb, Gp]
+        if layout.inv_brems:
+            chans.append(_c.kappa(slab, ex[0], ex[1], omega))
         if layout.phaseshift:
             chans.append(omega * (_c.n_refrac(slab, omega) - 1.0))
+        if layout.B_on:
+            off = 2 if layout.inv_brems else 0
+            for i in range(3):
+                chans.append(verdet * slab * ex[off + i])
         out = jnp.stack([c.astype(dtype) for c in chans], axis=-1)
         return jnp.transpose(out, (1, 2, 0, 3))  # (na, nb, PB, C)
 
+    # host-side (numpy) probe-major views: zero-copy for host-resident
+    # fields, a single device->host pull otherwise
+    ne_h = _np.moveaxis(_np.asarray(domain.ne), p_ax, 0)
+    extras_h = []
+    if layout.inv_brems:
+        extras_h += [_np.asarray(domain.Te), _np.asarray(domain.Z)]
+    if layout.B_on:
+        B_h = _np.asarray(domain.B)
+        extras_h += [B_h[..., a_ax], B_h[..., b_ax], B_h[..., p_ax]]
+    extras_h = [_np.moveaxis(e, p_ax, 0) for e in extras_h]
+
     def plane(i):
-        """(na, nb) slice of ne at probe index i (clipped)."""
-        i = min(max(i, 0), n_p - 1)
-        sl = jax.lax.dynamic_slice_in_dim(domain.ne, i, 1, axis=p_ax)
-        return jnp.moveaxis(sl, p_ax, 0)[0]
+        """(na, nb) host slice of ne at probe index i (clipped)."""
+        return ne_h[min(max(i, 0), n_p - 1)]
 
     np_dtype = _np.asarray(jnp.zeros((), dtype)).dtype
     planes_host = _np.zeros((n_p, na, nb, C), np_dtype)
@@ -911,18 +1091,22 @@ def build_segment_pack_streaming(
         idxs = list(range(lo, hi))
         if len(idxs) < PB:  # pad the final batch to the compiled shape
             idxs = idxs + [n_p - 1] * (PB - len(idxs))
-        slab = jnp.stack([plane(i) for i in idxs])
-        ch = batch_channels(slab, plane(idxs[0] - 1), plane(idxs[-1] + 1))
+        slab = jnp.asarray(ne_h[_np.asarray(idxs)])
+        ex = jnp.asarray(_np.stack(
+            [e[_np.asarray(idxs)] for e in extras_h])
+            if extras_h else _np.zeros((0, PB, na, nb), ne_h.dtype))
+        ch = batch_channels(slab, jnp.asarray(plane(idxs[0] - 1)),
+                            jnp.asarray(plane(idxs[-1] + 1)), ex)
         ch = _np.asarray(jnp.moveaxis(ch, 2, 0))  # (PB, na, nb, C)
         planes_host[lo:hi] = ch[: hi - lo]
 
     # one-sided probe-axis differences at the global boundary
     if n_p >= 2:
-        first_edge = (_np.asarray(plane(1), _np.float32)
-                      - _np.asarray(plane(0), _np.float32))
+        first_edge = (plane(1).astype(_np.float32)
+                      - plane(0).astype(_np.float32))
         planes_host[0, :, :, 2] = (pref * first_edge / dp).astype(np_dtype)
-        last_edge = (_np.asarray(plane(n_p - 1), _np.float32)
-                     - _np.asarray(plane(n_p - 2), _np.float32))
+        last_edge = (plane(n_p - 1).astype(_np.float32)
+                     - plane(n_p - 2).astype(_np.float32))
         planes_host[-1, :, :, 2] = (pref * last_edge / dp).astype(np_dtype)
 
     # host-side segment assembly
@@ -936,8 +1120,11 @@ def build_segment_pack_streaming(
         block = _np.moveaxis(planes_host[p_lo:p_hi], 0, 2)  # (na,nb,cnt,C)
         seg_host[s_i, :, : count * C] = block.reshape(na * nb, count * C)
     del planes_host
-    out = jnp.asarray(seg_host)
-    del seg_host
+    if device:
+        out = jnp.asarray(seg_host)
+        del seg_host
+    else:
+        out = seg_host
 
     origin_ab = jnp.stack([ca[0], cb[0]])
     inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])
@@ -960,19 +1147,26 @@ def build_segment_pack_device(
     re-laid probe-axis-major and padded once (front margin duplicated, back
     padded with zero planes — exact, zero field outside); the input ne
     buffer is donated so peak memory is one padded volume + the pack + one
-    slab. With ``free_ne=True`` the domain's ne reference is dropped first
-    (recommended for 1024^3-class grids; the array is consumed by
-    donation either way).
+    slab. With ``free_ne=True`` the domain's ne/Te/Z/B references are
+    dropped first (recommended for 1024^3-class grids; the arrays are
+    consumed by donation either way).
 
-    Same restrictions as the streaming builder: gradient (+phase) channels.
+    Full physics channels are supported: inv_brems (kappa from ne/Te/Z,
+    full_solver.py:276-289 semantics), phaseshift, and B_on (Verdet
+    Faraday channels, component-permuted to (a, b, p) like
+    make_zscan_pack). Memory envelope: inputs are ne (+Te, Z, B as
+    switched on) plus the pack — at 1024^3 the B_on input set alone is
+    ~17 GB f32, so full-physics 1024^3 single-chip runs should use
+    :func:`build_segment_pack_streaming` (host assembly) with the
+    streamed march instead.
     """
     from synthpy_tpu import constants as _c
 
     layout = layout_of(domain)
-    if layout.inv_brems or layout.B_on:
-        raise NotImplementedError(
-            "device builder supports gradient+phase channels; "
-            "use build_pack for inv_brems/B domains")
+    if layout.inv_brems and (domain.Te is None or domain.Z is None):
+        raise RuntimeError("inv_brems requires Te and Z grids")
+    if layout.B_on and domain.B is None:
+        raise RuntimeError("B_on requires a B grid")
     p_ax = _AXIS_OF[domain.probing_direction]
     a_ax, b_ax = [a for a in range(3) if a != p_ax]
     coords = (domain.x, domain.y, domain.z)
@@ -985,6 +1179,7 @@ def build_segment_pack_device(
     omega = float(_c.omega_from_lwl(lwl))
     nc = float(_c.critical_density(omega))
     pref = -0.5 * _c.C**2 / nc
+    verdet = _c.verdet_constant(lwl) if layout.B_on else 0.0
     C = layout.n_channels
     n_slabs = n_p - 1
     n_seg = -(-n_slabs // K)
@@ -992,12 +1187,27 @@ def build_segment_pack_device(
     # trailing margin
     n_pad = n_seg * K + 3
 
+    # extra volumes beyond ne, probe-axis-major, body planes only (no
+    # stencil margin — their channels are pointwise): zero-padded to the
+    # segment-aligned count, zeroed anyway by the gidx mask
+    extras = []
+    if layout.inv_brems:
+        extras += [domain.Te, domain.Z]
+    if layout.B_on:
+        extras += [domain.B[..., a_ax], domain.B[..., b_ax],
+                   domain.B[..., p_ax]]
+
     @partial(jax.jit, donate_argnums=(0,))
-    def build(ne):
+    def build(ne, *ex):
         pm = jnp.moveaxis(ne, p_ax, 0)  # (n_p, na, nb)
         padded = jnp.concatenate(
             [pm[:1], pm,
              jnp.zeros((n_pad - n_p - 1, na, nb), pm.dtype)], axis=0)
+        ex_pad = tuple(
+            jnp.concatenate(
+                [jnp.moveaxis(e, p_ax, 0),
+                 jnp.zeros((n_pad - n_p - 2, na, nb), ne.dtype)], axis=0)
+            for e in ex)
 
         def seg_fn(s):
             p_lo = s * K
@@ -1019,8 +1229,17 @@ def build_segment_pack_device(
             Gp = jnp.where(last[:, None, None],
                            2.0 * Gp + pref * body / dp, Gp)
             chans = [Ga, Gb, Gp]
+            eb = [jax.lax.dynamic_slice_in_dim(e, p_lo, K + 1, axis=0)
+                  for e in ex_pad]
+            if layout.inv_brems:
+                Te_b, Z_b = eb[0], eb[1]
+                chans.append(_c.kappa(body, Te_b, Z_b, omega))
             if layout.phaseshift:
                 chans.append(omega * (_c.n_refrac(body, omega) - 1.0))
+            if layout.B_on:
+                off = 2 if layout.inv_brems else 0
+                for Bi in eb[off:off + 3]:
+                    chans.append(verdet * body * Bi)
             out = jnp.stack([c.astype(dtype) for c in chans], axis=-1)
             out = jnp.where((gidx <= n_p - 1)[:, None, None, None], out, 0)
             out = jnp.transpose(out, (1, 2, 0, 3))  # (na, nb, K+1, C)
@@ -1029,10 +1248,14 @@ def build_segment_pack_device(
         return jax.lax.map(seg_fn, jnp.arange(n_seg))
 
     ne = domain.ne
+    extras = [jnp.asarray(e, ne.dtype) for e in extras]
     if free_ne:
         domain.ne = None
-    out = build(ne)
-    del ne
+        domain.Te = None
+        domain.Z = None
+        domain.B = None
+    out = build(ne, *extras)
+    del ne, extras
 
     origin_ab = jnp.stack([ca[0], cb[0]])
     inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])

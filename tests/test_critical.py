@@ -135,7 +135,11 @@ def test_run_split_warns_for_coherent():
     d = overcritical_domain(n=21, peak=1.5, dtype=jnp.float32)
     d.phaseshift = True
     s0 = init_beam(jax.random.PRNGKey(10), 1024, 1e-3, 0.0, EXT, "circular")
-    with pytest.warns(UserWarning, match="AMPLITUDE"):
+    with pytest.warns(UserWarning, match="solver-sensitive"):
         out = pipeline.run_split(d, s0, bins=(16, 12), pad_to=1024,
                                  diagnostic="interferometry")
     assert np.isfinite(np.asarray(out)).all()
+    # cross-partition interference is now retained exactly (raw field-sum
+    # accumulation + one finalize): the finalized image must be >= 0 and
+    # bounded by the total coherent amplitude
+    assert np.asarray(out).min() >= 0.0

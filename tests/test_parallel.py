@@ -296,6 +296,98 @@ def test_pp_tracer_rk2_matches_single_device_rk2():
     chunks = u.reshape(2, 64, 8)
     out = np.asarray(tracer(chunks, sp.seg_planes, sp.origin_ab,
                             sp.inv_spacing_ab, dp)).reshape(128, 8)
-    # single-device rk2 blends via 0.5*(w0+w1), the PP matrix form via
-    # (1-f)*w0 + f*w1 — identical arithmetic up to f32 reassociation
-    np.testing.assert_allclose(out, ref, rtol=5e-5, atol=1e-8)
+    # PP and single-chip both run march_segment: identical arithmetic
+    np.testing.assert_allclose(out, ref, rtol=0, atol=0)
+
+
+def test_pp_tracer_rk2s2_sharded_chunks_bit_identical():
+    """PP with rk2s2 + SHARDED chunk storage (n_chunks % D == 0) is
+    bit-identical to the single-chip rk2s2 march — the two paths share
+    march_segment, and the sharded injection/collection moves chunks
+    without touching their values."""
+    from jax.sharding import AxisType
+
+    from synthpy_tpu.fields import layout_of as _layout_of
+    from synthpy_tpu.parallel.pipeline_pp import (
+        make_pipelined_segment_tracer,
+    )
+    from synthpy_tpu.tracer.zscan import (
+        make_segment_pack,
+        make_zscan_pack,
+        trace_zscan_segments,
+    )
+
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    lay = _layout_of(d)
+    sp = make_segment_pack(make_zscan_pack(build_pack(d), lay), K=8)
+
+    s0 = init_beam(jax.random.PRNGKey(16), 512, 1.5e-3, 1e-3, EXT,
+                   "circular")
+    s = jnp.asarray(s0)
+    u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]], axis=1)
+    dp = jnp.float32(sp.dp)
+
+    for integ in ("rk2s2", "rk4"):
+        ref = np.asarray(trace_zscan_segments(
+            u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp,
+            shape_ab=sp.shape_ab, layout=lay, K=sp.K,
+            n_seg=sp.seg_planes.shape[0], integrator=integ))
+
+        mesh = jax.make_mesh((4,), ("seg",), devices=jax.devices()[:4],
+                             axis_types=(AxisType.Auto,))
+        tracer = make_pipelined_segment_tracer(mesh, lay, sp, n_chunks=8,
+                                               integrator=integ)
+        chunks = u.reshape(8, 64, 8)
+        out = np.asarray(tracer(chunks, sp.seg_planes, sp.origin_ab,
+                                sp.inv_spacing_ab, dp)).reshape(512, 8)
+        np.testing.assert_allclose(out, ref, rtol=0, atol=0)
+
+
+def test_gridsharded_segment_march_bit_identical():
+    """Field sharded along the transverse a-axis on the FAST (segmented)
+    path: march_segment(a_offset=...) keeps all arithmetic in global
+    coordinates, so the sharded march is BIT-identical to single-device
+    (VERDICT r2 item 6). Composes with ray-axis DP on a 2-D mesh."""
+    from jax.sharding import AxisType, NamedSharding, PartitionSpec as P
+
+    from synthpy_tpu.fields import layout_of as _layout_of
+    from synthpy_tpu.parallel.mesh import make_gridsharded_segment_tracer
+    from synthpy_tpu.tracer.zscan import (
+        make_segment_pack,
+        make_zscan_pack,
+        trace_zscan_segments,
+    )
+
+    d = ScalarDomain(2 * EXT, 24).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    lay = _layout_of(d)
+    sp = make_segment_pack(make_zscan_pack(build_pack(d), lay), K=8)
+    n_seg = sp.seg_planes.shape[0]
+    na, nb = sp.shape_ab
+    C = sp.seg_planes.shape[-1] // (sp.K + 1)
+    seg_tables = sp.seg_planes.reshape(n_seg, na, nb, (sp.K + 1) * C)
+
+    # beam wider than the grid so some rays live outside (off-grid
+    # drifters must survive the ownership logic too)
+    s0 = init_beam(jax.random.PRNGKey(21), 256, 7e-3, 1e-3, EXT, "circular")
+    s = jnp.asarray(s0)
+    u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]], axis=1)
+    dp = jnp.float32(sp.dp)
+
+    for integ in ("rk4", "rk2s2"):
+        ref = np.asarray(trace_zscan_segments(
+            u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp,
+            shape_ab=sp.shape_ab, layout=lay, K=sp.K, n_seg=n_seg,
+            integrator=integ))
+
+        mesh = jax.make_mesh((4, 2), ("grid", "rays"),
+                             devices=jax.devices()[:8],
+                             axis_types=(AxisType.Auto, AxisType.Auto))
+        tracer = make_gridsharded_segment_tracer(
+            mesh, lay, sp, ray_axis="rays", integrator=integ)
+        u_sh = jax.device_put(u, NamedSharding(mesh, P("rays", None)))
+        out = np.asarray(tracer(u_sh, seg_tables, sp.origin_ab,
+                                sp.inv_spacing_ab, dp))
+        np.testing.assert_allclose(out, ref, rtol=0, atol=0,
+                                   err_msg=integ)

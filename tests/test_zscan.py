@@ -382,9 +382,59 @@ def test_pipeline_run_auto_batches_oversized_packs():
     np.testing.assert_allclose(np.asarray(outs["shadowgraphy"]),
                                np.asarray(refs["shadowgraphy"]),
                                rtol=1e-6, atol=1e-6)
-    # coherent images add per-batch amplitudes (the documented MPI-sum
-    # convention) — only check shape/finiteness here
-    assert np.isfinite(np.asarray(outs["interferometry"])).all()
+    # coherent batching accumulates RAW per-pixel field sums and
+    # finalizes once, so cross-batch interference is EXACT (vs the
+    # reference's per-rank amplitude-image MPI reduce,
+    # interference_MPI.py:190-204)
+    np.testing.assert_allclose(np.asarray(outs["interferometry"]),
+                               np.asarray(refs["interferometry"]),
+                               rtol=1e-5, atol=1e-5
+                               * np.abs(refs["interferometry"]).max())
+
+
+def test_batched_coherent_exact_vs_single_program():
+    """VERDICT r2 item 5 gate: a batched interferogram (>= 4 batches)
+    equals the single-program interferogram to fp tolerance, with no
+    cross-batch-interference warning."""
+    import warnings
+
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.fields import ScalarDomain
+    from synthpy_tpu.tracer import init_beam
+
+    ext = 5e-3
+    d = ScalarDomain(2 * ext, 25).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    s0 = init_beam(jax.random.PRNGKey(33), 4100, 2e-3, 0.0, ext,
+                   "circular")  # 5 padded batches of 1024
+
+    for conv in ("legacy", "intensity"):
+        ref = np.asarray(pipeline.run(
+            d, s0, solver="zscan_seg", seg_K=8, bins=(30, 22),
+            diagnostic="interferometry", coherent_convention=conv))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            out = np.asarray(pipeline.run(
+                d, s0, solver="zscan_seg", seg_K=8, bins=(30, 22),
+                diagnostic="interferometry", coherent_convention=conv,
+                batch_pack_bytes=1, batch_corner_bytes=1))
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out, ref, atol=scale * 1e-5)
+
+    # coherent_raw=True surfaces the raw accumulator for campaign use:
+    # summed accumulators + one finalize == single program
+    acc = None
+    for i0 in range(0, 4096, 1024):
+        a = pipeline.run(d, s0[:, i0:i0 + 1024], solver="zscan_seg",
+                         seg_K=8, bins=(30, 22),
+                         diagnostic="interferometry", coherent_raw=True)
+        acc = a if acc is None else acc + a
+    img = np.asarray(pipeline.finalize_coherent(acc, "interferometry"))
+    ref4096 = np.asarray(pipeline.run(
+        d, s0[:, :4096], solver="zscan_seg", seg_K=8, bins=(30, 22),
+        diagnostic="interferometry"))
+    np.testing.assert_allclose(img, ref4096,
+                               atol=np.abs(ref4096).max() * 1e-5)
 
 
 def test_zscan_segments_blocked_matches_unblocked():
@@ -621,3 +671,164 @@ def test_rk2s2_matches_rk4_and_images():
                                  bins=(40, 30), integrator="rk2s2"))
     assert Hs.sum() == H4.sum()
     assert np.abs(Hs - H4).sum() <= 0.02 * H4.sum()
+
+
+def _full_physics_domain(dims=25):
+    """Domain with every physics switch on (kappa, phase, Faraday)."""
+    d = ScalarDomain(2 * EXT, dims).test_lens(ne_0=1e25, LR=2e-3)
+    d.external_Te(50.0 * np.ones(d.dims))
+    d.external_Z(2.0 * np.ones(d.dims))
+    d.inv_brems = True
+    d.phaseshift = True
+    d.test_B(Bmax=10.0)
+    return d
+
+
+def _assert_packs_close_per_channel(a_pack, b_pack, K, rtol=1e-6):
+    """Compare seg_planes channel by channel (channels span ~15 orders of
+    magnitude, so one global atol would mask real kappa/Faraday errors)."""
+    a = np.asarray(a_pack.seg_planes)
+    b = np.asarray(b_pack.seg_planes)
+    assert a.shape == b.shape
+    C = a.shape[-1] // (K + 1)
+    a = a.reshape(*a.shape[:-1], K + 1, C)
+    b = b.reshape(*b.shape[:-1], K + 1, C)
+    for c in range(C):
+        scale = np.abs(b[..., c]).max()
+        np.testing.assert_allclose(a[..., c], b[..., c],
+                                   atol=max(scale, 1e-30) * rtol,
+                                   err_msg=f"channel {c}")
+
+
+def test_device_segment_pack_full_physics():
+    """Scale-class device builder supports inv_brems + phase + B channels
+    (VERDICT r2 item 3: the NotImplementedError is gone) and matches the
+    monolithic builder channel-for-channel."""
+    from synthpy_tpu.fields import build_pack, layout_of
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_device,
+                                          make_segment_pack, make_zscan_pack)
+
+    d = _full_physics_domain()
+    mono = make_segment_pack(
+        make_zscan_pack(build_pack(d), layout_of(d)), K=8)
+    dev = build_segment_pack_device(d, K=8, dtype=jnp.float32)
+    _assert_packs_close_per_channel(dev, mono, K=8)
+
+
+def test_streaming_segment_pack_full_physics():
+    """Host-assembling streaming builder: full channels, host inputs."""
+    from synthpy_tpu.fields import build_pack, layout_of
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_streaming,
+                                          make_segment_pack, make_zscan_pack)
+
+    d = _full_physics_domain()
+    mono = make_segment_pack(
+        make_zscan_pack(build_pack(d), layout_of(d)), K=8)
+    stream = build_segment_pack_streaming(d, K=8, dtype=jnp.float32)
+    _assert_packs_close_per_channel(stream, mono, K=8)
+
+
+def test_full_physics_scale_builders_trace():
+    """End-to-end: device-built full-physics pack drives the segmented
+    march and matches the time tracer on amp/phase/pol."""
+    from synthpy_tpu.tracer import solve
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_device,
+                                          solve_zscan_segments)
+
+    d = _full_physics_domain(31)
+    sp = build_segment_pack_device(d, K=10, dtype=jnp.float32)
+    s0 = init_beam(jax.random.PRNGKey(40), 32, 1.5e-3, 0.0, EXT, "circular")
+    rt = solve(s0, d, steps_per_cell=4.0)
+    rz = solve_zscan_segments(s0, d, spack=sp)
+    sf_t, sf_z = np.asarray(rt.sf), np.asarray(rz.sf)
+    np.testing.assert_allclose(sf_z[6], sf_t[6], rtol=2e-2)  # amp
+    np.testing.assert_allclose(sf_z[7], sf_t[7], rtol=2e-2)  # phase
+    np.testing.assert_allclose(sf_z[8], sf_t[8], rtol=5e-2,
+                               atol=np.abs(sf_t[8]).max() * 2e-2)  # pol
+
+
+def test_streamed_march_bit_identical():
+    """Host-pack streamed march (segment-by-segment upload) is
+    BIT-identical to the in-memory segmented tracer — same march_segment
+    arithmetic, only the residency of the pack differs."""
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_streaming,
+                                          solve_zscan_segments,
+                                          solve_zscan_segments_streamed)
+
+    d = _full_physics_domain()
+    sp_dev = build_segment_pack_streaming(d, K=8, dtype=jnp.float32)
+    sp_host = build_segment_pack_streaming(d, K=8, dtype=jnp.float32,
+                                           device=False)
+    assert isinstance(sp_host.seg_planes, np.ndarray)
+    s0 = init_beam(jax.random.PRNGKey(41), 64, 1.5e-3, 1e-3, EXT,
+                   "circular")
+    for integ in ("rk4", "rk2s2"):
+        ref = solve_zscan_segments(s0, d, spack=sp_dev, integrator=integ)
+        out = solve_zscan_segments_streamed(s0, d, hpack=sp_host,
+                                            integrator=integ)
+        np.testing.assert_allclose(np.asarray(out.sf), np.asarray(ref.sf),
+                                   rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(out.rf), np.asarray(ref.rf),
+                                   rtol=0, atol=0)
+
+
+def test_streamed_march_ray_chunking():
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_streaming,
+                                          solve_zscan_segments_streamed)
+
+    d = ScalarDomain(2 * EXT, 17).test_lens(ne_0=5e24, LR=1.5e-3)
+    sp_host = build_segment_pack_streaming(d, K=8, dtype=jnp.float32,
+                                           device=False)
+    s0 = init_beam(jax.random.PRNGKey(42), 100, 1.5e-3, 0.0, EXT,
+                   "circular")
+    ref = solve_zscan_segments_streamed(s0, d, hpack=sp_host)
+    out = solve_zscan_segments_streamed(s0, d, hpack=sp_host, ray_chunk=32)
+    np.testing.assert_allclose(np.asarray(out.sf), np.asarray(ref.sf),
+                               rtol=1e-7, atol=1e-12)
+
+
+def test_pipeline_run_host_pack_streams():
+    """pipeline.run accepts a host-resident SegmentPack and streams it
+    (the >HBM single-chip surface), matching the device-pack image."""
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.tracer.zscan import build_segment_pack_streaming
+
+    d = ScalarDomain(2 * EXT, 25).test_lens(ne_0=5e24, LR=1.5e-3)
+    sp_host = build_segment_pack_streaming(d, K=8, dtype=jnp.float32,
+                                           device=False)
+    s0 = init_beam(jax.random.PRNGKey(43), 1500, 2e-3, 0.0, EXT, "circular")
+    ref = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                  bins=(54, 40)))
+    out = np.asarray(pipeline.run(d, s0, solver="zscan_seg", spack=sp_host,
+                                  bins=(54, 40)))
+    assert out.sum() == ref.sum()
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_weights_slab_mode_image_equivalent():
+    """weights='slab' (per-slab transverse weights + folded mask) is a
+    fast mode: exit rays within the frozen-corner tolerance class of the
+    strict per-stage march, detector images equal at sub-pixel level."""
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.tracer.zscan import solve_zscan_segments
+
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(50), 4096, 2e-3, 1e-3, EXT,
+                   "circular")
+    for integ in ("rk4", "rk2s2"):
+        ref = np.asarray(solve_zscan_segments(
+            s0, d, K=8, integrator=integ).sf)
+        out = np.asarray(solve_zscan_segments(
+            s0, d, K=8, integrator=integ, weights="slab").sf)
+        # positions to sub-cell accuracy, velocities to the same class as
+        # the frozen-corner clamp
+        np.testing.assert_allclose(out[0], ref[0], atol=5e-7)
+        np.testing.assert_allclose(out[3], ref[3], rtol=2e-3,
+                                   atol=np.abs(ref[3]).max() * 2e-3)
+
+    H = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                bins=(54, 40)))
+    Hs = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                 bins=(54, 40), seg_weights="slab"))
+    assert Hs.sum() == H.sum()
+    assert np.abs(Hs - H).sum() <= 0.01 * H.sum()
