@@ -1,0 +1,146 @@
+"""Full-physics 1024^3 multi-diagnostic campaign on ONE chip.
+
+The config[4]-class run (BASELINE.json "MAGPIE z-pinch shot,
+multi-diagnostic") at the scale the round-2 builders refused: a 1024^3
+z-pinch scene with ALL physics channels on — refractive deflection,
+inverse-bremsstrahlung attenuation (kappa from ne/Te/Z), refractive
+phase, and Faraday rotation from an azimuthal B field — traced to
+shadowgraphy + interferometry + dark-field schlieren detectors via
+run_campaign with checkpoint/resume and EXACT coherent accumulation.
+
+How it fits on one chip (v5e, 16 GB HBM): the fields (ne, Te, Z, B:
+~26 GB f32) stay HOST-resident (external_*(host=True));
+build_segment_pack_streaming computes the 8-channel pack in plane
+batches on device and assembles it on the host (~18 GB bf16);
+solve_zscan_segments_streamed then marches rays segment by segment,
+uploading one (na*nb, (K+1)C) table at a time (prefetched one ahead) —
+device peak is two segment tables + ray state + corner buffers,
+independent of the total pack size. The reference reaches big grids
+only through host auto-batching slab regeneration at CPU speed
+(domain.py:137-227).
+
+Usage: python examples/magpie_1024_full_physics.py [dim] [total_rays] [chunk_rays]
+(defaults 1024, 2e6, 1e6 — CPU smoke: 33 20000 10000)
+"""
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(globals().get("__file__",
+                                                      "examples/x.py")))
+sys.path.insert(0, os.path.join(_HERE, ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import synthpy_tpu
+from synthpy_tpu import pipeline
+from synthpy_tpu.campaign import run_campaign
+from synthpy_tpu.fields import ScalarDomain
+from synthpy_tpu.tracer import init_beam
+from synthpy_tpu.tracer.zscan import build_segment_pack_streaming
+
+DIM = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+TOTAL = int(float(sys.argv[2])) if len(sys.argv) > 2 else 2_000_000
+CHUNK = int(float(sys.argv[3])) if len(sys.argv) > 3 else 1_000_000
+
+EXT = 5e-3
+BENCHES = ("shadowgraphy", "interferometry", "schlieren_df")
+COHERENT = {"interferometry"}
+
+
+def build_scene(dim):
+    """z-pinch-like scene, built host-side in numpy (no device memory).
+
+    ne: a dense column along z with a helical perturbation (the classic
+    MHD-unstable liner look); B: azimuthal around the pinch axis,
+    peaking at the current-sheath radius; Te, Z: warm uniform plasma.
+    """
+    d = ScalarDomain(2 * EXT, dim)
+    x = np.linspace(-EXT, EXT, dim, dtype=np.float32)
+    X = x[:, None, None]
+    Y = x[None, :, None]
+    Z_ = x[None, None, :]
+    r2 = X**2 + Y**2
+    R0 = 1.2e-3
+    # helical m=1 perturbation of the column radius
+    wob = 0.25e-3
+    xc = wob * np.cos(2 * np.pi * Z_ / (4e-3))
+    yc = wob * np.sin(2 * np.pi * Z_ / (4e-3))
+    rp2 = (X - xc) ** 2 + (Y - yc) ** 2
+    ne = (2e25 * np.exp(-rp2 / R0**2)
+          + 1e24 * np.exp(-r2 / (3e-3) ** 2)).astype(np.float32)
+    d.external_ne(ne, host=True)
+    del rp2
+
+    # azimuthal B ~ theta-hat * B0 * (r/Rb) / (1 + (r/Rb)^2) (peak at Rb)
+    r = np.sqrt(r2) + 1e-12
+    Rb = 1.5e-3
+    Bmag = 30.0 * (r / Rb) / (1.0 + (r / Rb) ** 2)
+    B = np.zeros((dim, dim, dim, 3), np.float32)
+    B[..., 0] = np.broadcast_to(-Y / r * Bmag, (dim, dim, dim))
+    B[..., 1] = np.broadcast_to(X / r * Bmag, (dim, dim, dim))
+    d.external_B(B, host=True)
+    del B, Bmag, r
+
+    d.external_Te(np.full((dim,) * 3, 50.0, np.float32), host=True)
+    d.external_Z(np.full((dim,) * 3, 4.0, np.float32), host=True)
+    d.inv_brems = True
+    d.phaseshift = True
+    return d
+
+
+def main():
+    t0 = time.perf_counter()
+    d = build_scene(DIM)
+    t_scene = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    K = 32 if DIM >= 256 else 8
+    hpack = build_segment_pack_streaming(d, K=K, dtype=jnp.bfloat16,
+                                         device=False)
+    t_pack = time.perf_counter() - t0
+    pack_gb = hpack.seg_planes.nbytes / 2**30
+
+    key = jax.random.PRNGKey(7)
+    root = os.path.dirname(os.path.dirname(
+        os.path.abspath(synthpy_tpu.__file__)))
+    ckpt = os.path.join(root, "scratch", f"campaign_1024fp_{DIM}.npz")
+
+    def chunk_fn(chunk_key, k):
+        s0 = init_beam(chunk_key, CHUNK, 2.5e-3, 0.0, EXT, "circular")
+        imgs = pipeline.run(d, s0, solver="zscan_seg", spack=hpack,
+                            diagnostic=BENCHES, bins=(431, 321),
+                            critical_guard=None, coherent_raw=True,
+                            integrator="rk2s2")
+        return imgs
+
+    def finalize(acc):
+        return {n: np.asarray(pipeline.finalize_coherent(
+                    jnp.asarray(a), n)) if n in COHERENT else a
+                for n, a in acc.items()}
+
+    t0 = time.perf_counter()
+    images = run_campaign(chunk_fn, TOTAL, CHUNK, key,
+                          checkpoint_path=ckpt, verbose=True,
+                          finalize=finalize)
+    t_campaign = time.perf_counter() - t0
+
+    rec = {"dim": DIM, "total_rays": TOTAL, "chunk_rays": CHUNK,
+           "channels": 8, "pack_gb": round(pack_gb, 2),
+           "scene_s": round(t_scene, 1), "pack_s": round(t_pack, 1),
+           "campaign_s": round(t_campaign, 1),
+           "rays_s": round(TOTAL / t_campaign, 1),
+           "benches": {n: float(np.asarray(im).sum())
+                       for n, im in images.items()},
+           "backend": jax.default_backend()}
+    print(json.dumps(rec))
+    with open(os.path.join(root, "scratch",
+                           "results_1024_full_physics.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()

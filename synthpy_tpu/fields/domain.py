@@ -196,24 +196,56 @@ class ScalarDomain:
 
     # -- external field loading --------------------------------------------
 
-    def external_ne(self, ne):
-        self.ne = jnp.asarray(ne, self.dtype)
+    def _np_dtype(self):
+        import numpy as _np
+
+        return _np.dtype(jnp.dtype(self.dtype).name)
+
+    def external_ne(self, ne, host: bool = False):
+        """Load an electron-density grid.
+
+        ``host=True`` keeps the array on the HOST as numpy (for fields
+        larger than device memory — the streaming pack builder slices
+        host arrays plane-batch by plane-batch and never uploads the
+        volume; see tracer.zscan.build_segment_pack_streaming).
+        """
+        if host:
+            import numpy as _np
+
+            self.ne = _np.asarray(ne, self._np_dtype())
+        else:
+            self.ne = jnp.asarray(ne, self.dtype)
         if self.ne.shape != tuple(self.dims):
             raise ValueError(
                 f"ne shape {self.ne.shape} != grid dims {self.dims}")
         return self
 
-    def external_B(self, B):
-        self.B = jnp.asarray(B, self.dtype)
+    def external_B(self, B, host: bool = False):
+        if host:
+            import numpy as _np
+
+            self.B = _np.asarray(B, self._np_dtype())
+        else:
+            self.B = jnp.asarray(B, self.dtype)
         self.B_on = True
         return self
 
-    def external_Te(self, Te, Te_min: float = 1.0):
-        self.Te = jnp.maximum(jnp.asarray(Te, self.dtype), Te_min)
+    def external_Te(self, Te, Te_min: float = 1.0, host: bool = False):
+        if host:
+            import numpy as _np
+
+            self.Te = _np.maximum(_np.asarray(Te, self._np_dtype()), Te_min)
+        else:
+            self.Te = jnp.maximum(jnp.asarray(Te, self.dtype), Te_min)
         return self
 
-    def external_Z(self, Z):
-        self.Z = jnp.asarray(Z, self.dtype)
+    def external_Z(self, Z, host: bool = False):
+        if host:
+            import numpy as _np
+
+            self.Z = _np.asarray(Z, self._np_dtype())
+        else:
+            self.Z = jnp.asarray(Z, self.dtype)
         return self
 
     def plot_midline_gradients(self, ax, lwl: float = 1053e-9):

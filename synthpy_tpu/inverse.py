@@ -224,23 +224,34 @@ def make_renderer(
     granularity: reverse-mode memory scales with n_seg instead of the
     slab count (one forward recompute per segment in the backward pass),
     which is what lets 512^3-class inverse problems fit in HBM.
+
+    ``diagnostic`` may be a tuple of bench names: the bundle is traced
+    ONCE and every bench image is rendered from the same differentiable
+    exit state — ``render(ne)`` then returns a tuple of images in the
+    given order, the forward model for JOINT multi-diagnostic inversion
+    (one loss over several synthetic detectors constraining the same
+    field).
     """
-    coherent = BENCHES[diagnostic][1]
-    if coherent and not domain.phaseshift:
-        raise ValueError(f"{diagnostic} requires domain.phaseshift=True "
-                         "(the trace must accumulate refractive phase)")
+    multi = not isinstance(diagnostic, str)
+    names = tuple(diagnostic) if multi else (diagnostic,)
+    any_coherent = any(BENCHES[n][1] for n in names)
+    if any_coherent and not domain.phaseshift:
+        raise ValueError(f"{names} includes a coherent bench: requires "
+                         "domain.phaseshift=True (the trace must "
+                         "accumulate refractive phase)")
     geom = copy.copy(domain)
     layout = layout_of(domain)
     depth = domain.extent if probing_depth is None else probing_depth
     pd = domain.probing_direction
     p_ax = {"x": 0, "y": 1, "z": 2}[pd]
     a_ax, b_ax = [a for a in range(3) if a != p_ax]
-    stages = BENCHES[diagnostic][0](L=L, R=R, focal_plane=focal_plane)
+    all_stages = [BENCHES[n][0](L=L, R=R, focal_plane=focal_plane)
+                  for n in names]
     s = jnp.asarray(s0)
     u0 = jnp.stack([s[a_ax], s[b_ax], s[3 + a_ax], s[3 + b_ax],
                     s[3 + p_ax], s[6], s[7], s[8]], axis=1)
 
-    def render(ne: jnp.ndarray) -> jnp.ndarray:
+    def render(ne: jnp.ndarray):
         geom.ne = ne
         pack = build_pack(geom, lwl)
         zp = make_zscan_pack(pack, layout, pd)
@@ -253,18 +264,24 @@ def make_renderer(
         sf = reassemble_state(
             uf, sp.p0 + sp.seg_planes.shape[0] * sp.K * sp.dp, pd)
         rf, Jf = ray_to_Jonesvector(sf, depth, probing_direction=pd,
-                                    return_E=coherent)
+                                    return_E=any_coherent)
         r_mm = m_to_mm(rf)
-        if coherent:
-            from synthpy_tpu.optics.compose import interfere_ref_beam
+        images = []
+        for name, stages in zip(names, all_stages):
+            if BENCHES[name][1]:
+                from synthpy_tpu.optics.compose import interfere_ref_beam
 
-            if diagnostic == "interferometry":
-                Jf = interfere_ref_beam(r_mm, Jf, n_fringes, deg)
-            r_out, E_out, w = apply_stages_weighted(r_mm, stages, E=Jf,
-                                                    wavelength=lwl)
-            return cic_intensity_image(r_out[0, :], r_out[2, :], w,
-                                       E_out, bins, Lx, Ly)
-        r_out, w = apply_stages_weighted(r_mm, stages)
-        return cic_image(r_out[0, :], r_out[2, :], w, bins, Lx, Ly)
+                E = Jf
+                if name == "interferometry":
+                    E = interfere_ref_beam(r_mm, E, n_fringes, deg)
+                r_out, E_out, w = apply_stages_weighted(r_mm, stages, E=E,
+                                                        wavelength=lwl)
+                images.append(cic_intensity_image(
+                    r_out[0, :], r_out[2, :], w, E_out, bins, Lx, Ly))
+            else:
+                r_out, w = apply_stages_weighted(r_mm, stages)
+                images.append(cic_image(r_out[0, :], r_out[2, :], w, bins,
+                                        Lx, Ly))
+        return tuple(images) if multi else images[0]
 
     return render

@@ -48,7 +48,8 @@ _B4 = (5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
        187 / 2100, 1 / 40)
 
 
-@partial(jax.jit, static_argnames=("layout", "max_steps", "atten_sign"))
+@partial(jax.jit, static_argnames=("layout", "max_steps", "atten_sign",
+                                   "p_axis"))
 def trace_rk45(
     s_rows: jnp.ndarray,
     channels: jnp.ndarray,
@@ -61,6 +62,8 @@ def trace_rk45(
     atol: float = 1e-3,
     max_steps: int = 4096,
     atten_sign: float = -1.0,
+    plane_amax: Optional[jnp.ndarray] = None,
+    p_axis: Optional[int] = None,
 ):
     """Integrate (Np, 9) rays to t_end with shared adaptive DP5(4) steps.
 
@@ -73,6 +76,15 @@ def trace_rk45(
     the peak acceleration a_max is small the controller may stride many
     cells (vacuum integrates in O(1) steps) without exceeding the position
     tolerance; strong fields keep the half-cell cap.
+
+    ``plane_amax`` (with static ``p_axis``) refines the cap to a LOCAL
+    bound: a (n_p,) table of the peak acceleration per probing-axis
+    plane. Each step looks up the max over only the planes the bundle
+    can touch during that step, so a field with a localized strong
+    feature (a filament, a shock) pays the tight kink cap only while the
+    bundle crosses it and strides at the vacuum rate elsewhere — the
+    per-segment a_max refinement of the round-2 ROADMAP. Omitted ->
+    global a_max (identical caps everywhere).
 
     Returns:
         (s_final, n_accepted, n_rejected).
@@ -92,11 +104,33 @@ def trace_rk45(
     # h <= atol*min(2e-3, cell)/(a_max*T); scales with atol, so tightening
     # atol restores the flat half-cell cap.
     a_max = jnp.max(jnp.abs(channels[..., :3]))
-    kink_cap = jnp.where(
-        a_max > 0,
-        atol * jnp.minimum(2e-3, cell) / (a_max * t_end),
-        jnp.asarray(jnp.inf, s_rows.dtype))
-    dt_max = jnp.maximum(cell_cap, kink_cap)
+    inf = jnp.asarray(jnp.inf, s_rows.dtype)
+
+    def cap_of(a):
+        return jnp.maximum(
+            cell_cap,
+            jnp.where(a > 0, atol * jnp.minimum(2e-3, cell) / (a * t_end),
+                      inf))
+
+    dt_max = cap_of(a_max)
+    if plane_amax is not None:
+        cell_p = 1.0 / inv_spacing[p_axis]
+        plane_p = origin[p_axis] + jnp.arange(
+            plane_amax.shape[0], dtype=s_rows.dtype) * cell_p
+
+        def local_cap(s, dt):
+            # planes reachable during this step: the bundle's probing-
+            # coordinate span, widened by one cell of interpolation
+            # support and the step's own flight c*dt
+            p = s[:, p_axis]
+            lo = jnp.min(p) - cell_p - C * dt
+            hi = jnp.max(p) + cell_p + C * dt
+            a_loc = jnp.max(jnp.where((plane_p >= lo) & (plane_p <= hi),
+                                      plane_amax, 0.0))
+            return cap_of(a_loc)
+    else:
+        def local_cap(s, dt):
+            return dt_max
 
     # column scales for the mixed-unit state (positions ~ m, velocities
     # ~ c, amp/phase/pol O(1)): use per-column atol scaled by typical size
@@ -109,7 +143,7 @@ def trace_rk45(
 
     def body(carry):
         t, dt, s, k1, n_acc, n_rej = carry
-        dt = jnp.minimum(jnp.minimum(dt, dt_max), t_end - t)
+        dt = jnp.minimum(jnp.minimum(dt, local_cap(s, dt)), t_end - t)
 
         ks = [k1]
         for i in range(1, 7):
@@ -159,8 +193,17 @@ def solve_adaptive(
     atol: float = 1e-3,
     max_steps: int = 4096,
     pack: Optional[TracePack] = None,
-) -> TraceResult:
-    """Adaptive-integrator drop-in for tracer.solve (validation path)."""
+    local_cap: bool = True,
+    return_steps: bool = False,
+):
+    """Adaptive-integrator drop-in for tracer.solve (validation path).
+
+    ``local_cap`` (default on) uses the per-probing-plane peak
+    acceleration to set the kink cap locally: a bundle crossing a
+    localized strong feature steps finely only inside it (see
+    trace_rk45's plane_amax). ``return_steps`` additionally returns the
+    (accepted, rejected) step counts.
+    """
     if probing_depth is None:
         probing_depth = domain.extent
     if pack is None:
@@ -170,10 +213,18 @@ def solve_adaptive(
     s_rows = jnp.asarray(s0).T
     t_end = jnp.asarray(jnp.sqrt(8.0) * probing_depth / C, s_rows.dtype)
 
+    p_ax = domain.probe_axis
+    if local_cap:
+        other = tuple(i for i in range(3) if i != p_ax) + (3,)
+        plane_amax = jnp.max(jnp.abs(pack.channels[..., :3]), axis=other)
+    else:
+        plane_amax = None
+
     start = time.perf_counter()
     sf_rows, n_acc, n_rej = trace_rk45(
         s_rows, pack.channels, pack.origin, pack.inv_spacing, t_end,
-        layout=layout, rtol=rtol, atol=atol, max_steps=max_steps)
+        layout=layout, rtol=rtol, atol=atol, max_steps=max_steps,
+        plane_amax=plane_amax, p_axis=p_ax if local_cap else None)
     sf_rows.block_until_ready()
     duration = time.perf_counter() - start
 
@@ -181,4 +232,7 @@ def solve_adaptive(
     rf, Jf = ray_to_Jonesvector(sf, probing_depth,
                                 probing_direction=domain.probing_direction,
                                 return_E=return_E)
-    return TraceResult(rf, Jf, sf, duration)
+    res = TraceResult(rf, Jf, sf, duration)
+    if return_steps:
+        return res, (int(n_acc), int(n_rej))
+    return res
