@@ -131,7 +131,7 @@ def main() -> None:
                       "circular")
             Hk = pipeline.run(d2, s_k, spack=sp2, solver="zscan_seg",
                               bins=(431, 321), critical_guard=None,
-                              integrator=ns_integ)
+                              integrator=ns_integ, seg_weights=weights)
             acc = Hk if acc is None else acc + Hk
         acc.block_until_ready()
         measured_1e8 = round(time.perf_counter() - t0, 2)

@@ -224,3 +224,35 @@ def test_vti_base64_appended_reader(tmp_path):
     cells, shape, spacing = read_vti(fname)
     assert shape == (3, 4, 5)
     np.testing.assert_array_equal(cells, arr)
+
+
+def test_ray_dump_contract(tmp_path):
+    """Round-2 closure: ray dumps carry a metadata sidecar, are validated
+    on load, and common caller slips are caught."""
+    import pytest
+
+    from synthpy_tpu.io.rays import load_ray_meta
+
+    s = np.arange(24).reshape(6, 4).astype(np.float64)
+    f = save_rays(str(tmp_path / "r6"), s, probing_direction="z",
+                  meta={"note": "unit"})
+    meta = load_ray_meta(f)
+    assert meta["kind"] == "minimal" and meta["n_rays"] == 4
+    assert meta["probing_direction"] == "z" and meta["note"] == "unit"
+    np.testing.assert_array_equal(load_rays(f), s)
+
+    # transposed array is the most common slip ((Np, rows) with an
+    # invalid row count but a valid column count)
+    with pytest.raises(ValueError, match="transposed"):
+        save_rays(str(tmp_path / "bad"), np.zeros((11, 9)))
+    # wrong row count
+    with pytest.raises(ValueError, match="rows"):
+        save_rays(str(tmp_path / "bad2"), np.zeros((5, 4)))
+    # sidecar disagreement (file overwritten mid-campaign)
+    np.save(f, np.zeros((6, 9), np.float32))
+    with pytest.raises(ValueError, match="sidecar"):
+        load_rays(f)
+    # all rays aperture-killed -> warn
+    f3 = save_rays(str(tmp_path / "dead"), np.full((4, 3), np.nan))
+    with pytest.warns(UserWarning, match="finite"):
+        load_rays(f3)

@@ -8,6 +8,7 @@ from scipy.signal.windows import tukey as scipy_tukey
 
 from synthpy_tpu.ops import fresnel as fz
 from synthpy_tpu.optics import (
+    Diagnostic,
     Interferometry,
     Refractometry,
     Schlieren,
@@ -398,3 +399,31 @@ def test_shadowgraphy_single_exp_solve():
         sh2.r0, compose.shadowgraphy_single_exp(detL=600)))
     np.testing.assert_allclose(out_c, out_img, rtol=1e-5, atol=1e-6,
                                equal_nan=True)
+
+
+def test_propagate_E_legacy_mm_wavenumber_switch():
+    """Round-2 closure: the bug-compat switch reproduces the reference's
+    mm-path x 1/m-wavenumber phase convention (diagnostics.py:315-321),
+    which overstates inter-element phases by exactly 1e3."""
+    lwl = 532e-9
+    # sub-micron transverse paths keep BOTH conventions' phases small
+    # enough that f32 trig is exact at the test tolerance
+    rf = jnp.asarray([[1e-4, 2e-4], [0.0, 0.0], [0.5e-4, -1e-4],
+                      [0.0, 0.0]])
+    Jf = jnp.ones((2, 2), jnp.complex64)
+    r0 = jnp.zeros((4, 2))
+
+    d_fix = Diagnostic(lwl, rf, Jf)
+    d_fix.propagate_E(rf, r0)
+    d_leg = Diagnostic(lwl, rf, Jf, legacy_mm_wavenumber=True)
+    d_leg.propagate_E(rf, r0)
+
+    k = 2 * np.pi / lwl
+    path_mm = np.sqrt(np.asarray(rf[0]) ** 2 + np.asarray(rf[2]) ** 2)
+    np.testing.assert_allclose(np.angle(np.asarray(d_fix.Jf[0])),
+                               np.angle(np.exp(1j * k * path_mm * 1e-3)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.angle(np.asarray(d_leg.Jf[0])),
+                               np.angle(np.exp(1j * k * path_mm)),
+                               atol=1e-3)
+
