@@ -15,8 +15,9 @@ Prints exactly one JSON line. Environment overrides:
     BENCH_SOLVER (zscan_seg | zscan | time), BENCH_K (segment length,
     default dim-1 = fast profile), BENCH_PACK_DTYPE (bf16 | f32),
     BENCH_STEPS_PER_CELL, BENCH_INTEGRATOR (rk2 | rk4),
-    BENCH_WEIGHTS (stage | slab: per-slab transverse-weight hoist,
-    image-equivalent fast mode),
+    BENCH_WEIGHTS (slab | stage; default slab for zscan_seg: the
+    per-slab transverse-weight hoist is the production fast mode,
+    image-equivalent and test-gated; stage = strict per-stage parity),
     BENCH_FULL=1 (additionally run the REAL 1e8-ray end-to-end north
     star — field + pack + trace + detector from a cold start — and
     report it as detail.measured_1e8_end_to_end_s; ~30-90 s extra on one
@@ -78,7 +79,12 @@ def main() -> None:
     integrator = os.environ.get(
         "BENCH_INTEGRATOR", "rk2" if solver == "zscan_seg" else "rk4")
 
-    weights = os.environ.get("BENCH_WEIGHTS", "stage")
+    # production fast mode: transverse weights + inside-mask hoisted to
+    # once per slab (image-equivalent, gated by
+    # tests/test_zscan.py::test_weights_slab_mode_image_equivalent);
+    # BENCH_WEIGHTS=stage swaps back to strict per-stage parity mode
+    weights = os.environ.get("BENCH_WEIGHTS",
+                             "slab" if solver == "zscan_seg" else "stage")
 
     def run(integ):
         kw = ({"integrator": integ, "seg_weights": weights}
@@ -100,7 +106,7 @@ def main() -> None:
         return H, min(times)
 
     H, elapsed = timed(integrator)
-    rk4_rays_s = rk2s2_rays_s = None
+    rk4_rays_s = rk2s2_rays_s = rk2s4_rays_s = None
     if solver == "zscan_seg" and integrator == "rk2":
         _, el4 = timed("rk4")
         rk4_rays_s = round(rays / el4, 1)
@@ -108,6 +114,10 @@ def main() -> None:
         # tests/test_zscan.py::test_rk2s2_matches_rk4_and_images)
         _, els2 = timed("rk2s2")
         rk2s2_rays_s = round(rays / els2, 1)
+        # stride-4 midpoint (image-equivalence tier;
+        # tests/test_zscan.py::test_rk2s4_images_close)
+        _, els4 = timed("rk2s4")
+        rk2s4_rays_s = round(rays / els4, 1)
 
     # Optional REAL north-star measurement (never a citation: the value
     # reported is the wall clock of the run this bench just executed).
@@ -158,6 +168,7 @@ def main() -> None:
             "extrapolated_1e8_rays_s": round(1e8 / rays_per_sec, 2),
             "rk4_rays_s": rk4_rays_s,
             "rk2s2_rays_s": rk2s2_rays_s,
+            "rk2s4_rays_s": rk2s4_rays_s,
             # freshly measured under BENCH_FULL=1, else absent (the
             # historical record lives in scratch/results_1e8_*.jsonl and
             # README, not in live bench output)

@@ -15,6 +15,10 @@ Every piece runs the production machinery end-to-end differentiably:
 * the interferogram constrains the line-integrated phase (absolute ne),
   shadowgraphy/schlieren constrain transverse gradients — a joint loss
   resolves the scale degeneracy either alone leaves;
+* a two-phase CURRICULUM handles the fringe loss's non-convexity: the
+  first 60% of steps fit the incoherent benches (smooth in ne), then the
+  interferometry term switches on to pin the absolute scale — a raw
+  fringe loss at a cold start is trapped by phase wrapping (error >> 2pi);
 * TV regularisation (pixel-space prior) fills the beam-unsampled corners.
 
 Measured on one v5e chip (dim=128, 2e5 rays, 200 adam steps):
@@ -88,12 +92,17 @@ def main():
     scales = tuple(float(jnp.abs(t).max()) + 1e-30 for t in targets)
 
     tv_w = 3e-3
+    # per-bench loss weights: (incoherent..., interferometry); the fringe
+    # term is gated by the curriculum flag
+    coh_idx = BENCHES.index("interferometry")
 
-    def loss_fn(theta):
+    def loss_fn(theta, coh_w):
         g = jax.nn.softplus(theta)  # positivity
         imgs = render_v(g)
-        data = sum(jnp.mean(((im - tg) / sc) ** 2)
-                   for im, tg, sc in zip(imgs, targets, scales))
+        data = 0.0
+        for j, (im, tg, sc) in enumerate(zip(imgs, targets, scales)):
+            w = coh_w if j == coh_idx else 1.0
+            data = data + w * jnp.mean(((im - tg) / sc) ** 2)
         tv = (jnp.mean(jnp.abs(jnp.diff(g, axis=0)))
               + jnp.mean(jnp.abs(jnp.diff(g, axis=1))))
         return data + tv_w * tv
@@ -103,16 +112,20 @@ def main():
     state = opt.init(theta)
 
     @jax.jit
-    def step(th, st):
-        l, grads = jax.value_and_grad(loss_fn)(th)
+    def step(th, st, coh_w):
+        l, grads = jax.value_and_grad(loss_fn)(th, coh_w)
         upd, st = opt.update(grads, st)
         return optax.apply_updates(th, upd), st, l
 
     t0 = time.time()
+    warm = int(0.6 * ITERS)
     for i in range(ITERS):
-        theta, state, l = step(theta, state)
+        coh_w = jnp.float32(0.0 if i < warm else 1.0)
+        theta, state, l = step(theta, state, coh_w)
         if i % max(ITERS // 10, 1) == 0:
-            print(f"iter {i:4d}  loss {float(l):.6f}", flush=True)
+            print(f"iter {i:4d}  loss {float(l):.6f}"
+                  + ("  [joint]" if i >= warm else "  [incoherent]"),
+                  flush=True)
     jax.block_until_ready(theta)
     wall = time.time() - t0
 

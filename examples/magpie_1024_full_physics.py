@@ -40,7 +40,8 @@ from synthpy_tpu import pipeline
 from synthpy_tpu.campaign import run_campaign
 from synthpy_tpu.fields import ScalarDomain
 from synthpy_tpu.tracer import init_beam
-from synthpy_tpu.tracer.zscan import build_segment_pack_streaming
+from synthpy_tpu.tracer.zscan import (build_segment_pack_streaming,
+                                      make_device_segment_cache)
 
 DIM = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 TOTAL = int(float(sys.argv[2])) if len(sys.argv) > 2 else 2_000_000
@@ -100,9 +101,14 @@ def main():
     t0 = time.perf_counter()
     K = 32 if DIM >= 256 else 8
     hpack = build_segment_pack_streaming(d, K=K, dtype=jnp.bfloat16,
-                                         device=False)
+                                         device=False, verbose=True)
     t_pack = time.perf_counter() - t0
     pack_gb = hpack.seg_planes.nbytes / 2**30
+
+    # pin a prefix of the segment tables in HBM once: campaign chunks
+    # then upload only the non-resident tail instead of the full pack
+    # (~17 GB at 1024^3) every chunk
+    cache = make_device_segment_cache(hpack, budget_bytes=6 << 30)
 
     key = jax.random.PRNGKey(7)
     root = os.path.dirname(os.path.dirname(
@@ -114,7 +120,7 @@ def main():
         imgs = pipeline.run(d, s0, solver="zscan_seg", spack=hpack,
                             diagnostic=BENCHES, bins=(431, 321),
                             critical_guard=None, coherent_raw=True,
-                            integrator="rk2s2")
+                            integrator="rk2s2", seg_cache=cache)
         return imgs
 
     def finalize(acc):

@@ -65,9 +65,9 @@ def make_pipelined_segment_tracer(
     device ray memory is M/D chunks; the output is then returned with the
     same sharding.
     """
-    if integrator not in ("rk4", "rk2", "rk2s2"):
+    if integrator not in ("rk4", "rk2", "rk2s2", "rk2s4"):
         raise ValueError(f"unknown integrator {integrator!r}")
-    if integrator in ("rk2", "rk2s2") and substeps != 1:
+    if integrator != "rk4" and substeps != 1:
         raise ValueError(f"integrator={integrator!r} requires substeps=1")
     D = mesh.shape[axis]
     n_seg = spack.seg_planes.shape[0]

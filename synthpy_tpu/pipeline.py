@@ -429,7 +429,9 @@ def run(
         res = solve_zscan_segments_streamed(
             s0, domain, probing_depth, hpack=spack, lwl=lwl,
             substeps=max(int(round(steps_per_cell)), 1),
-            ray_chunk=ray_chunk, integrator=integrator)
+            ray_chunk=ray_chunk, integrator=integrator,
+            weights=bench_kwargs.pop("seg_weights", "stage"),
+            cache=bench_kwargs.pop("seg_cache", None))
         return _out(_image_only(
             res.sf, depth, diagnostic=diagnostic,
             probing_direction=domain.probing_direction, bins=bins,

@@ -2,10 +2,13 @@
 
 from synthpy_tpu.tracer.beam import BEAM_TYPES, Beam, init_beam  # noqa: F401
 from synthpy_tpu.tracer.zscan import (  # noqa: F401
+    build_segment_pack_streaming,
+    make_device_segment_cache,
     make_segment_pack,
     make_zscan_pack,
     solve_zscan,
     solve_zscan_segments,
+    solve_zscan_segments_streamed,
 )
 from synthpy_tpu.tracer.adaptive import solve_adaptive  # noqa: F401
 from synthpy_tpu.tracer.propagator import (  # noqa: F401

@@ -571,9 +571,10 @@ def march_segment(
     h = dp / substeps
     blocked = (block is not None and substeps == 1 and K % block == 0
                and block < K)
-    if integrator not in ("rk4", "rk2", "rk2s2"):
+    if integrator not in ("rk4", "rk2", "rk2s2", "rk2s4"):
         raise ValueError(f"unknown integrator {integrator!r}")
-    if integrator in ("rk2", "rk2s2") and (substeps != 1 or blocked):
+    if (integrator in ("rk2", "rk2s2", "rk2s4")
+            and (substeps != 1 or blocked)):
         raise ValueError(f"integrator={integrator!r} requires substeps=1 "
                          "and no block= (the blocked march is rk4-only)")
     if weights not in ("stage", "slab"):
@@ -652,7 +653,7 @@ def march_segment(
                                           layout, atten_sign)
 
             wm = tuple(0.5 * (x + y) for x, y in zip(w0, w1))
-            if integrator in ("rk2", "rk2s2"):
+            if integrator in ("rk2", "rk2s2", "rk2s4"):
                 k1 = stage(cols, w0)
                 k2 = stage(tuple(x + 0.5 * h * kv
                                  for x, kv in zip(cols, k1)), wm)
@@ -731,10 +732,60 @@ def march_segment(
         return tuple(x + h2 * kv
                      for x, kv in zip(cols, k2)), None
 
+    def slab_quad(cols, j):
+        # stride-4 midpoint: one rk2 step spans FOUR slabs (h = 4*dp)
+        # with the midpoint plane k+2 read exactly from the pack. The
+        # coarsest tier: ~2x fewer stage evaluations than rk2s2, with
+        # 4-cell steps — the same stride class the adaptive DP5(4)
+        # controller itself chooses at its default tolerances (~6-cell
+        # steps). Accuracy is gated by image-equivalence tests; use
+        # rk2s2/rk4 when exit-state tolerances matter.
+        k = 4 * j
+        dtype = cols[0].dtype
+        w0 = tuple(
+            jax.lax.dynamic_slice_in_dim(c, k * C, C, axis=1
+                                         ).astype(dtype)
+            for c in corners)
+        wm = tuple(
+            jax.lax.dynamic_slice_in_dim(c, (k + 2) * C, C, axis=1
+                                         ).astype(dtype)
+            for c in corners)
+
+        if weights == "slab":
+            w4q = _cols_weights(cols, ia0f, ib0f, origin_ab, inv_ab,
+                                shape_ab)
+
+            def stage(cc, wv):
+                return _seg_deriv_w(cc, wv, w4q, layout, atten_sign)
+        else:
+            def stage(cc, wv):
+                return _seg_deriv_pre(cc, wv, ia0f, ib0f, origin_ab,
+                                      inv_ab, shape_ab, layout,
+                                      atten_sign)
+
+        h4 = 4.0 * h
+        k1 = stage(cols, w0)
+        k2 = stage(tuple(x + 2.0 * h * kv
+                         for x, kv in zip(cols, k1)), wm)
+        return tuple(x + h4 * kv
+                     for x, kv in zip(cols, k2)), None
+
+    # NOTE (measured, round 3): thinning the scan carry to only the live
+    # columns (amp/phase/pol have identically-zero derivatives when
+    # their channels are off) was prototyped and benchmarked at 512^3 on
+    # v5e: rk2 2.606 vs 2.607 M rays/s, slab-mode 2.859 vs 2.86 — XLA's
+    # while-loop simplifier already removes the invariant carries, so
+    # the hand-thinning bought nothing and was dropped.
     cols = tuple(uc[:, i] for i in range(8))
     if blocked:
         cols, _ = jax.lax.scan(slab_block, cols,
                                jnp.arange(K // block))
+    elif integrator == "rk2s4":
+        cols, _ = jax.lax.scan(slab_quad, cols,
+                               jnp.arange(K // 4), unroll=unroll)
+        # remainder slabs (K % 4) fall back to single-slab rk2 steps
+        for kk in range(K - (K % 4), K):
+            cols, _ = slab(cols, jnp.int32(kk))
     elif integrator == "rk2s2":
         cols, _ = jax.lax.scan(slab_pair, cols,
                                jnp.arange(K // 2), unroll=unroll)
@@ -799,7 +850,7 @@ def trace_zscan_segments(
     512-slab resolution).
     """
     C = seg_planes.shape[-1] // (K + 1)
-    if integrator not in ("rk4", "rk2", "rk2s2"):
+    if integrator not in ("rk4", "rk2", "rk2s2", "rk2s4"):
         raise ValueError(f"unknown integrator {integrator!r}")
 
     def run(u0):
@@ -924,6 +975,53 @@ def _march_one_segment(u, seg, origin_ab, inv_ab, dp, *, shape_ab, layout,
     return out.reshape(n_chunks * ray_chunk, 8)[:N]
 
 
+class DeviceSegmentCache:
+    """Persistent device-resident prefix of a host SegmentPack.
+
+    The streamed march uploads every segment table on every call —
+    at 1024^3 full physics that is a ~17 GB H2D transfer per
+    ``pipeline.run``/campaign chunk. This cache pins the first
+    ``budget_bytes`` worth of segment tables in HBM once; repeated
+    streamed solves then upload only the non-resident tail. Residency is
+    a PREFIX by construction (the march visits segments in order, so any
+    fixed-size resident set saves the same bytes; the prefix keeps the
+    bookkeeping trivial and the resident set contiguous).
+
+    Create via :func:`make_device_segment_cache` and pass to
+    :func:`solve_zscan_segments_streamed` (or ``pipeline.run``'s
+    ``seg_cache=``). The cache holds device buffers alive — drop the
+    object to free them.
+    """
+
+    def __init__(self, hpack: "SegmentPack", budget_bytes: int):
+        import jax as _jax
+        import weakref as _weakref
+        n_seg = hpack.seg_planes.shape[0]
+        seg_bytes = (hpack.seg_planes[0].size
+                     * hpack.seg_planes.dtype.itemsize)
+        n_res = max(0, min(int(budget_bytes // max(seg_bytes, 1)), n_seg))
+        # identity by weakref, not id(): a recycled id() after GC could
+        # silently match a DIFFERENT pack's table
+        self._ref = _weakref.ref(hpack.seg_planes)
+        self.n_seg = n_seg
+        self.resident = [
+            _jax.device_put(hpack.seg_planes[i]) for i in range(n_res)]
+
+    def matches(self, seg_planes) -> bool:
+        return self._ref() is seg_planes
+
+    def get(self, si: int):
+        """Device buffer for segment ``si`` if resident, else None."""
+        return self.resident[si] if si < len(self.resident) else None
+
+
+def make_device_segment_cache(
+        hpack: SegmentPack,
+        budget_bytes: int = 8 << 30) -> DeviceSegmentCache:
+    """Pin a prefix of ``hpack``'s segment tables in device memory."""
+    return DeviceSegmentCache(hpack, budget_bytes)
+
+
 def solve_zscan_segments_streamed(
     s0: jnp.ndarray,
     domain: ScalarDomain,
@@ -938,6 +1036,7 @@ def solve_zscan_segments_streamed(
     unroll: int = 2,
     integrator: str = "rk4",
     weights: str = "stage",
+    cache: Optional[DeviceSegmentCache] = None,
 ) -> TraceResult:
     """Segment-streamed march for packs LARGER than device memory.
 
@@ -971,11 +1070,20 @@ def solve_zscan_segments_streamed(
     origin_ab = jnp.asarray(hpack.origin_ab)
     inv_ab = jnp.asarray(hpack.inv_spacing_ab)
 
+    if cache is not None and not cache.matches(hpack.seg_planes):
+        raise ValueError("seg cache was built for a different pack")
+
+    def _seg(si):
+        if cache is not None:
+            hit = cache.get(si)
+            if hit is not None:
+                return hit
+        return jax.device_put(hpack.seg_planes[si])
+
     start = time.perf_counter()
-    seg_dev = jax.device_put(hpack.seg_planes[0])
+    seg_dev = _seg(0)
     for si in range(n_seg):
-        nxt = (jax.device_put(hpack.seg_planes[si + 1])
-               if si + 1 < n_seg else None)
+        nxt = _seg(si + 1) if si + 1 < n_seg else None
         u = _march_one_segment(
             u, seg_dev, origin_ab, inv_ab, dp, shape_ab=hpack.shape_ab,
             layout=layout, K=K, C=C, substeps=substeps,
@@ -1000,6 +1108,7 @@ def build_segment_pack_streaming(
     dtype=jnp.bfloat16,
     plane_batch: int = 16,
     device: bool = True,
+    verbose: bool = False,
 ) -> SegmentPack:
     """Build a SegmentPack directly from the domain, plane batch by batch.
 
@@ -1069,16 +1178,31 @@ def build_segment_pack_streaming(
         out = jnp.stack([c.astype(dtype) for c in chans], axis=-1)
         return jnp.transpose(out, (1, 2, 0, 3))  # (na, nb, PB, C)
 
-    # host-side (numpy) probe-major views: zero-copy for host-resident
-    # fields, a single device->host pull otherwise
-    ne_h = _np.moveaxis(_np.asarray(domain.ne), p_ax, 0)
+    # host-side (numpy) probe-major arrays, made CONTIGUOUS once per
+    # volume: a probe-major VIEW of an (x, y, z) volume has plane slices
+    # strided by the full transverse page, and fancy-indexing those for
+    # every batch costs minutes at 1024^3 (measured: the r3 first attempt
+    # burned its whole budget there). One sequential transpose copy per
+    # volume amortises it.
+    import time as _time
+
+    def _pm(vol):
+        t0 = _time.perf_counter()
+        out = _np.ascontiguousarray(_np.moveaxis(_np.asarray(vol), p_ax, 0))
+        if verbose:
+            print(f"  probe-major copy {out.shape} "
+                  f"{_time.perf_counter() - t0:.1f}s", flush=True)
+        return out
+
+    ne_h = _pm(domain.ne)
     extras_h = []
     if layout.inv_brems:
-        extras_h += [_np.asarray(domain.Te), _np.asarray(domain.Z)]
+        extras_h += [_pm(domain.Te), _pm(domain.Z)]
     if layout.B_on:
         B_h = _np.asarray(domain.B)
-        extras_h += [B_h[..., a_ax], B_h[..., b_ax], B_h[..., p_ax]]
-    extras_h = [_np.moveaxis(e, p_ax, 0) for e in extras_h]
+        extras_h += [_pm(B_h[..., a_ax]), _pm(B_h[..., b_ax]),
+                     _pm(B_h[..., p_ax])]
+        del B_h
 
     def plane(i):
         """(na, nb) host slice of ne at probe index i (clipped)."""
@@ -1086,6 +1210,7 @@ def build_segment_pack_streaming(
 
     np_dtype = _np.asarray(jnp.zeros((), dtype)).dtype
     planes_host = _np.zeros((n_p, na, nb, C), np_dtype)
+    t_loop = _time.perf_counter()
     for lo in range(0, n_p, PB):
         hi = min(lo + PB, n_p)
         idxs = list(range(lo, hi))
@@ -1099,6 +1224,9 @@ def build_segment_pack_streaming(
                             jnp.asarray(plane(idxs[-1] + 1)), ex)
         ch = _np.asarray(jnp.moveaxis(ch, 2, 0))  # (PB, na, nb, C)
         planes_host[lo:hi] = ch[: hi - lo]
+        if verbose and (lo // PB) % 8 == 0:
+            print(f"  channel batch {lo}/{n_p} "
+                  f"({_time.perf_counter() - t_loop:.1f}s)", flush=True)
 
     # one-sided probe-axis differences at the global boundary
     if n_p >= 2:
@@ -1113,12 +1241,16 @@ def build_segment_pack_streaming(
     n_slabs = n_p - 1
     n_seg = -(-n_slabs // K)
     seg_host = _np.zeros((n_seg, na * nb, (K + 1) * C), np_dtype)
+    t_seg = _time.perf_counter()
     for s_i in range(n_seg):
         p_lo = s_i * K
         p_hi = min(p_lo + K + 1, n_p)
         count = p_hi - p_lo
         block = _np.moveaxis(planes_host[p_lo:p_hi], 0, 2)  # (na,nb,cnt,C)
         seg_host[s_i, :, : count * C] = block.reshape(na * nb, count * C)
+        if verbose and s_i % 8 == 0:
+            print(f"  segment assembly {s_i}/{n_seg} "
+                  f"({_time.perf_counter() - t_seg:.1f}s)", flush=True)
     del planes_host
     if device:
         out = jnp.asarray(seg_host)

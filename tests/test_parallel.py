@@ -328,7 +328,11 @@ def test_pp_tracer_rk2s2_sharded_chunks_bit_identical():
     u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]], axis=1)
     dp = jnp.float32(sp.dp)
 
-    for integ in ("rk2s2", "rk4"):
+    # rk4/rk2s2 are BIT-identical; rk2s4's K//4=2-length scan is fully
+    # unrolled at this test size, exposing context-dependent fma
+    # contraction between the two differently-shaped programs — equal to
+    # fp tolerance only (values agree to ~1e-5 relative)
+    for integ, rtol in (("rk2s2", 0.0), ("rk2s4", 1e-4), ("rk4", 0.0)):
         ref = np.asarray(trace_zscan_segments(
             u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp,
             shape_ab=sp.shape_ab, layout=lay, K=sp.K,
@@ -341,7 +345,9 @@ def test_pp_tracer_rk2s2_sharded_chunks_bit_identical():
         chunks = u.reshape(8, 64, 8)
         out = np.asarray(tracer(chunks, sp.seg_planes, sp.origin_ab,
                                 sp.inv_spacing_ab, dp)).reshape(512, 8)
-        np.testing.assert_allclose(out, ref, rtol=0, atol=0)
+        np.testing.assert_allclose(out, ref, rtol=rtol,
+                                   atol=rtol * np.abs(ref).max(),
+                                   err_msg=integ)
 
 
 def test_gridsharded_segment_march_bit_identical():
@@ -375,7 +381,10 @@ def test_gridsharded_segment_march_bit_identical():
     u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]], axis=1)
     dp = jnp.float32(sp.dp)
 
-    for integ in ("rk4", "rk2s2"):
+    # rk4/rk2s2 BIT-identical; rk2s4 fp-tolerance only (fully-unrolled
+    # short scans compile with different fma contraction across the two
+    # program shapes — see the PP test above)
+    for integ, rtol in (("rk4", 0.0), ("rk2s2", 0.0), ("rk2s4", 1e-4)):
         ref = np.asarray(trace_zscan_segments(
             u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp,
             shape_ab=sp.shape_ab, layout=lay, K=sp.K, n_seg=n_seg,
@@ -389,5 +398,6 @@ def test_gridsharded_segment_march_bit_identical():
         u_sh = jax.device_put(u, NamedSharding(mesh, P("rays", None)))
         out = np.asarray(tracer(u_sh, seg_tables, sp.origin_ab,
                                 sp.inv_spacing_ab, dp))
-        np.testing.assert_allclose(out, ref, rtol=0, atol=0,
+        np.testing.assert_allclose(out, ref, rtol=rtol,
+                                   atol=rtol * np.abs(ref).max(),
                                    err_msg=integ)

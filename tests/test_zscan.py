@@ -772,6 +772,41 @@ def test_streamed_march_bit_identical():
                                    rtol=0, atol=0)
 
 
+def test_streamed_march_device_cache():
+    """A DeviceSegmentCache (partial and full residency) gives
+    bit-identical results to uncached streaming, and a cache built for a
+    different pack is rejected."""
+    import pytest
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_streaming,
+                                          make_device_segment_cache,
+                                          solve_zscan_segments_streamed)
+
+    d = _full_physics_domain()
+    sp_host = build_segment_pack_streaming(d, K=8, dtype=jnp.float32,
+                                           device=False)
+    s0 = init_beam(jax.random.PRNGKey(43), 64, 1.5e-3, 1e-3, EXT,
+                   "circular")
+    ref = solve_zscan_segments_streamed(s0, d, hpack=sp_host)
+
+    seg_bytes = sp_host.seg_planes[0].nbytes
+    n_seg = sp_host.seg_planes.shape[0]
+    assert n_seg >= 2
+    # partial residency (half the segments), then full residency
+    for budget in (seg_bytes * (n_seg // 2), seg_bytes * n_seg):
+        cache = make_device_segment_cache(sp_host, budget_bytes=budget)
+        out = solve_zscan_segments_streamed(s0, d, hpack=sp_host,
+                                            cache=cache)
+        np.testing.assert_allclose(np.asarray(out.sf), np.asarray(ref.sf),
+                                   rtol=0, atol=0)
+    assert len(cache.resident) == n_seg
+
+    other = build_segment_pack_streaming(d, K=8, dtype=jnp.float32,
+                                         device=False)
+    stale = make_device_segment_cache(other, budget_bytes=seg_bytes)
+    with pytest.raises(ValueError, match="different pack"):
+        solve_zscan_segments_streamed(s0, d, hpack=sp_host, cache=stale)
+
+
 def test_streamed_march_ray_chunking():
     from synthpy_tpu.tracer.zscan import (build_segment_pack_streaming,
                                           solve_zscan_segments_streamed)
@@ -832,3 +867,34 @@ def test_weights_slab_mode_image_equivalent():
                                  bins=(54, 40), seg_weights="slab"))
     assert Hs.sum() == H.sum()
     assert np.abs(Hs - H).sum() <= 0.01 * H.sum()
+
+
+def test_rk2s4_images_close():
+    """rk2s4 (stride-4 midpoint) exit rays within the coarse-tier
+    tolerance of rk4, detector images close at the percent level, and
+    the K%4 remainder path exact."""
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.tracer.zscan import solve_zscan_segments
+
+    d = ScalarDomain(2 * EXT, 41).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(70), 4096, 2e-3, 0.0, EXT,
+                   "circular")
+    rf4 = np.asarray(solve_zscan_segments(s0, d, K=8).rf)
+    for K in (8, 10, 11):   # K%4 = 0, 2, 3 (remainder slabs exercised)
+        rfs = np.asarray(solve_zscan_segments(
+            s0, d, K=K, integrator="rk2s4").rf)
+        np.testing.assert_allclose(rfs[0], rf4[0], atol=2e-6,
+                                   err_msg=f"K={K}")
+        # coarse tier: 4-cell steps on this 40-slab test grid leave
+        # ~1-2% angle truncation (on 512-slab production grids the same
+        # stride is sub-0.1%); the detector-image check below is the
+        # tier's accuracy gate
+        np.testing.assert_allclose(rfs[1], rf4[1], rtol=0.03, atol=3e-6,
+                                   err_msg=f"K={K}")
+
+    H4 = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                 bins=(40, 30)))
+    Hs = np.asarray(pipeline.run(d, s0, solver="zscan_seg", seg_K=8,
+                                 bins=(40, 30), integrator="rk2s4"))
+    assert Hs.sum() == H4.sum()
+    assert np.abs(Hs - H4).sum() <= 0.05 * H4.sum()
