@@ -1,30 +1,40 @@
 """Experimental-scale JOINT inversion: a 128^3-class field from 3 benches.
 
 The round-3 flagship inverse demo (ROADMAP round-3 item): recover a
-128 x 128 transverse electron-density map, extruded through a known
-z-envelope into a full 128^3 volume, from THREE synthetic diagnostics of
-the same shot — shadowgraphy, dark-field schlieren and interferometry —
-with a joint pixel-space loss plus total-variation regularisation.
+transverse electron-density map, extruded through a known z-envelope
+into a full volume, from THREE synthetic diagnostics of the same shot —
+shadowgraphy, dark-field schlieren and an INTERFEROGRAM — following the
+standard experimental interferometry workflow end-to-end:
 
-Every piece runs the production machinery end-to-end differentiably:
+* the interferogram "measurement" is demodulated ONCE on the host
+  (Takeda sideband extraction, analysis.fringes.phase_difference with a
+  background shot), unwrapped outward from the beam centre
+  (unwrap_2d(anchor=...)), offset-rectified against a zero-phase edge
+  annulus (rectify_phase_offset), and sign-fixed by physics (plasma
+  phase is negative). This is exactly what an experimentalist does to a
+  real fringe image before inverting it;
+* the differentiable forward model renders shadowgraphy + schlieren +
+  a PHASE MAP (inverse.make_renderer's "phase_map" bench: per-pixel
+  transmission-weighted mean traced phase through the interferometry
+  lens train). Phase is LINEAR in ne, so the phase term is smooth and
+  pins the absolute density scale that the incoherent benches leave
+  degenerate — where a raw fringe-image MSE is wrap-trapped from any
+  cold start (measured: it plateaus at 4x the incoherent loss and drags
+  recovery to rel_l2 ~ 0.6; the phase object here is ~6 rad deep, and
+  at the previous 5e24 scale it was ~60 rad deep and physically
+  un-demodulable at detector resolution — real experiments size the
+  probe so the object is a few fringes, which this demo now does);
+* TV regularisation (pixel-space prior) fills the beam-unsampled
+  corners; positivity via softplus.
 
-* forward model = pack build -> segmented slab march (segment-granularity
-  remat, inverse.py) -> composed ABCD optics (transmission-weighted) ->
-  CIC detectors, via make_renderer's multi-diagnostic mode (one trace,
-  three benches);
-* the interferogram constrains the line-integrated phase (absolute ne),
-  shadowgraphy/schlieren constrain transverse gradients — a joint loss
-  resolves the scale degeneracy either alone leaves;
-* a two-phase CURRICULUM handles the fringe loss's non-convexity: the
-  first 60% of steps fit the incoherent benches (smooth in ne), then the
-  interferometry term switches on to pin the absolute scale — a raw
-  fringe loss at a cold start is trapped by phase wrapping (error >> 2pi);
-* TV regularisation (pixel-space prior) fills the beam-unsampled corners.
+Every piece runs the production machinery differentiably: pack build ->
+segmented slab march (segment-granularity remat, inverse.py) -> composed
+ABCD optics -> CIC detectors, via make_renderer's multi-diagnostic mode
+(one trace, three benches).
 
-Measured on one v5e chip (dim=128, 2e5 rays, 200 adam steps):
-see scratch/results_inverse_joint_r3.json — the script writes wall time,
-peak HBM from jax's allocator, and relative-L2 recovery error inside the
-beam-sampled region.
+Measured on one v5e chip: see scratch/results_inverse_joint_r3.json —
+the script appends wall time, per-iter time and relative-L2 recovery
+error inside the beam-sampled region.
 
 Usage: python examples/inverse_volume_joint.py [dim] [rays] [iters]
 (CPU smoke test: dim=33 rays=20000 iters=40 finishes in ~2 min.)
@@ -46,24 +56,29 @@ import optax
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(
     globals().get("__file__", "examples/x.py"))))
 
+from synthpy_tpu.analysis.fringes import (phase_difference,
+                                          rectify_phase_offset,
+                                          unwrap_2d)
 from synthpy_tpu.fields import ScalarDomain
 from synthpy_tpu.inverse import make_renderer
 from synthpy_tpu.tracer import init_beam
 
 DIM = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-RAYS = int(float(sys.argv[2])) if len(sys.argv) > 2 else 200_000
+RAYS = int(float(sys.argv[2])) if len(sys.argv) > 2 else 400_000
 ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 200
 
 EXT = 5e-3
-NE_SCALE = 5e24
-BENCHES = ("shadowgraphy", "schlieren_df", "interferometry")
-BINS = (64, 48)
+NE_SCALE = 5e23        # ~6 rad peak phase: a few-fringe object (demodulable)
+BEAM_R = 3.2e-3
+BINS = (96, 96)
+LXY = 8.0              # detector mm; beam fills it
+N_FRINGES = 16.0
 
 
 def main():
     key = jax.random.PRNGKey(0)
     dom = ScalarDomain(2 * EXT, DIM)
-    dom.phaseshift = True  # interferometry needs accumulated phase
+    dom.phaseshift = True  # phase benches need accumulated phase
 
     # ground truth: two offset Gaussian blobs on a broad pedestal,
     # extruded through a Gaussian z-envelope (the 2.5-D ansatz)
@@ -80,59 +95,96 @@ def main():
         return NE_SCALE * g[:, :, None] * z_env
 
     dom.external_ne(volume(jnp.asarray(g_true)))
-
-    s0 = init_beam(jax.random.fold_in(key, 1), RAYS, 3.2e-3, 0.0, EXT,
+    s0 = init_beam(jax.random.fold_in(key, 1), RAYS, BEAM_R, 0.0, EXT,
                    "circular")
-    render = make_renderer(dom, s0, diagnostic=BENCHES, bins=BINS,
-                           K=max(DIM // 8, 8))
 
+    # ---- synthetic "measurements": shot + background ----------------
+    # dark-field stop sized to this shot's MEASURED deflections (max
+    # 0.74 mrad -> 0.30 mm at the Fourier plane): 0.12 mm passes the
+    # theta > 0.3 mrad tail. The default 1 mm stop would block every
+    # ray — an all-zero schlieren target whose normalisation then
+    # explodes the loss (the degeneracy assert below catches this)
+    bench_kw = {"schlieren_df": {"stop_R": 0.12}}
+    render_meas = make_renderer(
+        dom, s0, diagnostic=("shadowgraphy", "schlieren_df",
+                             "interferometry"),
+        bins=BINS, K=max(DIM // 8, 8), Lx=LXY, Ly=LXY,
+        n_fringes=N_FRINGES, bench_kwargs=bench_kw)
+    meas = jax.jit(lambda g: render_meas(volume(g)))
+    tgt_shadow, tgt_schlieren, H_shot = [
+        np.asarray(t) for t in meas(jnp.asarray(g_true))]
+    H_bkg = np.asarray(meas(jnp.zeros_like(jnp.asarray(g_true)))[2])
+    for nm, t in (("shadowgraphy", tgt_shadow),
+                  ("schlieren_df", tgt_schlieren),
+                  ("interferogram", H_shot)):
+        assert np.abs(t).max() > 1e-3, (
+            f"degenerate {nm} target (all ~zero): check bench geometry "
+            "vs the deflection scale of this shot")
+
+    # ---- experimental phase-retrieval workflow on the interferogram -
+    ny, nx = H_shot.shape
+    pw = phase_difference(jnp.asarray(H_shot), jnp.asarray(H_bkg))
+    pu = unwrap_2d(pw, anchor=(ny // 2, nx // 2))
+    yy = (np.arange(ny) - ny / 2 + 0.5) / ny * LXY
+    xx = (np.arange(nx) - nx / 2 + 0.5) / nx * LXY
+    rr = np.hypot(yy[:, None], xx[None, :])
+    beam_px = rr < BEAM_R * 1e3 * 0.94
+    edge_px = (rr > BEAM_R * 1e3 * 0.81) & (rr < BEAM_R * 1e3 * 0.97)
+    pu = rectify_phase_offset(pu, edge_px)
+    if np.median(pu[beam_px]) > 0:
+        pu = -pu  # sideband sign ambiguity; plasma phase is negative
+    tgt_phase = jnp.asarray(pu)
+    phase_mask = jnp.asarray(beam_px)
+
+    # ---- differentiable forward model -------------------------------
+    render = make_renderer(
+        dom, s0, diagnostic=("shadowgraphy", "schlieren_df", "phase_map"),
+        bins=BINS, K=max(DIM // 8, 8), Lx=LXY, Ly=LXY,
+        bench_kwargs=bench_kw)
     render_v = lambda g: render(volume(g))
-    targets = jax.jit(render_v)(jnp.asarray(g_true))
-    targets = tuple(jax.lax.stop_gradient(t) for t in targets)
-    scales = tuple(float(jnp.abs(t).max()) + 1e-30 for t in targets)
 
+    sc_shadow = float(np.abs(tgt_shadow).max()) + 1e-30
+    sc_schl = float(np.abs(tgt_schlieren).max()) + 1e-30
+    sc_phase = float(np.abs(pu[beam_px]).max()) + 1e-30
     tv_w = 3e-3
-    # per-bench loss weights: (incoherent..., interferometry); the fringe
-    # term is gated by the curriculum flag
-    coh_idx = BENCHES.index("interferometry")
 
-    def loss_fn(theta, coh_w):
+    def loss_fn(theta):
         g = jax.nn.softplus(theta)  # positivity
-        imgs = render_v(g)
-        data = 0.0
-        for j, (im, tg, sc) in enumerate(zip(imgs, targets, scales)):
-            w = coh_w if j == coh_idx else 1.0
-            data = data + w * jnp.mean(((im - tg) / sc) ** 2)
+        im_sh, im_sc, im_ph = render_v(g)
+        data = (jnp.mean(((im_sh - tgt_shadow) / sc_shadow) ** 2)
+                + jnp.mean(((im_sc - tgt_schlieren) / sc_schl) ** 2)
+                + jnp.sum(phase_mask * ((im_ph - tgt_phase)
+                                        / sc_phase) ** 2)
+                / phase_mask.sum())
         tv = (jnp.mean(jnp.abs(jnp.diff(g, axis=0)))
               + jnp.mean(jnp.abs(jnp.diff(g, axis=1))))
         return data + tv_w * tv
 
     theta = jnp.full((DIM, DIM), -1.5)  # softplus^-1 of ~0.2 pedestal
-    opt = optax.adam(3e-2)
+    # cosine-decayed adam: a flat 3e-2 oscillates at the 128^3 scale
+    # (measured: loss 0.044 -> 0.010 by iter 60, back up to 0.033 by
+    # iter 100); decaying to zero converges monotonically
+    opt = optax.adam(optax.cosine_decay_schedule(2e-2, ITERS))
     state = opt.init(theta)
 
     @jax.jit
-    def step(th, st, coh_w):
-        l, grads = jax.value_and_grad(loss_fn)(th, coh_w)
+    def step(th, st):
+        l, grads = jax.value_and_grad(loss_fn)(th)
         upd, st = opt.update(grads, st)
         return optax.apply_updates(th, upd), st, l
 
     t0 = time.time()
-    warm = int(0.6 * ITERS)
     for i in range(ITERS):
-        coh_w = jnp.float32(0.0 if i < warm else 1.0)
-        theta, state, l = step(theta, state, coh_w)
+        theta, state, l = step(theta, state)
         if i % max(ITERS // 10, 1) == 0:
-            print(f"iter {i:4d}  loss {float(l):.6f}"
-                  + ("  [joint]" if i >= warm else "  [incoherent]"),
-                  flush=True)
+            print(f"iter {i:4d}  loss {float(l):.6f}", flush=True)
     jax.block_until_ready(theta)
     wall = time.time() - t0
 
     g_rec = np.asarray(jax.nn.softplus(theta))
     # error metrics inside the beam-sampled disc
     r2 = (x**2 + y**2)
-    mask = r2 < (3.2e-3) ** 2
+    mask = r2 < BEAM_R**2
     rel_all = (np.linalg.norm(g_rec - g_true)
                / np.linalg.norm(g_true))
     rel_beam = (np.linalg.norm((g_rec - g_true)[mask])
@@ -145,7 +197,8 @@ def main():
         peak_hbm = 0
 
     rec = {"dim": DIM, "rays": RAYS, "iters": ITERS,
-           "benches": list(BENCHES),
+           "benches": ["shadowgraphy", "schlieren_df",
+                       "interferogram->phase_map"],
            "wall_s": round(wall, 1),
            "s_per_iter": round(wall / ITERS, 3),
            "rel_l2_full": round(float(rel_all), 4),

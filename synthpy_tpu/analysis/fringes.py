@@ -80,6 +80,57 @@ def unwrap_1d(phase: np.ndarray, axis: int = -1) -> np.ndarray:
     return np.unwrap(phase, axis=axis)
 
 
+def unwrap_2d(phase: np.ndarray,
+              anchor: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """Sequential 2-D phase unwrapping for smooth maps.
+
+    ``anchor=None``: unwrap the first column, then every row from its
+    (now absolute) first element — exact whenever neighbouring-pixel
+    true phase differences stay below pi, and absolute when the (0, 0)
+    corner sits outside the phase object.
+
+    ``anchor=(i0, j0)``: unwrap OUTWARD from that pixel — its row in
+    both directions, then every column up and down from the row. Use
+    this when the detector's margins carry no fringe power (a beam
+    smaller than the detector): every unwrap path to an in-beam pixel
+    then stays inside the beam, so the garbage phase of fringeless
+    pixels cannot corrupt in-beam values. The result is offset by an
+    unknown constant 2*pi*k (the anchor's own wrap count); rectify it
+    against pixels of known true phase with
+    :func:`rectify_phase_offset`. Not a quality-guided unwrapper — for
+    noisy or undersampled fringes use a dedicated tool.
+    """
+    p = np.asarray(phase, np.float64)
+    if anchor is None:
+        col0 = np.unwrap(p[:, 0])
+        rows = np.unwrap(p, axis=1)
+        return rows + (col0 - rows[:, 0])[:, None]
+
+    i0, j0 = anchor
+    row = np.empty(p.shape[1])
+    row[j0:] = np.unwrap(p[i0, j0:])
+    row[: j0 + 1] = np.unwrap(p[i0, j0::-1])[::-1]
+    out = np.empty_like(p)
+    out[i0:] = np.unwrap(np.vstack([row, p[i0 + 1:]]), axis=0)
+    if i0 > 0:
+        up = np.unwrap(np.vstack([row, p[i0 - 1::-1]]), axis=0)[1:]
+        out[:i0] = up[::-1]
+    return out
+
+
+def rectify_phase_offset(unwrapped: np.ndarray,
+                         zero_mask: np.ndarray) -> np.ndarray:
+    """Remove the global 2*pi*k offset of an anchored unwrap.
+
+    ``zero_mask`` selects pixels whose TRUE phase is known to be ~0
+    (e.g. an annulus at the beam edge, outside the phase object but
+    still carrying fringes). The median unwrapped value there is
+    rounded to the nearest multiple of 2*pi and subtracted everywhere.
+    """
+    med = float(np.median(unwrapped[zero_mask]))
+    return unwrapped - 2.0 * np.pi * np.round(med / (2.0 * np.pi))
+
+
 def phase_difference(H_shot: jnp.ndarray, H_bkg: jnp.ndarray,
                      carrier: Optional[Tuple[int, int]] = None
                      ) -> np.ndarray:

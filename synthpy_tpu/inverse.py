@@ -35,7 +35,7 @@ See examples/inverse_shadowgraphy.py for a full parameter-recovery run.
 from __future__ import annotations
 
 import copy
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -205,6 +205,7 @@ def make_renderer(
     n_fringes: float = 10.0,
     deg: float = 20.0,
     remat: bool = True,
+    bench_kwargs: Optional[dict] = None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build ``render(ne) -> image``, differentiable with respect to ne.
 
@@ -234,19 +235,31 @@ def make_renderer(
     """
     multi = not isinstance(diagnostic, str)
     names = tuple(diagnostic) if multi else (diagnostic,)
-    any_coherent = any(BENCHES[n][1] for n in names)
-    if any_coherent and not domain.phaseshift:
-        raise ValueError(f"{names} includes a coherent bench: requires "
-                         "domain.phaseshift=True (the trace must "
-                         "accumulate refractive phase)")
+    # "phase_map" is the model-side counterpart of the experimental
+    # demodulate-and-unwrap workflow (analysis.fringes.phase_difference +
+    # unwrap_2d): the transmission-weighted mean PLASMA phase per
+    # detector pixel, imaged through the interferometry lens train. It
+    # needs the traced phase but no reference beam, and because phase is
+    # LINEAR in ne it gives inverse problems a smooth absolute-scale
+    # constraint where a raw fringe MSE is wrap-trapped (the fringe
+    # image decoheres once shape error exceeds ~2pi/phi_total).
+    needs_phase = [n == "phase_map" or BENCHES[n][1] for n in names]
+    any_coherent = any(BENCHES[n][1] for n in names if n != "phase_map")
+    if any(needs_phase) and not domain.phaseshift:
+        raise ValueError(f"{names} includes a phase-carrying bench: "
+                         "requires domain.phaseshift=True (the trace "
+                         "must accumulate refractive phase)")
     geom = copy.copy(domain)
     layout = layout_of(domain)
     depth = domain.extent if probing_depth is None else probing_depth
     pd = domain.probing_direction
     p_ax = {"x": 0, "y": 1, "z": 2}[pd]
     a_ax, b_ax = [a for a in range(3) if a != p_ax]
-    all_stages = [BENCHES[n][0](L=L, R=R, focal_plane=focal_plane)
-                  for n in names]
+    bk = bench_kwargs or {}
+    all_stages = [
+        BENCHES["interferometry" if n == "phase_map" else n][0](
+            L=L, R=R, focal_plane=focal_plane, **bk.get(n, {}))
+        for n in names]
     s = jnp.asarray(s0)
     u0 = jnp.stack([s[a_ax], s[b_ax], s[3 + a_ax], s[3 + b_ax],
                     s[3 + p_ax], s[6], s[7], s[8]], axis=1)
@@ -268,7 +281,27 @@ def make_renderer(
         r_mm = m_to_mm(rf)
         images = []
         for name, stages in zip(names, all_stages):
-            if BENCHES[name][1]:
+            if name == "phase_map":
+                # per-pixel transmission-weighted mean plasma phase:
+                # deposit w*phi and w with the same CIC footprint and
+                # divide where sampled (0 elsewhere). Smooth in ray
+                # positions AND linear in the traced phase.
+                phi = sf[7]
+                r_out, w = apply_stages_weighted(r_mm, stages)
+                num = cic_image(r_out[0, :], r_out[2, :], w * phi,
+                                bins, Lx, Ly)
+                den = cic_image(r_out[0, :], r_out[2, :], w, bins,
+                                Lx, Ly)
+                # regularised division, floor = 1e-3 of one ray's
+                # weight: unsampled pixels go to 0 (num == 0 there)
+                # and the backward jacobian stays bounded by
+                # |phi|/floor. A tiny where-style eps is a NaN trap:
+                # sliver-weight pixels (den ~ 1e-6 from one CIC
+                # corner) make 1/den^2 jacobians overflow to inf and
+                # inf * 0-cotangent = NaN poisons the whole gradient.
+                images.append(num / (den + jnp.asarray(1e-3,
+                                                       den.dtype)))
+            elif BENCHES[name][1]:
                 from synthpy_tpu.optics.compose import interfere_ref_beam
 
                 E = Jf

@@ -206,3 +206,60 @@ def test_remat_gradients_match_plain_gradients():
     g1 = jax.grad(lambda a: loss(r_remat, a))(4e24)
     g2 = jax.grad(lambda a: loss(r_plain, a))(4e24)
     np.testing.assert_allclose(float(g1), float(g2), rtol=1e-6)
+
+
+def test_phase_map_bench_linear_zeroed_and_differentiable():
+    """The phase_map bench is ~linear in ne (phase is a line integral),
+    zero on unsampled pixels, and its masked-MSE gradient is finite —
+    including the sliver-weight pixels at the beam edge that a naive
+    eps-guarded division turns into inf*0=NaN."""
+    d, prof = _lens_profile(33)
+    d.phaseshift = True
+    ne0 = 5e23 * prof
+    s0 = init_beam(jax.random.PRNGKey(3), 4000, 2e-3, 0.0, EXT,
+                   "circular")
+    render = make_renderer(d, s0, diagnostic="phase_map", bins=(48, 36),
+                           K=8)
+    P1 = np.asarray(render(ne0))
+    P2 = np.asarray(render(2.0 * ne0))
+    assert P1.min() < -0.05          # plasma phase is negative
+    m = np.abs(P1) > 0.05 * np.abs(P1).max()
+    # ~linear: doubling ne doubles almost every sampled pixel's phase
+    # (edge pixels whose ray SET changes with the deflections may
+    # deviate — that's physics, not the detector)
+    ratio = P2[m] / P1[m]
+    assert abs(np.median(ratio) - 2.0) < 0.02
+    assert np.mean(np.abs(ratio - 2.0) < 0.2) > 0.95
+    # corners far outside the beam footprint deposit nothing -> exact 0
+    assert P1[0, 0] == 0.0 and P1[-1, -1] == 0.0
+
+    mask = jnp.asarray(m)
+
+    def loss(ne):
+        P = render(ne)
+        return jnp.sum(mask * (P - jnp.asarray(P1)) ** 2)
+
+    g = jax.grad(loss)(1.5 * ne0)
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_phase_map_requires_phaseshift_and_bench_kwargs_reach_stages():
+    """phase_map without domain.phaseshift raises; bench_kwargs thread
+    per-bench stage-builder overrides (a schlieren stop small enough to
+    pass deflected rays turns an all-blocked image into signal)."""
+    d, prof = _lens_profile(33)
+    s0 = init_beam(jax.random.PRNGKey(3), 4000, 2e-3, 0.0, EXT,
+                   "circular")
+    with pytest.raises(ValueError, match="phase"):
+        make_renderer(d, s0, diagnostic="phase_map", bins=(32, 24))
+
+    ne0 = 2e23 * prof   # weak deflections: default 1 mm stop blocks all
+    blocked = make_renderer(d, s0, diagnostic="schlieren_df",
+                            bins=(32, 24), K=8)
+    open_ = make_renderer(d, s0, diagnostic="schlieren_df",
+                          bins=(32, 24), K=8,
+                          bench_kwargs={"schlieren_df":
+                                        {"stop_R": 0.05}})
+    assert float(jnp.abs(blocked(ne0)).max()) == 0.0
+    assert float(jnp.abs(open_(ne0)).max()) > 0.0

@@ -256,3 +256,30 @@ def test_ray_dump_contract(tmp_path):
     f3 = save_rays(str(tmp_path / "dead"), np.full((4, 3), np.nan))
     with pytest.warns(UserWarning, match="finite"):
         load_rays(f3)
+
+
+def test_unwrap_2d_anchored_and_rectify():
+    """Anchored 2-D unwrap recovers a >2pi smooth map exactly; the
+    rectifier removes the anchor's 2*pi*k ambiguity against a
+    known-zero region; corner-anchored unwrap matches when the corner
+    is clean."""
+    from synthpy_tpu.analysis.fringes import (rectify_phase_offset,
+                                              unwrap_2d)
+
+    ny, nx = 96, 80
+    y, x = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    true = -9.5 * np.exp(-((x - 40) ** 2 + (y - 48) ** 2) / 500.0)
+    wrapped = np.angle(np.exp(1j * true))
+
+    # corner anchor: corner phase ~0 -> absolute directly
+    u_corner = unwrap_2d(wrapped)
+    np.testing.assert_allclose(u_corner, true, atol=1e-9)
+
+    # centre anchor: off by a constant 2*pi*k (k = wrap count of the
+    # -9.5 rad centre), restored by rectifying against the true-zero rim
+    u_c = unwrap_2d(wrapped, anchor=(48, 40))
+    k = np.round((u_c - true)[0, 0] / (2 * np.pi))
+    np.testing.assert_allclose(u_c, true + 2 * np.pi * k, atol=1e-9)
+    rim = np.hypot(y - 48, x - 40) > 35
+    u_r = rectify_phase_offset(u_c, rim)
+    np.testing.assert_allclose(u_r, true, atol=1e-9)
