@@ -61,6 +61,7 @@ from synthpy_tpu.analysis.fringes import (phase_difference,
                                           unwrap_2d)
 from synthpy_tpu.fields import ScalarDomain
 from synthpy_tpu.inverse import make_renderer
+from synthpy_tpu.priors import tv
 from synthpy_tpu.tracer import init_beam
 
 DIM = int(sys.argv[1]) if len(sys.argv) > 1 else 128
@@ -156,9 +157,7 @@ def main():
                 + jnp.sum(phase_mask * ((im_ph - tgt_phase)
                                         / sc_phase) ** 2)
                 / phase_mask.sum())
-        tv = (jnp.mean(jnp.abs(jnp.diff(g, axis=0)))
-              + jnp.mean(jnp.abs(jnp.diff(g, axis=1))))
-        return data + tv_w * tv
+        return data + tv_w * tv(g)
 
     theta = jnp.full((DIM, DIM), -1.5)  # softplus^-1 of ~0.2 pedestal
     # cosine-decayed adam: a flat 3e-2 oscillates at the 128^3 scale
