@@ -58,6 +58,7 @@ def main() -> None:
                else default_n_steps(domain, ext, spc))
 
     pack_kwargs = {"pack": pack}
+    spack_int8 = None
     if solver == "zscan_seg":
         from synthpy_tpu.tracer.zscan import build_segment_pack_device
 
@@ -65,11 +66,17 @@ def main() -> None:
         # and the stride-2 march runs pure slab pairs (an odd K's
         # trailing single step costs ~20% on rk2s2)
         K = int(os.environ.get("BENCH_K", dim))
-        pdt = (jnp.bfloat16
-               if os.environ.get("BENCH_PACK_DTYPE", "bf16") == "bf16"
-               else jnp.float32)
+        pdt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+               "int8": jnp.int8}[os.environ.get("BENCH_PACK_DTYPE",
+                                                "bf16")]
         pack_kwargs = {"spack": build_segment_pack_device(
             domain, K=min(K, dim), dtype=pdt)}
+        if pdt != jnp.int8:
+            # int8 tier (per-(plane, channel)-scaled quantised pack):
+            # halves the gather-bound march's bytes/ray; image-equivalence
+            # gated by tests/test_zscan.py::test_int8_pack_matches_float_pack
+            spack_int8 = build_segment_pack_device(
+                domain, K=min(K, dim), dtype=jnp.int8)
 
     s0 = init_beam(jax.random.PRNGKey(0), rays, 2e-3, 0.0, ext, "circular")
     # headline = the production configuration: midpoint (rk2) integrator,
@@ -86,27 +93,27 @@ def main() -> None:
     weights = os.environ.get("BENCH_WEIGHTS",
                              "slab" if solver == "zscan_seg" else "stage")
 
-    def run(integ):
+    def run(integ, pk=None):
         kw = ({"integrator": integ, "seg_weights": weights}
               if solver == "zscan_seg" else {})
         return pipeline.run(domain, s0, solver=solver,
                             steps_per_cell=spc, bins=(431, 321),
-                            **pack_kwargs, **kw)
+                            **(pk or pack_kwargs), **kw)
 
-    def timed(integ):
-        H = run(integ)          # compile
+    def timed(integ, pk=None):
+        H = run(integ, pk)      # compile
         H.block_until_ready()
         # best of 3: early timed runs can still hit caches cold
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            H = run(integ)
+            H = run(integ, pk)
             H.block_until_ready()
             times.append(time.perf_counter() - t0)
         return H, min(times)
 
     H, elapsed = timed(integrator)
-    rk4_rays_s = rk2s2_rays_s = rk2s4_rays_s = None
+    rk4_rays_s = rk2s2_rays_s = rk2s4_rays_s = int8_rk2s2_rays_s = None
     if solver == "zscan_seg" and integrator == "rk2":
         _, el4 = timed("rk4")
         rk4_rays_s = round(rays / el4, 1)
@@ -118,6 +125,11 @@ def main() -> None:
         # tests/test_zscan.py::test_rk2s4_images_close)
         _, els4 = timed("rk2s4")
         rk2s4_rays_s = round(rays / els4, 1)
+        if spack_int8 is not None:
+            # fastest single-chip tier: stride-2 midpoint on the int8
+            # quantised pack (gather bytes/ray halved)
+            _, elq = timed("rk2s2", {"spack": spack_int8})
+            int8_rk2s2_rays_s = round(rays / elq, 1)
 
     # Optional REAL north-star measurement (never a citation: the value
     # reported is the wall clock of the run this bench just executed).
@@ -129,9 +141,14 @@ def main() -> None:
         ns_integ = os.environ.get("BENCH_FULL_INTEGRATOR", "rk2s2")
         chunk = int(os.environ.get("BENCH_FULL_CHUNK", 4_000_000))
         total = int(float(os.environ.get("BENCH_FULL_RAYS", 1e8)))
+        # fastest validated tier by default: int8 quantised pack
+        # (image-equivalence gated; BENCH_FULL_PACK_DTYPE=bf16 reverts)
+        fdt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+               "int8": jnp.int8}[os.environ.get("BENCH_FULL_PACK_DTYPE",
+                                                "int8")]
         t0 = time.perf_counter()  # field + pack + trace + detector
         d2 = _SD(2 * ext, dim).test_lens(ne_0=5e24, LR=1.5e-3)
-        sp2 = build_segment_pack_device(d2, K=dim, dtype=jnp.bfloat16,
+        sp2 = build_segment_pack_device(d2, K=dim, dtype=fdt,
                                         free_ne=True)
         key = jax.random.PRNGKey(0)
         acc = None
@@ -169,6 +186,7 @@ def main() -> None:
             "rk4_rays_s": rk4_rays_s,
             "rk2s2_rays_s": rk2s2_rays_s,
             "rk2s4_rays_s": rk2s4_rays_s,
+            "int8_rk2s2_rays_s": int8_rk2s2_rays_s,
             # freshly measured under BENCH_FULL=1, else absent (the
             # historical record lives in scratch/results_1e8_*.jsonl and
             # README, not in live bench output)

@@ -202,6 +202,9 @@ def make_gridsharded_segment_tracer(mesh, layout: ChannelLayout, spack,
     (n_seg, na, nb, (K+1)C) reshape of ``spack.seg_planes`` (GSPMD
     shards it over ``grid_axis``).
     """
+    if getattr(spack, "scales", None) is not None:
+        raise ValueError("int8 packs are single-chip only; pass a float "
+                         "SegmentPack to the grid-sharded tracer")
     from synthpy_tpu.tracer.zscan import march_segment
 
     G = mesh.shape[grid_axis]

@@ -69,6 +69,9 @@ def make_pipelined_segment_tracer(
         raise ValueError(f"unknown integrator {integrator!r}")
     if integrator != "rk4" and substeps != 1:
         raise ValueError(f"integrator={integrator!r} requires substeps=1")
+    if getattr(spack, "scales", None) is not None:
+        raise ValueError("int8 packs are single-chip only; pass a float "
+                         "SegmentPack to the PP tracer")
     D = mesh.shape[axis]
     n_seg = spack.seg_planes.shape[0]
     assert n_seg % D == 0, f"n_seg {n_seg} must divide over {D} devices"

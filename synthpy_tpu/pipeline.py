@@ -199,8 +199,12 @@ def synth_image_zscan(
     deg: float = 20.0,
     coherent_raw: bool = False,
     seg_weights: str = "stage",
+    seg_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """z-scan pipeline on a (9, Np) initial state. Returns (ny, nx) image.
+
+    ``seg_scales``: dequantisation table when ``planes`` is an int8
+    SegmentPack (SegmentPack.scales); None for float packs.
 
     ``sort_rays`` reorders rays by entry cell (histograms are permutation-
     invariant); measured neutral-to-negative once corner gathers are
@@ -227,7 +231,7 @@ def synth_image_zscan(
             u, planes, origin_ab, inv_ab, dp, shape_ab=shape_ab,
             layout=layout, K=seg_K, n_seg=n_seg, substeps=substeps,
             ray_chunk=ray_chunk, integrator=integrator,
-            weights=seg_weights)
+            weights=seg_weights, seg_scales=seg_scales)
         p_end = p0 + n_seg * seg_K * dp_static
     else:
         uf = trace_zscan(u, planes, origin_ab, inv_ab, dp, layout=layout,
@@ -446,12 +450,16 @@ def run(
                     zp, K=min(seg_K, zp.planes.shape[0] - 1))
             n_slabs = spack.seg_planes.shape[0] * spack.K
 
+            _scales = getattr(spack, "scales", None)
+
             def _call(s_batch, rc):
                 return synth_image_zscan(
                     s_batch, _repl(spack.seg_planes),
                     _repl(spack.origin_ab), _repl(spack.inv_spacing_ab),
                     depth, layout=layout, n_slabs=n_slabs, p0=spack.p0,
                     dp_static=spack.dp,
+                    seg_scales=(None if _scales is None
+                                else _repl(_scales)),
                     substeps=max(int(round(steps_per_cell)), 1),
                     diagnostic=diagnostic, segmented=True, seg_K=spack.K,
                     shape_ab=spack.shape_ab,

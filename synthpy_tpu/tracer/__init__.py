@@ -6,6 +6,7 @@ from synthpy_tpu.tracer.zscan import (  # noqa: F401
     make_device_segment_cache,
     make_segment_pack,
     make_zscan_pack,
+    quantize_segment_pack,
     solve_zscan,
     solve_zscan_segments,
     solve_zscan_segments_streamed,

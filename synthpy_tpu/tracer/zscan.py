@@ -345,6 +345,12 @@ class SegmentPack(NamedTuple):
 
     seg_planes: (n_seg, na*nb, (K+1)*C): [s, cell, k*C + c] is channel c of
         plane s*K + k at transverse cell ``cell``.
+    scales: None for float packs; for int8 packs a (n_seg, K+1, C) f32
+        table of per-(segment, plane, channel) dequantisation scales
+        (value = int8 * scale). int8 packs halve the march's gather
+        bytes/ray — the measured binding constraint (DESIGN.md step 6):
+        1.24x at 512^3 production shape with sub-percent image change
+        (scratch/bench_int8_prod.py).
     """
 
     seg_planes: jnp.ndarray
@@ -356,6 +362,7 @@ class SegmentPack(NamedTuple):
     p0: float
     dp: float
     omega: float
+    scales: Optional[jnp.ndarray] = None
 
 
 def make_segment_pack(zpack: ZScanPack, K: int = 64) -> SegmentPack:
@@ -378,6 +385,42 @@ def make_segment_pack(zpack: ZScanPack, K: int = 64) -> SegmentPack:
     return SegmentPack(segs, zpack.origin_ab, zpack.inv_spacing_ab,
                        (na, nb), K, n_slabs, zpack.p0, zpack.dp,
                        zpack.omega)
+
+
+def quantize_segment_pack(spack: SegmentPack) -> SegmentPack:
+    """Symmetric per-(segment, plane, channel) int8 quantisation.
+
+    The march is gather-bound (4 random corner rows/ray through the XLA
+    gather engine at ~44 GB/s, DESIGN.md step 6), so halving the table
+    bytes buys throughput directly: measured 1.24x at 512^3 production
+    shape, with exit positions within ~1% of a detector pixel and image
+    rel-L1 ~0.8% (scratch/proto_int8_march.py, bench_int8_prod.py).
+    Scales live in f32; cells hold round(value / scale) in [-127, 127].
+    """
+    if spack.scales is not None:
+        return spack
+    n_seg, cells, cols = spack.seg_planes.shape
+    K = spack.K
+    C = cols // (K + 1)
+
+    @jax.jit
+    def quant(planes):
+        v = planes.reshape(n_seg, cells, K + 1, C).astype(jnp.float32)
+        amax = jnp.max(jnp.abs(v), axis=1)             # (n_seg, K+1, C)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        q = jnp.clip(jnp.round(v / scale[:, None]), -127,
+                     127).astype(jnp.int8)
+        return q.reshape(n_seg, cells, cols), scale
+
+    q, scale = quant(spack.seg_planes)
+    return spack._replace(seg_planes=q, scales=scale)
+
+
+def _scale_row(scales, k, n, dtype):
+    """(n, C) f32 dequantisation factors for planes [k, k+n), flattened
+    to a (1, n*C) row broadcastable over (N, n*C) corner windows."""
+    sc = jax.lax.dynamic_slice_in_dim(scales, k, n, axis=0)
+    return sc.reshape(1, -1).astype(dtype)
 
 
 def _cols_bilinear(cols, corner_vals, ia0, ib0, origin_ab, inv_ab,
@@ -539,8 +582,14 @@ def march_segment(
     block: Optional[int] = None,
     a_offset=0,
     weights: str = "stage",
+    scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """March (N, 8) permuted rays through ONE segment's corner table.
+
+    ``scales``: this segment's (K+1, C) f32 dequantisation table when
+    ``seg`` is an int8 quantised pack (see :func:`quantize_segment_pack`);
+    None for float packs. Supported on the substeps==1 integrators
+    (rk4/rk2/rk2s2/rk2s4, either weights mode).
 
     ``weights``: "stage" (default — transverse weights and inside-mask
     recomputed at every RK stage position, strict fill-0 parity) or
@@ -581,6 +630,10 @@ def march_segment(
         raise ValueError(f"unknown weights mode {weights!r}")
     if weights == "slab" and (substeps != 1 or blocked):
         raise ValueError("weights='slab' requires substeps=1 and no block=")
+    if scales is not None and (substeps != 1 or blocked):
+        raise ValueError("int8 packs (scales=) require substeps=1 and no "
+                         "block= (quantised windows are dequantised on "
+                         "the per-slab fast paths only)")
 
     # per-ray frozen corner indices for this segment
     ta = (uc[:, 0] - origin_ab[0]) * inv_ab[0]
@@ -636,6 +689,9 @@ def march_segment(
                 jax.lax.dynamic_slice_in_dim(
                     c, k * C, 2 * C, axis=1).astype(dtype)
                 for c in corners)
+            if scales is not None:
+                scf = _scale_row(scales, k, 2, dtype)
+                wins = tuple(w * scf for w in wins)
             w0 = tuple(w[:, :C] for w in wins)
             w1 = tuple(w[:, C:] for w in wins)
 
@@ -710,6 +766,9 @@ def march_segment(
             jax.lax.dynamic_slice_in_dim(
                 c, k * C, 2 * C, axis=1).astype(dtype)
             for c in corners)
+        if scales is not None:
+            scf = _scale_row(scales, k, 2, dtype)
+            wins = tuple(w * scf for w in wins)
         w0 = tuple(win[:, :C] for win in wins)
         wm = tuple(win[:, C:] for win in wins)
 
@@ -750,6 +809,10 @@ def march_segment(
             jax.lax.dynamic_slice_in_dim(c, (k + 2) * C, C, axis=1
                                          ).astype(dtype)
             for c in corners)
+        if scales is not None:
+            w0 = tuple(w * _scale_row(scales, k, 1, dtype) for w in w0)
+            wm = tuple(w * _scale_row(scales, k + 2, 1, dtype)
+                       for w in wm)
 
         if weights == "slab":
             w4q = _cols_weights(cols, ia0f, ib0f, origin_ab, inv_ab,
@@ -822,8 +885,12 @@ def trace_zscan_segments(
     integrator: str = "rk4",
     remat: bool = False,
     weights: str = "stage",
+    seg_scales: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Gather-hoisted slab march over n_seg segments of K slabs each.
+
+    ``seg_scales``: (n_seg, K+1, C) dequantisation table when
+    ``seg_planes`` is an int8 pack (SegmentPack.scales); None otherwise.
 
     ``unroll`` unrolls the inner slab scan. The loop is compute-bound once
     corners are hoisted; measured on v5e at 512^3/K=511/bf16/4M rays:
@@ -856,11 +923,15 @@ def trace_zscan_segments(
     def run(u0):
         def segment(uc, s):
             seg = jax.lax.dynamic_slice_in_dim(seg_planes, s, 1, axis=0)[0]
+            sc = (None if seg_scales is None else
+                  jax.lax.dynamic_slice_in_dim(seg_scales, s, 1,
+                                               axis=0)[0])
             return march_segment(
                 uc, seg, origin_ab, inv_ab, dp, shape_ab=shape_ab,
                 layout=layout, K=K, C=C, substeps=substeps,
                 atten_sign=atten_sign, integrator=integrator,
-                unroll=unroll, block=block, weights=weights), None
+                unroll=unroll, block=block, weights=weights,
+                scales=sc), None
 
         # remat: checkpoint at SEGMENT granularity so reverse-mode AD
         # (synthpy_tpu.inverse) stores one ray state per segment instead
@@ -890,7 +961,13 @@ def _auto_ray_chunk(spack: "SegmentPack",
     per-chunk dispatch overhead and HBM pressure (scratch/bench_chunk.py).
     """
     C = spack.seg_planes.shape[-1] // (spack.K + 1)
-    per_ray = 4 * (spack.K + 1) * C * spack.seg_planes.dtype.itemsize
+    # int8 packs: keep the CHUNK SIZE of the bf16 tuning (floor itemsize
+    # at 2) — the ~250k-ray sweet spot is a working-set property, and
+    # doubling the chunk erases the int8 gather win (measured: auto-523k
+    # chunk 4.06 M rays/s vs 262k chunk 5.24 at 512^3 rk2s2,
+    # scratch/bench_int8_prod.py vs BENCH int8 tier first cut)
+    per_ray = (4 * (spack.K + 1) * C
+               * max(spack.seg_planes.dtype.itemsize, 2))
     chunk = budget_bytes // per_ray
     return None if chunk > 64_000_000 else max(int(chunk), 65536)
 
@@ -938,7 +1015,8 @@ def solve_zscan_segments(
         u, spack.seg_planes, spack.origin_ab, spack.inv_spacing_ab, dp,
         shape_ab=spack.shape_ab, layout=layout, K=K, n_seg=n_seg,
         substeps=substeps, atten_sign=atten_sign, ray_chunk=ray_chunk,
-        unroll=unroll, integrator=integrator, weights=weights)
+        unroll=unroll, integrator=integrator, weights=weights,
+        seg_scales=getattr(spack, "scales", None))
     uf.block_until_ready()
     duration = time.perf_counter() - start
 
@@ -1052,6 +1130,9 @@ def solve_zscan_segments_streamed(
     through its host auto-batching slab loop,
     /root/reference/src/simulator/domain.py:137-227).
     """
+    if getattr(hpack, "scales", None) is not None:
+        raise ValueError("int8 packs are not supported on the streamed "
+                         "path; use a device SegmentPack")
     layout = layout_of(domain)
     if probing_depth is None:
         probing_depth = domain.extent
@@ -1135,6 +1216,10 @@ def build_segment_pack_streaming(
     from synthpy_tpu import constants as _c
 
     layout = layout_of(domain)
+    if dtype == jnp.int8:
+        raise ValueError("int8 packs: use build_segment_pack_device("
+                         "dtype=jnp.int8) or quantize_segment_pack(); the "
+                         "streamed host builder is float-only")
     if layout.inv_brems and (domain.Te is None or domain.Z is None):
         raise RuntimeError("inv_brems requires Te and Z grids")
     if layout.B_on and domain.B is None:
@@ -1312,6 +1397,7 @@ def build_segment_pack_device(
     nc = float(_c.critical_density(omega))
     pref = -0.5 * _c.C**2 / nc
     verdet = _c.verdet_constant(lwl) if layout.B_on else 0.0
+    quantized = dtype == jnp.int8
     C = layout.n_channels
     n_slabs = n_p - 1
     n_seg = -(-n_slabs // K)
@@ -1372,6 +1458,16 @@ def build_segment_pack_device(
                 off = 2 if layout.inv_brems else 0
                 for Bi in eb[off:off + 3]:
                     chans.append(verdet * body * Bi)
+            if quantized:
+                out = jnp.stack(chans, axis=-1)     # (K+1, na, nb, C) f32
+                out = jnp.where((gidx <= n_p - 1)[:, None, None, None],
+                                out, 0)
+                amax = jnp.max(jnp.abs(out), axis=(1, 2))   # (K+1, C)
+                scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+                q = jnp.clip(jnp.round(out / scale[:, None, None]),
+                             -127, 127).astype(jnp.int8)
+                q = jnp.transpose(q, (1, 2, 0, 3))  # (na, nb, K+1, C)
+                return q.reshape(na * nb, (K + 1) * C), scale
             out = jnp.stack([c.astype(dtype) for c in chans], axis=-1)
             out = jnp.where((gidx <= n_p - 1)[:, None, None, None], out, 0)
             out = jnp.transpose(out, (1, 2, 0, 3))  # (na, nb, K+1, C)
@@ -1389,7 +1485,11 @@ def build_segment_pack_device(
     out = build(ne, *extras)
     del ne, extras
 
+    scales = None
+    if quantized:
+        out, scales = out
+
     origin_ab = jnp.stack([ca[0], cb[0]])
     inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])
     return SegmentPack(out, origin_ab, inv_ab, (na, nb), K, n_slabs,
-                       float(cp[0]), dp, omega)
+                       float(cp[0]), dp, omega, scales)

@@ -898,3 +898,80 @@ def test_rk2s4_images_close():
                                  bins=(40, 30), integrator="rk2s4"))
     assert Hs.sum() == H4.sum()
     assert np.abs(Hs - H4).sum() <= 0.05 * H4.sum()
+
+def test_int8_pack_matches_float_pack():
+    """int8 quantised packs (per-(segment, plane, channel) scales): exit
+    rays within the quantisation tolerance class of the f32 pack and
+    detector images equal at the percent level, for every integrator
+    tier and both weights modes. Rationale: the march is gather-bound
+    (DESIGN.md step 6) and int8 halves the bytes/ray — measured 1.24x at
+    512^3 production shape (scratch/bench_int8_prod.py)."""
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_device,
+                                          solve_zscan_segments)
+
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    sp_f = build_segment_pack_device(d, K=8, dtype=jnp.float32)
+    sp_q = build_segment_pack_device(d, K=8, dtype=jnp.int8)
+    assert sp_q.seg_planes.dtype == jnp.int8
+    assert sp_q.scales.shape == (sp_q.seg_planes.shape[0], 9,
+                                 sp_f.seg_planes.shape[-1] // 9)
+    s0 = init_beam(jax.random.PRNGKey(90), 4096, 2e-3, 1e-3, EXT,
+                   "circular")
+    for integ in ("rk4", "rk2", "rk2s2", "rk2s4"):
+        for w in ("stage", "slab"):
+            ref = np.asarray(solve_zscan_segments(
+                s0, d, spack=sp_f, integrator=integ, weights=w).sf)
+            out = np.asarray(solve_zscan_segments(
+                s0, d, spack=sp_q, integrator=integ, weights=w).sf)
+            # positions: quantisation of the acceleration field perturbs
+            # exit positions at the sub-cell level (cell = 3e-4 m here)
+            np.testing.assert_allclose(out[0], ref[0], atol=3e-6,
+                                       err_msg=f"{integ}/{w}")
+            np.testing.assert_allclose(
+                out[3], ref[3], rtol=2e-2,
+                atol=np.abs(ref[3]).max() * 2e-2, err_msg=f"{integ}/{w}")
+
+    H = np.asarray(pipeline.run(d, s0, spack=sp_f, solver="zscan_seg",
+                                bins=(54, 40)))
+    Hq = np.asarray(pipeline.run(d, s0, spack=sp_q, solver="zscan_seg",
+                                 bins=(54, 40)))
+    assert Hq.sum() == H.sum()
+    assert np.abs(Hq - H).sum() <= 0.03 * H.sum()
+
+
+def test_quantize_segment_pack_round_trip_and_guards():
+    """quantize_segment_pack: dequantised cells within one scale step of
+    the float pack; int8 packs rejected on the unsupported paths."""
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_device,
+                                          build_segment_pack_streaming,
+                                          march_segment,
+                                          quantize_segment_pack)
+
+    d = ScalarDomain(2 * EXT, 17).test_lens(ne_0=5e24, LR=1.5e-3)
+    sp_f = build_segment_pack_device(d, K=8, dtype=jnp.float32)
+    sp_q = quantize_segment_pack(sp_f)
+    assert sp_q.seg_planes.dtype == jnp.int8
+    # idempotent
+    assert quantize_segment_pack(sp_q) is sp_q
+    n_seg, cells, cols = sp_f.seg_planes.shape
+    C = cols // 9
+    v = np.asarray(sp_f.seg_planes).reshape(n_seg, cells, 9, C)
+    deq = (np.asarray(sp_q.seg_planes).reshape(n_seg, cells, 9, C)
+           * np.asarray(sp_q.scales)[:, None])
+    err = np.abs(deq - v)
+    assert (err <= 0.5 * np.asarray(sp_q.scales)[:, None] + 1e-12).all()
+
+    # guards: quantised tables are per-slab fast-path only
+    u = jnp.zeros((16, 8))
+    with pytest.raises(ValueError, match="int8"):
+        march_segment(u, sp_q.seg_planes[0], sp_q.origin_ab,
+                      sp_q.inv_spacing_ab, sp_q.dp,
+                      shape_ab=sp_q.shape_ab,
+                      layout=__import__("synthpy_tpu.fields.domain",
+                                        fromlist=["layout_of"]
+                                        ).layout_of(d),
+                      K=sp_q.K, C=C, substeps=2,
+                      scales=sp_q.scales[0])
+    with pytest.raises(ValueError, match="int8"):
+        build_segment_pack_streaming(d, dtype=jnp.int8)
