@@ -106,11 +106,14 @@ def main():
     # ray — an all-zero schlieren target whose normalisation then
     # explodes the loss (the degeneracy assert below catches this)
     bench_kw = {"schlieren_df": {"stop_R": 0.12}}
+    # 256^3+: bf16 traced pack — the f32 chain's backward pass needs
+    # ~41 GB at 512^3; bf16 + the checkpointed pack build fit one chip
+    pdt = jnp.bfloat16 if DIM >= 256 else None
     render_meas = make_renderer(
         dom, s0, diagnostic=("shadowgraphy", "schlieren_df",
                              "interferometry"),
         bins=BINS, K=max(DIM // 8, 8), Lx=LXY, Ly=LXY,
-        n_fringes=N_FRINGES, bench_kwargs=bench_kw)
+        n_fringes=N_FRINGES, bench_kwargs=bench_kw, pack_dtype=pdt)
     meas = jax.jit(lambda g: render_meas(volume(g)))
     tgt_shadow, tgt_schlieren, H_shot = [
         np.asarray(t) for t in meas(jnp.asarray(g_true))]
@@ -141,7 +144,7 @@ def main():
     render = make_renderer(
         dom, s0, diagnostic=("shadowgraphy", "schlieren_df", "phase_map"),
         bins=BINS, K=max(DIM // 8, 8), Lx=LXY, Ly=LXY,
-        bench_kwargs=bench_kw)
+        bench_kwargs=bench_kw, pack_dtype=pdt)
     render_v = lambda g: render(volume(g))
 
     sc_shadow = float(np.abs(tgt_shadow).max()) + 1e-30

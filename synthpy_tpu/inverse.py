@@ -205,9 +205,16 @@ def make_renderer(
     n_fringes: float = 10.0,
     deg: float = 20.0,
     remat: bool = True,
+    pack_dtype=None,
     bench_kwargs: Optional[dict] = None,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build ``render(ne) -> image``, differentiable with respect to ne.
+
+    ``pack_dtype``: optional down-cast for the traced segment tables
+    (e.g. ``jnp.bfloat16`` — halves the largest live buffers of the
+    reverse pass; interpolation math stays f32). At 512^3 the f32 chain
+    needs ~41 GB of HBM for the backward pass while the bf16 chain fits
+    one v5e chip (examples/inverse_volume_joint.py at dim=512).
 
     ``domain`` provides the static geometry (grid coordinates, probing
     direction); the returned closure re-derives the gradient pack from
@@ -264,18 +271,40 @@ def make_renderer(
     u0 = jnp.stack([s[a_ax], s[b_ax], s[3 + a_ax], s[3 + b_ax],
                     s[3 + p_ax], s[6], s[7], s[8]], axis=1)
 
+    # static segment geometry from one throwaway build (host-concrete by
+    # construction, make_zscan_pack geometry note); the per-call pack
+    # build below is wrapped in jax.checkpoint so the reverse pass
+    # recomputes the (cheap) gradient/phase channel chain instead of
+    # storing its ~pack-sized intermediates + cotangents — the change
+    # that brings a 512^3 inversion from 41 GB to within one chip's HBM.
+    g0 = copy.copy(geom)
+    if g0.ne is None:
+        g0.ne = jnp.zeros((geom.x.shape[0], geom.y.shape[0],
+                           geom.z.shape[0]), jnp.float32)
+    sp0 = make_segment_pack(
+        make_zscan_pack(build_pack(g0, lwl), layout, pd,
+                        dtype=pack_dtype), K=K)
+    n_seg0 = sp0.seg_planes.shape[0]
+    sp0 = sp0._replace(seg_planes=None)   # metadata only; free the table
+    del g0
+
+    @jax.checkpoint
+    def _seg_planes(ne):
+        g2 = copy.copy(geom)
+        g2.ne = ne
+        pack = build_pack(g2, lwl)
+        zp = make_zscan_pack(pack, layout, pd, dtype=pack_dtype)
+        return make_segment_pack(zp, K=K).seg_planes
+
     def render(ne: jnp.ndarray):
-        geom.ne = ne
-        pack = build_pack(geom, lwl)
-        zp = make_zscan_pack(pack, layout, pd)
-        sp = make_segment_pack(zp, K=K)
+        sp = sp0._replace(seg_planes=_seg_planes(ne))
         uf = trace_zscan_segments(
             u0, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab,
             jnp.asarray(sp.dp, u0.dtype), shape_ab=sp.shape_ab,
-            layout=layout, K=sp.K, n_seg=sp.seg_planes.shape[0],
+            layout=layout, K=sp.K, n_seg=n_seg0,
             remat=remat)
         sf = reassemble_state(
-            uf, sp.p0 + sp.seg_planes.shape[0] * sp.K * sp.dp, pd)
+            uf, sp.p0 + n_seg0 * sp.K * sp.dp, pd)
         rf, Jf = ray_to_Jonesvector(sf, depth, probing_direction=pd,
                                     return_E=any_coherent)
         r_mm = m_to_mm(rf)

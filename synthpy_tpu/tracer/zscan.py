@@ -583,8 +583,15 @@ def march_segment(
     a_offset=0,
     weights: str = "stage",
     scales: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """March (N, 8) permuted rays through ONE segment's corner table.
+
+    ``remat``: checkpoint each SLAB step of the inner scan so reverse-
+    mode AD recomputes per-slab stage intermediates instead of storing
+    all K slabs' residuals (~240 MB/slab at 1M rays) — combined with the
+    segment-level checkpoint in :func:`trace_zscan_segments` this is
+    what fits a 512^3-class inversion's backward pass in one chip's HBM.
 
     ``scales``: this segment's (K+1, C) f32 dequantisation table when
     ``seg`` is an int8 quantised pack (see :func:`quantize_segment_pack`);
@@ -840,24 +847,25 @@ def march_segment(
     # while-loop simplifier already removes the invariant carries, so
     # the hand-thinning bought nothing and was dropped.
     cols = tuple(uc[:, i] for i in range(8))
+    ckpt = jax.checkpoint if remat else (lambda f: f)
     if blocked:
-        cols, _ = jax.lax.scan(slab_block, cols,
+        cols, _ = jax.lax.scan(ckpt(slab_block), cols,
                                jnp.arange(K // block))
     elif integrator == "rk2s4":
-        cols, _ = jax.lax.scan(slab_quad, cols,
+        cols, _ = jax.lax.scan(ckpt(slab_quad), cols,
                                jnp.arange(K // 4), unroll=unroll)
         # remainder slabs (K % 4) fall back to single-slab rk2 steps
         for kk in range(K - (K % 4), K):
             cols, _ = slab(cols, jnp.int32(kk))
     elif integrator == "rk2s2":
-        cols, _ = jax.lax.scan(slab_pair, cols,
+        cols, _ = jax.lax.scan(ckpt(slab_pair), cols,
                                jnp.arange(K // 2), unroll=unroll)
         if K % 2:
             # odd K (e.g. 511 slabs at 512^3): one trailing
             # single-slab rk2 step covers the remainder
             cols, _ = slab(cols, jnp.int32(K - 1))
     else:
-        cols, _ = jax.lax.scan(slab, cols, jnp.arange(K),
+        cols, _ = jax.lax.scan(ckpt(slab), cols, jnp.arange(K),
                                unroll=unroll)
     return jnp.stack(cols, axis=1)
 
@@ -931,7 +939,7 @@ def trace_zscan_segments(
                 layout=layout, K=K, C=C, substeps=substeps,
                 atten_sign=atten_sign, integrator=integrator,
                 unroll=unroll, block=block, weights=weights,
-                scales=sc), None
+                scales=sc, remat=remat), None
 
         # remat: checkpoint at SEGMENT granularity so reverse-mode AD
         # (synthpy_tpu.inverse) stores one ray state per segment instead
