@@ -67,6 +67,10 @@ from synthpy_tpu.tracer import init_beam
 DIM = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 RAYS = int(float(sys.argv[2])) if len(sys.argv) > 2 else 400_000
 ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+# peak lr: the 128^3 default (2e-2) oscillates at 512^3 (loss climbs
+# from 0.20 to 0.25 and plateaus, measured); larger maps need a gentler
+# schedule
+LR = float(sys.argv[4]) if len(sys.argv) > 4 else 2e-2
 
 EXT = 5e-3
 NE_SCALE = 5e23        # ~6 rad peak phase: a few-fringe object (demodulable)
@@ -166,7 +170,7 @@ def main():
     # cosine-decayed adam: a flat 3e-2 oscillates at the 128^3 scale
     # (measured: loss 0.044 -> 0.010 by iter 60, back up to 0.033 by
     # iter 100); decaying to zero converges monotonically
-    opt = optax.adam(optax.cosine_decay_schedule(2e-2, ITERS))
+    opt = optax.adam(optax.cosine_decay_schedule(LR, ITERS))
     state = opt.init(theta)
 
     @jax.jit

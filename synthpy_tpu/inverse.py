@@ -46,6 +46,7 @@ from synthpy_tpu.optics.rtm import m_to_mm
 from synthpy_tpu.tracer.propagator import ray_to_Jonesvector
 from synthpy_tpu.tracer.zscan import (make_segment_pack, make_zscan_pack,
                                       reassemble_state,
+                                      segment_pack_metadata,
                                       trace_zscan_segments)
 
 __all__ = ["apply_stages_weighted", "cic_image", "cic_intensity_image",
@@ -271,22 +272,15 @@ def make_renderer(
     u0 = jnp.stack([s[a_ax], s[b_ax], s[3 + a_ax], s[3 + b_ax],
                     s[3 + p_ax], s[6], s[7], s[8]], axis=1)
 
-    # static segment geometry from one throwaway build (host-concrete by
-    # construction, make_zscan_pack geometry note); the per-call pack
+    # static segment geometry straight from the domain coordinates (an
+    # eager throwaway table build OOMs at 512^3); the per-call pack
     # build below is wrapped in jax.checkpoint so the reverse pass
     # recomputes the (cheap) gradient/phase channel chain instead of
-    # storing its ~pack-sized intermediates + cotangents — the change
-    # that brings a 512^3 inversion from 41 GB to within one chip's HBM.
-    g0 = copy.copy(geom)
-    if g0.ne is None:
-        g0.ne = jnp.zeros((geom.x.shape[0], geom.y.shape[0],
-                           geom.z.shape[0]), jnp.float32)
-    sp0 = make_segment_pack(
-        make_zscan_pack(build_pack(g0, lwl), layout, pd,
-                        dtype=pack_dtype), K=K)
-    n_seg0 = sp0.seg_planes.shape[0]
-    sp0 = sp0._replace(seg_planes=None)   # metadata only; free the table
-    del g0
+    # storing its ~pack-sized intermediates + cotangents — together with
+    # march_segment(remat=True)'s slab-level checkpoints this brings a
+    # 512^3 inversion's backward pass from 41 GB into one chip's HBM.
+    sp0 = segment_pack_metadata(geom, lwl, K=K)
+    n_seg0 = -(-sp0.n_slabs // K)
 
     @jax.checkpoint
     def _seg_planes(ne):

@@ -202,10 +202,12 @@ def make_gridsharded_segment_tracer(mesh, layout: ChannelLayout, spack,
     (n_seg, na, nb, (K+1)C) reshape of ``spack.seg_planes`` (GSPMD
     shards it over ``grid_axis``).
     """
-    if getattr(spack, "scales", None) is not None:
-        raise ValueError("int8 packs are single-chip only; pass a float "
-                         "SegmentPack to the grid-sharded tracer")
     from synthpy_tpu.tracer.zscan import march_segment
+
+    # int8 packs compose for free: scales are per-(segment, plane,
+    # channel) — cell-independent — so each shard dequantises its local
+    # table rows with the replicated scale row (closure constant)
+    scales = getattr(spack, "scales", None)
 
     G = mesh.shape[grid_axis]
     na, nb = spack.shape_ab
@@ -227,6 +229,8 @@ def make_gridsharded_segment_tracer(mesh, layout: ChannelLayout, spack,
 
         def segment(uc, s):
             seg = jax.lax.dynamic_slice_in_dim(segs_flat, s, 1, axis=0)[0]
+            sc = (None if scales is None else
+                  jax.lax.dynamic_slice_in_dim(scales, s, 1, axis=0)[0])
             # ownership from the segment-start frozen corner cell (the
             # same clip as march_segment's, so every ray — including
             # off-grid drifters, clipped to the edge rows — has exactly
@@ -238,7 +242,8 @@ def make_gridsharded_segment_tracer(mesh, layout: ChannelLayout, spack,
                 uc, seg, origin_ab, inv_ab, dp,
                 shape_ab=(na, nb), layout=layout, K=K, C=C,
                 substeps=substeps, atten_sign=atten_sign,
-                integrator=integrator, unroll=unroll, a_offset=lo)
+                integrator=integrator, unroll=unroll, a_offset=lo,
+                scales=sc)
             out = jnp.where(owned[:, None], out, 0.0)
             return jax.lax.psum(out, grid_axis), None
 

@@ -54,7 +54,10 @@ def make_pipelined_segment_tracer(
     """Build a jitted PP tracer over ``axis`` of ``mesh``.
 
     The returned function has signature
-    ``f(chunks, seg_planes, origin_ab, inv_ab, dp) -> chunks_out`` where
+    ``f(chunks, seg_planes, origin_ab, inv_ab, dp) -> chunks_out``
+    (for an int8 ``spack`` — SegmentPack.scales set — the
+    (n_seg, K+1, C) scales table is an extra argument after
+    ``seg_planes``, sharded over the same segment axis) where
     ``chunks`` is (n_chunks, chunk_rays, 8) permuted ray state and
     ``seg_planes`` the full (n_seg, nab, (K+1)C) table (GSPMD shards it
     over ``axis``). ``integrator``: "rk4" (parity), "rk2" (midpoint) or
@@ -69,9 +72,7 @@ def make_pipelined_segment_tracer(
         raise ValueError(f"unknown integrator {integrator!r}")
     if integrator != "rk4" and substeps != 1:
         raise ValueError(f"integrator={integrator!r} requires substeps=1")
-    if getattr(spack, "scales", None) is not None:
-        raise ValueError("int8 packs are single-chip only; pass a float "
-                         "SegmentPack to the PP tracer")
+    quantized = getattr(spack, "scales", None) is not None
     D = mesh.shape[axis]
     n_seg = spack.seg_planes.shape[0]
     assert n_seg % D == 0, f"n_seg {n_seg} must divide over {D} devices"
@@ -86,7 +87,7 @@ def make_pipelined_segment_tracer(
         raise ValueError(f"shard_chunks needs n_chunks {M} % D {D} == 0")
     M_local = M // D if shard_chunks else M
 
-    def local_fn(chunks, seg_local, origin_ab, inv_ab, dp):
+    def local_fn(chunks, seg_local, scales_local, origin_ab, inv_ab, dp):
         d = jax.lax.axis_index(axis)
         chunk_rays = chunks.shape[1]
         T = M + D - 1
@@ -96,11 +97,14 @@ def make_pipelined_segment_tracer(
             def seg_step(uc, s):
                 seg = jax.lax.dynamic_slice_in_dim(seg_local, s, 1,
                                                    axis=0)[0]
+                sc = (None if scales_local is None else
+                      jax.lax.dynamic_slice_in_dim(scales_local, s, 1,
+                                                   axis=0)[0])
                 return march_segment(
                     uc, seg, origin_ab, inv_ab, dp, shape_ab=shape_ab,
                     layout=layout, K=K, C=C, substeps=substeps,
                     atten_sign=atten_sign, integrator=integrator,
-                    unroll=unroll), None
+                    unroll=unroll, scales=sc), None
 
             u, _ = jax.lax.scan(seg_step, u, jnp.arange(segs_local))
             return u
@@ -170,8 +174,23 @@ def make_pipelined_segment_tracer(
         return jax.lax.psum(out, axis)
 
     chunk_spec = P(axis, None, None) if shard_chunks else P()
+    if quantized:
+        # int8 surface: the (n_seg, K+1, C) scales table follows
+        # seg_planes, sharded over the same segment axis
+        mapped = jax.shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(chunk_spec, P(axis, None, None),
+                      P(axis, None, None), P(), P(), P()),
+            out_specs=chunk_spec,
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    def local_float(chunks, seg_local, origin_ab, inv_ab, dp):
+        return local_fn(chunks, seg_local, None, origin_ab, inv_ab, dp)
+
     mapped = jax.shard_map(
-        local_fn, mesh=mesh,
+        local_float, mesh=mesh,
         in_specs=(chunk_spec, P(axis, None, None), P(), P(), P()),
         out_specs=chunk_spec,
         check_vma=False,

@@ -387,6 +387,30 @@ def make_segment_pack(zpack: ZScanPack, K: int = 64) -> SegmentPack:
                        zpack.omega)
 
 
+def segment_pack_metadata(domain: ScalarDomain, lwl: float = 1064e-9,
+                          K: int = 64) -> SegmentPack:
+    """SegmentPack with ``seg_planes=None``: geometry/segmentation
+    metadata only, from the domain coordinates — no tables built.
+
+    For callers that derive the tables separately (e.g. the
+    differentiable renderer, which rebuilds seg_planes from a traced ne
+    every call): an eager throwaway table build at 512^3 costs several
+    GB of transient HBM just to read off origins and spacings.
+    """
+    from synthpy_tpu import constants as _c
+
+    p_ax = _AXIS_OF[domain.probing_direction]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+    coords = (domain.x, domain.y, domain.z)
+    ca, cb, cp = coords[a_ax], coords[b_ax], coords[p_ax]
+    origin_ab = jnp.stack([ca[0], cb[0]])
+    inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])
+    return SegmentPack(None, origin_ab, inv_ab,
+                       (ca.shape[0], cb.shape[0]), K, cp.shape[0] - 1,
+                       float(cp[0]), float(cp[1] - cp[0]),
+                       float(_c.omega_from_lwl(lwl)), None)
+
+
 def quantize_segment_pack(spack: SegmentPack) -> SegmentPack:
     """Symmetric per-(segment, plane, channel) int8 quantisation.
 

@@ -401,3 +401,91 @@ def test_gridsharded_segment_march_bit_identical():
         np.testing.assert_allclose(out, ref, rtol=rtol,
                                    atol=rtol * np.abs(ref).max(),
                                    err_msg=integ)
+
+def test_pipelined_segment_tracer_int8_matches_single_device():
+    """PP over an int8 quantised pack (scales sharded with their
+    segments) == the single-device int8 march, bit-for-bit: both run the
+    same march_segment dequantisation arithmetic."""
+    from jax.sharding import AxisType
+
+    from synthpy_tpu.fields import layout_of as _layout_of
+    from synthpy_tpu.parallel.pipeline_pp import (
+        make_pipelined_segment_tracer,
+    )
+    from synthpy_tpu.tracer.zscan import (
+        make_segment_pack,
+        make_zscan_pack,
+        quantize_segment_pack,
+        trace_zscan_segments,
+    )
+
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    pack = build_pack(d)
+    lay = _layout_of(d)
+    sp = quantize_segment_pack(
+        make_segment_pack(make_zscan_pack(pack, lay), K=8))
+    assert sp.seg_planes.dtype == jnp.int8
+
+    s0 = init_beam(jax.random.PRNGKey(14), 192, 1.5e-3, 1e-3, EXT,
+                   "circular")
+    s = jnp.asarray(s0)
+    u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]], axis=1)
+    dp = jnp.float32(sp.dp)
+
+    ref = np.asarray(trace_zscan_segments(
+        u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp,
+        shape_ab=sp.shape_ab, layout=lay, K=sp.K,
+        n_seg=sp.seg_planes.shape[0], integrator="rk2s2",
+        seg_scales=sp.scales))
+
+    mesh = jax.make_mesh((4,), ("seg",), devices=jax.devices()[:4],
+                         axis_types=(AxisType.Auto,))
+    chunks = u.reshape(3, 64, 8)
+    tracer = make_pipelined_segment_tracer(mesh, lay, sp, n_chunks=3,
+                                           integrator="rk2s2")
+    out = np.asarray(tracer(chunks, sp.seg_planes, sp.scales,
+                            sp.origin_ab, sp.inv_spacing_ab,
+                            dp)).reshape(192, 8)
+    np.testing.assert_array_equal(out, ref)
+
+def test_gridsharded_segment_tracer_int8_matches_single_device():
+    """Grid-sharded march on an int8 pack (replicated scale rows +
+    sharded tables) == single-device int8 march, bit-for-bit."""
+    from jax.sharding import AxisType
+
+    from synthpy_tpu.fields import layout_of as _layout_of
+    from synthpy_tpu.parallel.mesh import make_gridsharded_segment_tracer
+    from synthpy_tpu.tracer.zscan import (
+        make_segment_pack,
+        make_zscan_pack,
+        quantize_segment_pack,
+        trace_zscan_segments,
+    )
+
+    d = ScalarDomain(2 * EXT, 32).test_lens(ne_0=5e24, LR=1.5e-3)
+    pack = build_pack(d)
+    lay = _layout_of(d)
+    sp = quantize_segment_pack(
+        make_segment_pack(make_zscan_pack(pack, lay), K=8))
+    s0 = init_beam(jax.random.PRNGKey(15), 160, 1.5e-3, 1e-3, EXT,
+                   "circular")
+    s = jnp.asarray(s0)
+    u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]], axis=1)
+    dp = jnp.float32(sp.dp)
+
+    ref = np.asarray(trace_zscan_segments(
+        u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp,
+        shape_ab=sp.shape_ab, layout=lay, K=sp.K,
+        n_seg=sp.seg_planes.shape[0], integrator="rk2s2",
+        seg_scales=sp.scales))
+
+    mesh = jax.make_mesh((4,), ("grid",), devices=jax.devices()[:4],
+                         axis_types=(AxisType.Auto,))
+    na, nb = sp.shape_ab
+    n_seg = sp.seg_planes.shape[0]
+    Cq = sp.seg_planes.shape[-1] // (sp.K + 1)
+    tables = sp.seg_planes.reshape(n_seg, na, nb, (sp.K + 1) * Cq)
+    tr = make_gridsharded_segment_tracer(mesh, lay, sp,
+                                         integrator="rk2s2")
+    out = np.asarray(tr(u, tables, sp.origin_ab, sp.inv_spacing_ab, dp))
+    np.testing.assert_array_equal(out, ref)
