@@ -71,6 +71,13 @@ ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 200
 # from 0.20 to 0.25 and plateaus, measured); larger maps need a gentler
 # schedule
 LR = float(sys.argv[4]) if len(sys.argv) > 4 else 2e-2
+# dark-field weight multiplier: the DF image is a near-binary function
+# of each ray's deflection crossing the stop threshold, so far from the
+# solution its MSE gradient is spiky and fights the smooth benches
+# (measured at 512^3: the balanced schlieren term CLIMBS 0.151 -> 0.177
+# while shadow+phase fall). Down-weight it and let the smooth benches
+# carry the descent; it still pins the solution near convergence.
+W_SCHL = float(sys.argv[5]) if len(sys.argv) > 5 else 1.0
 
 EXT = 5e-3
 NE_SCALE = 5e23        # ~6 rad peak phase: a few-fringe object (demodulable)
@@ -156,17 +163,34 @@ def main():
     sc_phase = float(np.abs(pu[beam_px]).max()) + 1e-30
     tv_w = 3e-3
 
-    def loss_fn(theta):
+    def data_terms(theta):
         g = jax.nn.softplus(theta)  # positivity
         im_sh, im_sc, im_ph = render_v(g)
-        data = (jnp.mean(((im_sh - tgt_shadow) / sc_shadow) ** 2)
-                + jnp.mean(((im_sc - tgt_schlieren) / sc_schl) ** 2)
-                + jnp.sum(phase_mask * ((im_ph - tgt_phase)
-                                        / sc_phase) ** 2)
+        l_sh = jnp.mean(((im_sh - tgt_shadow) / sc_shadow) ** 2)
+        l_sc = jnp.mean(((im_sc - tgt_schlieren) / sc_schl) ** 2)
+        l_ph = (jnp.sum(phase_mask * ((im_ph - tgt_phase)
+                                      / sc_phase) ** 2)
                 / phase_mask.sum())
-        return data + tv_w * tv(g)
+        return g, l_sh, l_sc, l_ph
 
-    theta = jnp.full((DIM, DIM), -1.5)  # softplus^-1 of ~0.2 pedestal
+    theta0 = jnp.full((DIM, DIM), -1.5)  # softplus^-1 of ~0.2 pedestal
+    # balance the benches by their cold-start misfits: the raw
+    # max-normalised MSEs differ by orders of magnitude between benches
+    # and grids (at 512^3 the sparse spiky dark-field image starts at
+    # 0.15 while shadowgraphy starts at 9e-4, measured — unbalanced, the
+    # schlieren term hijacks the descent and the loss climbs)
+    _, l0_sh, l0_sc, l0_ph = jax.jit(data_terms)(theta0)
+    w_sh = 1.0 / (float(l0_sh) + 1e-12)
+    w_sc = W_SCHL / (float(l0_sc) + 1e-12)
+    w_ph = 1.0 / (float(l0_ph) + 1e-12)
+
+    def loss_fn(theta):
+        g, l_sh, l_sc, l_ph = data_terms(theta)
+        l_tv = tv_w * tv(g)
+        total = (w_sh * l_sh + w_sc * l_sc + w_ph * l_ph) / 3.0 + l_tv
+        return total, (l_sh, l_sc, l_ph, l_tv)
+
+    theta = theta0
     # cosine-decayed adam: a flat 3e-2 oscillates at the 128^3 scale
     # (measured: loss 0.044 -> 0.010 by iter 60, back up to 0.033 by
     # iter 100); decaying to zero converges monotonically
@@ -175,15 +199,18 @@ def main():
 
     @jax.jit
     def step(th, st):
-        l, grads = jax.value_and_grad(loss_fn)(th)
+        (l, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(th)
         upd, st = opt.update(grads, st)
-        return optax.apply_updates(th, upd), st, l
+        return optax.apply_updates(th, upd), st, l, aux
 
     t0 = time.time()
     for i in range(ITERS):
-        theta, state, l = step(theta, state)
+        theta, state, l, aux = step(theta, state)
         if i % max(ITERS // 10, 1) == 0:
-            print(f"iter {i:4d}  loss {float(l):.6f}", flush=True)
+            sh, sc, ph, tvl = [float(a) for a in aux]
+            print(f"iter {i:4d}  loss {float(l):.6f}  "
+                  f"(shadow {sh:.4f}  schlieren {sc:.4f}  "
+                  f"phase {ph:.4f}  tv {tvl:.4f})", flush=True)
     jax.block_until_ready(theta)
     wall = time.time() - t0
 
