@@ -1065,7 +1065,7 @@ def solve_zscan_segments(
                                    "unroll", "ray_chunk", "weights"))
 def _march_one_segment(u, seg, origin_ab, inv_ab, dp, *, shape_ab, layout,
                        K, C, substeps, atten_sign, integrator, unroll,
-                       ray_chunk, weights="stage"):
+                       ray_chunk, weights="stage", scales=None):
     """One jitted march of ALL rays (optionally lax.map-chunked) through
     one uploaded segment table — the program body of the streamed path."""
     def run(uu):
@@ -1073,7 +1073,7 @@ def _march_one_segment(u, seg, origin_ab, inv_ab, dp, *, shape_ab, layout,
                              shape_ab=shape_ab, layout=layout, K=K, C=C,
                              substeps=substeps, atten_sign=atten_sign,
                              integrator=integrator, unroll=unroll,
-                             weights=weights)
+                             weights=weights, scales=scales)
 
     if ray_chunk is None or u.shape[0] <= ray_chunk:
         return run(u)
@@ -1162,9 +1162,6 @@ def solve_zscan_segments_streamed(
     through its host auto-batching slab loop,
     /root/reference/src/simulator/domain.py:137-227).
     """
-    if getattr(hpack, "scales", None) is not None:
-        raise ValueError("int8 packs are not supported on the streamed "
-                         "path; use a device SegmentPack")
     layout = layout_of(domain)
     if probing_depth is None:
         probing_depth = domain.extent
@@ -1186,6 +1183,12 @@ def solve_zscan_segments_streamed(
     if cache is not None and not cache.matches(hpack.seg_planes):
         raise ValueError("seg cache was built for a different pack")
 
+    # int8 host packs stream at HALF the H2D bytes (the dominant cost of
+    # the tunnel-attached 1024^3 full-physics path); the tiny scales
+    # table is uploaded whole, once
+    scales_dev = (None if getattr(hpack, "scales", None) is None
+                  else jax.device_put(jnp.asarray(hpack.scales)))
+
     def _seg(si):
         if cache is not None:
             hit = cache.get(si)
@@ -1201,7 +1204,8 @@ def solve_zscan_segments_streamed(
             u, seg_dev, origin_ab, inv_ab, dp, shape_ab=hpack.shape_ab,
             layout=layout, K=K, C=C, substeps=substeps,
             atten_sign=atten_sign, integrator=integrator, unroll=unroll,
-            ray_chunk=ray_chunk, weights=weights)
+            ray_chunk=ray_chunk, weights=weights,
+            scales=None if scales_dev is None else scales_dev[si])
         seg_dev = nxt
     u.block_until_ready()
     duration = time.perf_counter() - start
@@ -1248,10 +1252,6 @@ def build_segment_pack_streaming(
     from synthpy_tpu import constants as _c
 
     layout = layout_of(domain)
-    if dtype == jnp.int8:
-        raise ValueError("int8 packs: use build_segment_pack_device("
-                         "dtype=jnp.int8) or quantize_segment_pack(); the "
-                         "streamed host builder is float-only")
     if layout.inv_brems and (domain.Te is None or domain.Z is None):
         raise RuntimeError("inv_brems requires Te and Z grids")
     if layout.B_on and domain.B is None:
@@ -1269,6 +1269,7 @@ def build_segment_pack_streaming(
     nc = float(_c.critical_density(omega))
     pref = -0.5 * _c.C**2 / nc
     verdet = _c.verdet_constant(lwl) if layout.B_on else 0.0
+    quantized = dtype == jnp.int8
     C = layout.n_channels
     PB = min(plane_batch, n_p)
     n_extra = 2 * layout.inv_brems + 3 * layout.B_on
@@ -1292,6 +1293,13 @@ def build_segment_pack_streaming(
             off = 2 if layout.inv_brems else 0
             for i in range(3):
                 chans.append(verdet * slab * ex[off + i])
+        if quantized:
+            out = jnp.stack(chans, axis=-1)         # (PB, na, nb, C) f32
+            amax = jnp.max(jnp.abs(out), axis=(1, 2))      # (PB, C)
+            scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+            q = jnp.clip(jnp.round(out / scale[:, None, None]),
+                         -127, 127).astype(jnp.int8)
+            return jnp.transpose(q, (1, 2, 0, 3)), scale
         out = jnp.stack([c.astype(dtype) for c in chans], axis=-1)
         return jnp.transpose(out, (1, 2, 0, 3))  # (na, nb, PB, C)
 
@@ -1327,6 +1335,7 @@ def build_segment_pack_streaming(
 
     np_dtype = _np.asarray(jnp.zeros((), dtype)).dtype
     planes_host = _np.zeros((n_p, na, nb, C), np_dtype)
+    plane_scales = (_np.ones((n_p, C), _np.float32) if quantized else None)
     t_loop = _time.perf_counter()
     for lo in range(0, n_p, PB):
         hi = min(lo + PB, n_p)
@@ -1339,6 +1348,9 @@ def build_segment_pack_streaming(
             if extras_h else _np.zeros((0, PB, na, nb), ne_h.dtype))
         ch = batch_channels(slab, jnp.asarray(plane(idxs[0] - 1)),
                             jnp.asarray(plane(idxs[-1] + 1)), ex)
+        if quantized:
+            ch, sc = ch
+            plane_scales[lo:hi] = _np.asarray(sc)[: hi - lo]
         ch = _np.asarray(jnp.moveaxis(ch, 2, 0))  # (PB, na, nb, C)
         planes_host[lo:hi] = ch[: hi - lo]
         if verbose and (lo // PB) % 8 == 0:
@@ -1347,12 +1359,21 @@ def build_segment_pack_streaming(
 
     # one-sided probe-axis differences at the global boundary
     if n_p >= 2:
-        first_edge = (plane(1).astype(_np.float32)
-                      - plane(0).astype(_np.float32))
-        planes_host[0, :, :, 2] = (pref * first_edge / dp).astype(np_dtype)
-        last_edge = (plane(n_p - 1).astype(_np.float32)
-                     - plane(n_p - 2).astype(_np.float32))
-        planes_host[-1, :, :, 2] = (pref * last_edge / dp).astype(np_dtype)
+        first_edge = pref * (plane(1).astype(_np.float32)
+                             - plane(0).astype(_np.float32)) / dp
+        last_edge = pref * (plane(n_p - 1).astype(_np.float32)
+                            - plane(n_p - 2).astype(_np.float32)) / dp
+        if quantized:
+            # the edge replaces channel 2 of the boundary planes whole,
+            # so requantise that (plane, channel) with its own scale
+            for i, edge in ((0, first_edge), (n_p - 1, last_edge)):
+                sc2 = float(_np.abs(edge).max()) / 127.0 or 1.0
+                plane_scales[i, 2] = sc2
+                planes_host[i, :, :, 2] = _np.clip(
+                    _np.round(edge / sc2), -127, 127).astype(np_dtype)
+        else:
+            planes_host[0, :, :, 2] = first_edge.astype(np_dtype)
+            planes_host[-1, :, :, 2] = last_edge.astype(np_dtype)
 
     # host-side segment assembly
     n_slabs = n_p - 1
@@ -1375,10 +1396,20 @@ def build_segment_pack_streaming(
     else:
         out = seg_host
 
+    scales = None
+    if quantized:
+        # (n_seg, K+1, C); the tail segment's pad planes keep scale 1.0
+        scales = _np.ones((n_seg, K + 1, C), _np.float32)
+        for s_i in range(n_seg):
+            p_lo = s_i * K
+            p_hi = min(p_lo + K + 1, n_p)
+            scales[s_i, : p_hi - p_lo] = plane_scales[p_lo:p_hi]
+        scales = jnp.asarray(scales)
+
     origin_ab = jnp.stack([ca[0], cb[0]])
     inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])
     return SegmentPack(out, origin_ab, inv_ab, (na, nb), K, n_slabs,
-                       float(cp[0]), dp, omega)
+                       float(cp[0]), dp, omega, scales)
 
 
 def build_segment_pack_device(

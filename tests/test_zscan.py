@@ -975,3 +975,38 @@ def test_quantize_segment_pack_round_trip_and_guards():
                       scales=sp_q.scales[0])
     with pytest.raises(ValueError, match="int8"):
         build_segment_pack_streaming(d, dtype=jnp.int8)
+
+def test_streamed_int8_pack_matches_device_and_march():
+    """int8 on the STREAMED path: the host streaming builder's quantised
+    tables equal the device builder's (same per-plane scale semantics,
+    boundary one-sided planes requantised), and the segment-streamed
+    march is bit-identical to the in-memory int8 march. Full physics
+    channels on; halves the H2D bytes of the >HBM 1024^3 path."""
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_device,
+                                          build_segment_pack_streaming,
+                                          solve_zscan_segments,
+                                          solve_zscan_segments_streamed)
+
+    d = ScalarDomain(2 * EXT, 21).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    d.inv_brems = True
+    d.external_Te(200.0 * jnp.ones((21, 21, 21)))
+    d.external_Z(2.0 * jnp.ones((21, 21, 21)))
+
+    sp_dev = build_segment_pack_device(d, K=8, dtype=jnp.int8)
+    sp_str = build_segment_pack_streaming(d, K=8, dtype=jnp.int8,
+                                          plane_batch=5, device=False)
+    assert isinstance(sp_str.seg_planes, np.ndarray)
+    assert sp_str.seg_planes.dtype == np.int8
+    np.testing.assert_array_equal(sp_str.seg_planes,
+                                  np.asarray(sp_dev.seg_planes))
+    np.testing.assert_allclose(np.asarray(sp_str.scales),
+                               np.asarray(sp_dev.scales), rtol=1e-6)
+
+    s0 = init_beam(jax.random.PRNGKey(21), 2048, 2e-3, 1e-3, EXT,
+                   "circular")
+    ref = np.asarray(solve_zscan_segments(
+        s0, d, spack=sp_dev, integrator="rk2s2").sf)
+    out = np.asarray(solve_zscan_segments_streamed(
+        s0, d, hpack=sp_str, integrator="rk2s2").sf)
+    np.testing.assert_array_equal(out, ref)
