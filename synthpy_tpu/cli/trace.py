@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solver", default="zscan_seg",
                choices=("zscan_seg", "zscan", "time"))
     p.add_argument("--bin-scale", type=int, default=8)
+    p.add_argument("--pack-dtype", default="bf16",
+                   choices=("bf16", "f32", "int8"),
+                   help="segment-table dtype for --solver zscan_seg "
+                        "(int8 = quantised fast tier, image-equivalence"
+                        "-gated)")
     p.add_argument("--integrator", default="rk4",
                    choices=("rk4", "rk2", "rk2s2"),
                    help="zscan_seg slab integrator: rk4 (reference parity),"
@@ -98,11 +103,22 @@ def main(argv=None) -> dict:
     s0 = init_beam(jax.random.PRNGKey(args.seed), int(args.rays), beam_size,
                    args.divergence, ext, args.beam, args.probing)
 
+    spack = None
+    if args.solver == "zscan_seg" and args.pack_dtype != "bf16":
+        import jax.numpy as jnp
+
+        from synthpy_tpu.tracer.zscan import build_segment_pack_device
+        spack = build_segment_pack_device(
+            domain, lwl=args.lwl,
+            K=min(64, domain.dims[0] - 1),
+            dtype={"f32": jnp.float32, "int8": jnp.int8}[args.pack_dtype])
+
     if args.diagnostic == "none":
         if args.solver == "zscan_seg":
             from synthpy_tpu.tracer.zscan import solve_zscan_segments
             res = solve_zscan_segments(s0, domain, lwl=args.lwl,
-                                       integrator=args.integrator)
+                                       integrator=args.integrator,
+                                       spack=spack)
         elif args.solver == "zscan":
             res = solve_zscan(s0, domain, lwl=args.lwl)
         else:
@@ -115,6 +131,8 @@ def main(argv=None) -> dict:
         t1 = time.perf_counter()
         extra = ({"integrator": args.integrator}
                  if args.solver == "zscan_seg" else {})
+        if spack is not None:
+            extra["spack"] = spack
         out = pipeline.run(domain, s0,
                            diagnostic=diags if len(diags) > 1 else diags[0],
                            lwl=args.lwl,

@@ -85,3 +85,19 @@ def test_export_compressed_roundtrip(tmp_path):
 
     cells, shape, _ = _rp(pvti)
     np.testing.assert_array_equal(cells, arr)
+
+
+def test_trace_cli_int8_pack():
+    """--pack-dtype int8 routes the quantised segment tables through the
+    one-call pipeline; counts conserved vs the bf16 default."""
+    ref = trace_cli.main([
+        "-d", "17", "-r", "2000", "--solver", "zscan_seg",
+        "--integrator", "rk2s2", "--diagnostic", "shadowgraphy",
+        "--bin-scale", "64"])
+    res = trace_cli.main([
+        "-d", "17", "-r", "2000", "--solver", "zscan_seg",
+        "--pack-dtype", "int8", "--integrator", "rk2s2",
+        "--diagnostic", "shadowgraphy", "--bin-scale", "64"])
+    # quantisation may push a handful of edge rays across the detector
+    # boundary; counts agree to a fraction of a percent
+    assert abs(res["image_sum"] - ref["image_sum"]) <= 0.01 * ref["image_sum"]
