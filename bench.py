@@ -13,7 +13,8 @@ north-star target of 1e8 rays -> finished shadowgram in 60 s on a v5e-8
 Prints exactly one JSON line. Environment overrides:
     BENCH_DIM (default 512), BENCH_RAYS (default 4_000_000),
     BENCH_SOLVER (zscan_seg | zscan | time), BENCH_K (segment length,
-    default dim-1 = fast profile), BENCH_PACK_DTYPE (bf16 | f32),
+    default dim-1 = fast profile), BENCH_PACK_DTYPE (bf16 | f32 | int8 |
+    int4),
     BENCH_STEPS_PER_CELL, BENCH_INTEGRATOR (rk2 | rk4),
     BENCH_WEIGHTS (slab | stage; default slab for zscan_seg: the
     per-slab transverse-weight hoist is the production fast mode,
@@ -67,11 +68,11 @@ def main() -> None:
         # trailing single step costs ~20% on rk2s2)
         K = int(os.environ.get("BENCH_K", dim))
         pdt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
-               "int8": jnp.int8}[os.environ.get("BENCH_PACK_DTYPE",
-                                                "bf16")]
+               "int8": jnp.int8,
+               "int4": "int4"}[os.environ.get("BENCH_PACK_DTYPE", "bf16")]
         pack_kwargs = {"spack": build_segment_pack_device(
             domain, K=min(K, dim), dtype=pdt)}
-        if pdt != jnp.int8:
+        if pdt not in (jnp.int8, "int4"):
             # int8 tier (per-(plane, channel)-scaled quantised pack):
             # halves the gather-bound march's bytes/ray; image-equivalence
             # gated by tests/test_zscan.py::test_int8_pack_matches_float_pack
@@ -114,6 +115,7 @@ def main() -> None:
 
     H, elapsed = timed(integrator)
     rk4_rays_s = rk2s2_rays_s = rk2s4_rays_s = int8_rk2s2_rays_s = None
+    int4_rk2s4_rays_s = None
     if solver == "zscan_seg" and integrator == "rk2":
         _, el4 = timed("rk4")
         rk4_rays_s = round(rays / el4, 1)
@@ -126,10 +128,22 @@ def main() -> None:
         _, els4 = timed("rk2s4")
         rk2s4_rays_s = round(rays / els4, 1)
         if spack_int8 is not None:
-            # fastest single-chip tier: stride-2 midpoint on the int8
-            # quantised pack (gather bytes/ray halved)
+            # stride-2 midpoint on the int8 quantised pack (gather
+            # bytes/ray halved)
             _, elq = timed("rk2s2", {"spack": spack_int8})
             int8_rk2s2_rays_s = round(rays / elq, 1)
+            del spack_int8
+            # fastest single-chip tier: stride-4 midpoint on the int4
+            # nibble pack (gather bytes/ray quartered vs bf16;
+            # turbulent-field error int8-class, lens caustics are the
+            # documented worst case — scratch/int4_error_512.py)
+            from synthpy_tpu.tracer.zscan import (
+                build_segment_pack_device as _bspd)
+            spack_int4 = _bspd(domain, K=min(K, dim) // 4 * 4,
+                               dtype="int4")
+            _, elq4 = timed("rk2s4", {"spack": spack_int4})
+            int4_rk2s4_rays_s = round(rays / elq4, 1)
+            del spack_int4
 
     # Optional REAL north-star measurement (never a citation: the value
     # reported is the wall clock of the run this bench just executed).
@@ -144,8 +158,9 @@ def main() -> None:
         # fastest validated tier by default: int8 quantised pack
         # (image-equivalence gated; BENCH_FULL_PACK_DTYPE=bf16 reverts)
         fdt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
-               "int8": jnp.int8}[os.environ.get("BENCH_FULL_PACK_DTYPE",
-                                                "int8")]
+               "int8": jnp.int8,
+               "int4": "int4"}[os.environ.get("BENCH_FULL_PACK_DTYPE",
+                                              "int8")]
         t0 = time.perf_counter()  # field + pack + trace + detector
         d2 = _SD(2 * ext, dim).test_lens(ne_0=5e24, LR=1.5e-3)
         sp2 = build_segment_pack_device(d2, K=dim, dtype=fdt,
@@ -187,6 +202,7 @@ def main() -> None:
             "rk2s2_rays_s": rk2s2_rays_s,
             "rk2s4_rays_s": rk2s4_rays_s,
             "int8_rk2s2_rays_s": int8_rk2s2_rays_s,
+            "int4_rk2s4_rays_s": int4_rk2s4_rays_s,
             # freshly measured under BENCH_FULL=1, else absent (the
             # historical record lives in scratch/results_1e8_*.jsonl and
             # README, not in live bench output)

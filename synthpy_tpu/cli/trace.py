@@ -49,15 +49,17 @@ def build_parser() -> argparse.ArgumentParser:
                choices=("zscan_seg", "zscan", "time"))
     p.add_argument("--bin-scale", type=int, default=8)
     p.add_argument("--pack-dtype", default="bf16",
-                   choices=("bf16", "f32", "int8"),
+                   choices=("bf16", "f32", "int8", "int4"),
                    help="segment-table dtype for --solver zscan_seg "
                         "(int8 = quantised fast tier, image-equivalence"
-                        "-gated)")
+                        "-gated; int4 = nibble-packed tier, requires "
+                        "--integrator rk2s2 or rk2s4)")
     p.add_argument("--integrator", default="rk4",
-                   choices=("rk4", "rk2", "rk2s2"),
+                   choices=("rk4", "rk2", "rk2s2", "rk2s4"),
                    help="zscan_seg slab integrator: rk4 (reference parity),"
-                        " rk2 (midpoint; ~1.4x faster on TPU), or rk2s2"
-                        " (stride-2 midpoint; ~2x; both oracle-validated)")
+                        " rk2 (midpoint; ~1.4x faster on TPU), rk2s2"
+                        " (stride-2 midpoint; ~2x; both oracle-validated)"
+                        " or rk2s4 (stride-4; image-equivalence tier)")
     p.add_argument("--phaseshift", action="store_true")
     p.add_argument("-o", "--output", default=None,
                    help="output prefix (writes <prefix>.npz)")
@@ -108,10 +110,19 @@ def main(argv=None) -> dict:
         import jax.numpy as jnp
 
         from synthpy_tpu.tracer.zscan import build_segment_pack_device
+        if args.pack_dtype == "int4":
+            if args.integrator not in ("rk2s2", "rk2s4"):
+                raise SystemExit("--pack-dtype int4 requires --integrator "
+                                 "rk2s2 or rk2s4 (nibble pairs align to "
+                                 "even plane strides)")
+            stride = 2 if args.integrator == "rk2s2" else 4
+            K = min(64, (domain.dims[0] - 1) // stride * stride)
+        else:
+            K = min(64, domain.dims[0] - 1)
         spack = build_segment_pack_device(
-            domain, lwl=args.lwl,
-            K=min(64, domain.dims[0] - 1),
-            dtype={"f32": jnp.float32, "int8": jnp.int8}[args.pack_dtype])
+            domain, lwl=args.lwl, K=K,
+            dtype={"f32": jnp.float32, "int8": jnp.int8,
+                   "int4": "int4"}[args.pack_dtype])
 
     if args.diagnostic == "none":
         if args.solver == "zscan_seg":

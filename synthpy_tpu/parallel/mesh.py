@@ -202,19 +202,21 @@ def make_gridsharded_segment_tracer(mesh, layout: ChannelLayout, spack,
     (n_seg, na, nb, (K+1)C) reshape of ``spack.seg_planes`` (GSPMD
     shards it over ``grid_axis``).
     """
-    from synthpy_tpu.tracer.zscan import march_segment
+    from synthpy_tpu.tracer.zscan import march_segment, _plane_blocks
 
-    # int8 packs compose for free: scales are per-(segment, plane,
+    # int8/int4 packs compose for free: scales are per-(segment, plane,
     # channel) — cell-independent — so each shard dequantises its local
     # table rows with the replicated scale row (closure constant)
     scales = getattr(spack, "scales", None)
+    qbits = getattr(spack, "qbits", None)
 
     G = mesh.shape[grid_axis]
     na, nb = spack.shape_ab
     assert na % G == 0, f"transverse a-dim {na} must divide over {G}"
     naloc = na // G
     K = spack.K
-    C = spack.seg_planes.shape[-1] // (K + 1)
+    cols = spack.seg_planes.shape[-1]
+    C = cols // _plane_blocks(K, qbits)
     n_seg = spack.seg_planes.shape[0]
 
     def local_fn(u, segs_local, origin_ab, inv_ab, dp):
@@ -224,7 +226,7 @@ def make_gridsharded_segment_tracer(mesh, layout: ChannelLayout, spack,
         perm = [(i, (i - 1) % G) for i in range(G)]
         halo = jax.lax.ppermute(first, grid_axis, perm)
         segs_h = jnp.concatenate([segs_local, halo], axis=1)
-        segs_flat = segs_h.reshape(n_seg, (naloc + 1) * nb, (K + 1) * C)
+        segs_flat = segs_h.reshape(n_seg, (naloc + 1) * nb, cols)
         lo = (g * naloc).astype(jnp.int32)
 
         def segment(uc, s):
@@ -243,7 +245,7 @@ def make_gridsharded_segment_tracer(mesh, layout: ChannelLayout, spack,
                 shape_ab=(na, nb), layout=layout, K=K, C=C,
                 substeps=substeps, atten_sign=atten_sign,
                 integrator=integrator, unroll=unroll, a_offset=lo,
-                scales=sc)
+                scales=sc, qbits=qbits)
             out = jnp.where(owned[:, None], out, 0.0)
             return jax.lax.psum(out, grid_axis), None
 

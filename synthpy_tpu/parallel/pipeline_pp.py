@@ -73,12 +73,14 @@ def make_pipelined_segment_tracer(
     if integrator != "rk4" and substeps != 1:
         raise ValueError(f"integrator={integrator!r} requires substeps=1")
     quantized = getattr(spack, "scales", None) is not None
+    qbits = getattr(spack, "qbits", None)
     D = mesh.shape[axis]
     n_seg = spack.seg_planes.shape[0]
     assert n_seg % D == 0, f"n_seg {n_seg} must divide over {D} devices"
     segs_local = n_seg // D
     K = spack.K
-    C = spack.seg_planes.shape[-1] // (K + 1)
+    from synthpy_tpu.tracer.zscan import _plane_blocks
+    C = spack.seg_planes.shape[-1] // _plane_blocks(K, qbits)
     shape_ab = spack.shape_ab
     M = n_chunks
     if shard_chunks is None:
@@ -104,7 +106,7 @@ def make_pipelined_segment_tracer(
                     uc, seg, origin_ab, inv_ab, dp, shape_ab=shape_ab,
                     layout=layout, K=K, C=C, substeps=substeps,
                     atten_sign=atten_sign, integrator=integrator,
-                    unroll=unroll, scales=sc), None
+                    unroll=unroll, scales=sc, qbits=qbits), None
 
             u, _ = jax.lax.scan(seg_step, u, jnp.arange(segs_local))
             return u

@@ -165,7 +165,7 @@ def synth_image(
     "bins", "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane", "p0",
     "dp_static", "sort_rays", "segmented", "seg_K", "shape_ab",
     "coherent_convention", "integrator", "detL", "n_fringes", "deg",
-    "coherent_raw", "seg_weights"))
+    "coherent_raw", "seg_weights", "seg_qbits"))
 def synth_image_zscan(
     s0: jnp.ndarray,
     planes: jnp.ndarray,
@@ -200,11 +200,13 @@ def synth_image_zscan(
     coherent_raw: bool = False,
     seg_weights: str = "stage",
     seg_scales: Optional[jnp.ndarray] = None,
+    seg_qbits: Optional[int] = None,
 ) -> jnp.ndarray:
     """z-scan pipeline on a (9, Np) initial state. Returns (ny, nx) image.
 
-    ``seg_scales``: dequantisation table when ``planes`` is an int8
-    SegmentPack (SegmentPack.scales); None for float packs.
+    ``seg_scales``: dequantisation table when ``planes`` is a quantised
+    SegmentPack (SegmentPack.scales); None for float packs. ``seg_qbits``
+    is SegmentPack.qbits (4 marks a nibble-packed int4 table).
 
     ``sort_rays`` reorders rays by entry cell (histograms are permutation-
     invariant); measured neutral-to-negative once corner gathers are
@@ -231,7 +233,8 @@ def synth_image_zscan(
             u, planes, origin_ab, inv_ab, dp, shape_ab=shape_ab,
             layout=layout, K=seg_K, n_seg=n_seg, substeps=substeps,
             ray_chunk=ray_chunk, integrator=integrator,
-            weights=seg_weights, seg_scales=seg_scales)
+            weights=seg_weights, seg_scales=seg_scales,
+            qbits=seg_qbits)
         p_end = p0 + n_seg * seg_K * dp_static
     else:
         uf = trace_zscan(u, planes, origin_ab, inv_ab, dp, layout=layout,
@@ -451,6 +454,7 @@ def run(
             n_slabs = spack.seg_planes.shape[0] * spack.K
 
             _scales = getattr(spack, "scales", None)
+            _qbits = getattr(spack, "qbits", None)
 
             def _call(s_batch, rc):
                 return synth_image_zscan(
@@ -460,6 +464,7 @@ def run(
                     dp_static=spack.dp,
                     seg_scales=(None if _scales is None
                                 else _repl(_scales)),
+                    seg_qbits=_qbits,
                     substeps=max(int(round(steps_per_cell)), 1),
                     diagnostic=diagnostic, segmented=True, seg_K=spack.K,
                     shape_ab=spack.shape_ab,
@@ -467,8 +472,9 @@ def run(
                     ray_chunk=rc, lwl=lwl, **bench_kwargs)
 
             pack_bytes = spack.seg_planes.size * spack.seg_planes.dtype.itemsize
-            n_chan = spack.seg_planes.shape[-1] // (spack.K + 1)
-            per_ray = (4 * (spack.K + 1) * n_chan
+            # hoisted corner bytes/ray: 4 rows of the table, whatever its
+            # dtype/packing (int8 halves this vs bf16, int4 quarters it)
+            per_ray = (4 * spack.seg_planes.shape[-1]
                        * spack.seg_planes.dtype.itemsize)
             if mesh is None and pack_bytes > batch_pack_bytes:
                 # HBM-pressure regime (1024^3-class packs): in-program ray

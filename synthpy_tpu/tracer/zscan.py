@@ -363,6 +363,28 @@ class SegmentPack(NamedTuple):
     dp: float
     omega: float
     scales: Optional[jnp.ndarray] = None
+    # None for float and int8 packs; 4 for nibble-packed int4 packs
+    # (seg_planes holds (K//2+1)*C BYTES per row: byte j*C+c packs plane
+    # 2j channel c in its low nibble and plane 2j+1 in its high nibble).
+    # int4 packs quarter the gather bytes/ray vs bf16 and are supported
+    # on the even-stride integrators (rk2s2, rk2s4) whose stage planes
+    # align to whole byte blocks.
+    qbits: Optional[int] = None
+
+
+def _plane_blocks(K: int, qbits: Optional[int]) -> int:
+    """Byte blocks per (K+1)-plane corner row: nibble packs pair planes."""
+    return K // 2 + 1 if qbits == 4 else K + 1
+
+
+def _nibble_lo(w: jnp.ndarray) -> jnp.ndarray:
+    """Sign-extended low nibble of an int8 byte (plane 2j of the pair)."""
+    return jnp.right_shift(jnp.left_shift(w, 4), 4)
+
+
+def _nibble_hi(w: jnp.ndarray) -> jnp.ndarray:
+    """Sign-extended high nibble (plane 2j+1): arithmetic shift on int8."""
+    return jnp.right_shift(w, 4)
 
 
 def make_segment_pack(zpack: ZScanPack, K: int = 64) -> SegmentPack:
@@ -411,33 +433,60 @@ def segment_pack_metadata(domain: ScalarDomain, lwl: float = 1064e-9,
                        float(_c.omega_from_lwl(lwl)), None)
 
 
-def quantize_segment_pack(spack: SegmentPack) -> SegmentPack:
-    """Symmetric per-(segment, plane, channel) int8 quantisation.
+def quantize_segment_pack(spack: SegmentPack, bits: int = 8) -> SegmentPack:
+    """Symmetric per-(segment, plane, channel) int8/int4 quantisation.
 
     The march is gather-bound (4 random corner rows/ray through the XLA
-    gather engine at ~44 GB/s, DESIGN.md step 6), so halving the table
-    bytes buys throughput directly: measured 1.24x at 512^3 production
-    shape, with exit positions within ~1% of a detector pixel and image
-    rel-L1 ~0.8% (scratch/proto_int8_march.py, bench_int8_prod.py).
-    Scales live in f32; cells hold round(value / scale) in [-127, 127].
+    gather engine at ~44 GB/s, DESIGN.md step 6), so shrinking the table
+    bytes buys throughput directly: int8 measured 1.24x at 512^3
+    production shape, with exit positions within ~1% of a detector pixel
+    and image rel-L1 ~0.8% (scratch/proto_int8_march.py,
+    bench_int8_prod.py). Scales live in f32; cells hold
+    round(value / scale) in [-qmax, qmax].
+
+    ``bits=4`` packs two planes per byte (plane 2j in the low nibble,
+    2j+1 in the high — see SegmentPack.qbits): a further halving of the
+    gather bytes at ~0.75% image rel-L1 (scratch/int4_error_probe.py).
+    int4 packs require even K and run on the even-stride integrators
+    (rk2s2, rk2s4) only, whose stage reads align to whole bytes.
     """
     if spack.scales is not None:
         return spack
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
     n_seg, cells, cols = spack.seg_planes.shape
     K = spack.K
     C = cols // (K + 1)
+    if bits == 4 and K % 2:
+        raise ValueError("int4 nibble packs require even K "
+                         "(planes pair per byte)")
+    qmax = 127.0 if bits == 8 else 7.0
 
     @jax.jit
     def quant(planes):
         v = planes.reshape(n_seg, cells, K + 1, C).astype(jnp.float32)
         amax = jnp.max(jnp.abs(v), axis=1)             # (n_seg, K+1, C)
-        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-        q = jnp.clip(jnp.round(v / scale[:, None]), -127,
-                     127).astype(jnp.int8)
-        return q.reshape(n_seg, cells, cols), scale
+        scale = jnp.where(amax > 0, amax / qmax, 1.0)
+        q = jnp.clip(jnp.round(v / scale[:, None]), -qmax, qmax)
+        if bits == 8:
+            return q.astype(jnp.int8).reshape(n_seg, cells, cols), scale
+        n_blk = K // 2 + 1
+        qi = q.astype(jnp.int8)
+        pad = 2 * n_blk - (K + 1)       # 1 for even K: lone final plane
+        if pad:
+            qi = jnp.concatenate(
+                [qi, jnp.zeros((n_seg, cells, pad, C), jnp.int8)],
+                axis=2)
+        lo, hi = qi[:, :, 0::2], qi[:, :, 1::2]   # (n_seg, cells, n_blk, C)
+        # int8 arithmetic throughout: & 15 isolates the two's-complement
+        # nibble, << 4 wraps (XLA ShiftLeft is bitwise) — the OR is the
+        # packed byte's exact bit pattern with no int32/bitcast transient
+        packed = (lo & 15) | ((hi & 15) << 4)
+        return packed.reshape(n_seg, cells, n_blk * C), scale
 
     q, scale = quant(spack.seg_planes)
-    return spack._replace(seg_planes=q, scales=scale)
+    return spack._replace(seg_planes=q, scales=scale,
+                          qbits=None if bits == 8 else 4)
 
 
 def _scale_row(scales, k, n, dtype):
@@ -608,6 +657,7 @@ def march_segment(
     weights: str = "stage",
     scales: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    qbits: Optional[int] = None,
 ) -> jnp.ndarray:
     """March (N, 8) permuted rays through ONE segment's corner table.
 
@@ -665,6 +715,20 @@ def march_segment(
         raise ValueError("int8 packs (scales=) require substeps=1 and no "
                          "block= (quantised windows are dequantised on "
                          "the per-slab fast paths only)")
+    if qbits == 4:
+        if scales is None:
+            raise ValueError("int4 packs carry a scales table")
+        if integrator not in ("rk2s2", "rk2s4"):
+            raise ValueError(
+                "int4 nibble packs run on the even-stride integrators "
+                "(rk2s2, rk2s4) whose stage planes align to whole byte "
+                "blocks; got integrator=" + repr(integrator))
+        if (integrator == "rk2s2" and K % 2) or (
+                integrator == "rk2s4" and K % 4):
+            raise ValueError("int4 packs need K divisible by the stride "
+                             "(no single-slab remainder steps)")
+    elif qbits is not None:
+        raise ValueError(f"unknown qbits {qbits!r} (None or 4)")
 
     # per-ray frozen corner indices for this segment
     ta = (uc[:, 0] - origin_ab[0]) * inv_ab[0]
@@ -793,15 +857,27 @@ def march_segment(
         # of the per-slab rk2 march.
         k = 2 * j
         dtype = cols[0].dtype
-        wins = tuple(
-            jax.lax.dynamic_slice_in_dim(
-                c, k * C, 2 * C, axis=1).astype(dtype)
-            for c in corners)
-        if scales is not None:
+        if qbits == 4:
+            # plane pair (2j, 2j+1) is byte block j: ONE C-byte slice
+            # per corner, low nibble = start plane, high = midpoint
+            wb = tuple(
+                jax.lax.dynamic_slice_in_dim(c, j * C, C, axis=1)
+                for c in corners)
             scf = _scale_row(scales, k, 2, dtype)
-            wins = tuple(w * scf for w in wins)
-        w0 = tuple(win[:, :C] for win in wins)
-        wm = tuple(win[:, C:] for win in wins)
+            w0 = tuple(_nibble_lo(w).astype(dtype) * scf[:, :C]
+                       for w in wb)
+            wm = tuple(_nibble_hi(w).astype(dtype) * scf[:, C:]
+                       for w in wb)
+        else:
+            wins = tuple(
+                jax.lax.dynamic_slice_in_dim(
+                    c, k * C, 2 * C, axis=1).astype(dtype)
+                for c in corners)
+            if scales is not None:
+                scf = _scale_row(scales, k, 2, dtype)
+                wins = tuple(w * scf for w in wins)
+            w0 = tuple(win[:, :C] for win in wins)
+            wm = tuple(win[:, C:] for win in wins)
 
         if weights == "slab":
             w4 = _cols_weights(cols, ia0f, ib0f, origin_ab, inv_ab,
@@ -832,18 +908,31 @@ def march_segment(
         # rk2s2/rk4 when exit-state tolerances matter.
         k = 4 * j
         dtype = cols[0].dtype
-        w0 = tuple(
-            jax.lax.dynamic_slice_in_dim(c, k * C, C, axis=1
-                                         ).astype(dtype)
-            for c in corners)
-        wm = tuple(
-            jax.lax.dynamic_slice_in_dim(c, (k + 2) * C, C, axis=1
-                                         ).astype(dtype)
-            for c in corners)
-        if scales is not None:
-            w0 = tuple(w * _scale_row(scales, k, 1, dtype) for w in w0)
-            wm = tuple(w * _scale_row(scales, k + 2, 1, dtype)
-                       for w in wm)
+        if qbits == 4:
+            # planes 4j and 4j+2 are the LOW nibbles of byte blocks 2j
+            # and 2j+1: one contiguous 2C-byte slice per corner
+            wb = tuple(
+                jax.lax.dynamic_slice_in_dim(c, 2 * j * C, 2 * C, axis=1)
+                for c in corners)
+            lo = tuple(_nibble_lo(w).astype(dtype) for w in wb)
+            w0 = tuple(l[:, :C] * _scale_row(scales, k, 1, dtype)
+                       for l in lo)
+            wm = tuple(l[:, C:] * _scale_row(scales, k + 2, 1, dtype)
+                       for l in lo)
+        else:
+            w0 = tuple(
+                jax.lax.dynamic_slice_in_dim(c, k * C, C, axis=1
+                                             ).astype(dtype)
+                for c in corners)
+            wm = tuple(
+                jax.lax.dynamic_slice_in_dim(c, (k + 2) * C, C, axis=1
+                                             ).astype(dtype)
+                for c in corners)
+            if scales is not None:
+                w0 = tuple(w * _scale_row(scales, k, 1, dtype)
+                           for w in w0)
+                wm = tuple(w * _scale_row(scales, k + 2, 1, dtype)
+                           for w in wm)
 
         if weights == "slab":
             w4q = _cols_weights(cols, ia0f, ib0f, origin_ab, inv_ab,
@@ -897,7 +986,7 @@ def march_segment(
 @partial(jax.jit, static_argnames=("layout", "K", "n_seg", "shape_ab",
                                    "substeps", "atten_sign", "ray_chunk",
                                    "unroll", "block", "integrator",
-                                   "remat", "weights"))
+                                   "remat", "weights", "qbits"))
 def trace_zscan_segments(
     u: jnp.ndarray,
     seg_planes: jnp.ndarray,
@@ -918,11 +1007,14 @@ def trace_zscan_segments(
     remat: bool = False,
     weights: str = "stage",
     seg_scales: Optional[jnp.ndarray] = None,
+    qbits: Optional[int] = None,
 ) -> jnp.ndarray:
     """Gather-hoisted slab march over n_seg segments of K slabs each.
 
     ``seg_scales``: (n_seg, K+1, C) dequantisation table when
-    ``seg_planes`` is an int8 pack (SegmentPack.scales); None otherwise.
+    ``seg_planes`` is a quantised pack (SegmentPack.scales); None
+    otherwise. ``qbits=4`` marks a nibble-packed int4 table
+    (SegmentPack.qbits; rows hold (K//2+1)*C bytes).
 
     ``unroll`` unrolls the inner slab scan. The loop is compute-bound once
     corners are hoisted; measured on v5e at 512^3/K=511/bf16/4M rays:
@@ -948,7 +1040,7 @@ def trace_zscan_segments(
     scipy oracle in tests/test_zscan.py (same tolerance class as rk4 at
     512-slab resolution).
     """
-    C = seg_planes.shape[-1] // (K + 1)
+    C = seg_planes.shape[-1] // _plane_blocks(K, qbits)
     if integrator not in ("rk4", "rk2", "rk2s2", "rk2s4"):
         raise ValueError(f"unknown integrator {integrator!r}")
 
@@ -963,7 +1055,7 @@ def trace_zscan_segments(
                 layout=layout, K=K, C=C, substeps=substeps,
                 atten_sign=atten_sign, integrator=integrator,
                 unroll=unroll, block=block, weights=weights,
-                scales=sc, remat=remat), None
+                scales=sc, remat=remat, qbits=qbits), None
 
         # remat: checkpoint at SEGMENT granularity so reverse-mode AD
         # (synthpy_tpu.inverse) stores one ray state per segment instead
@@ -992,11 +1084,13 @@ def _auto_ray_chunk(spack: "SegmentPack",
     0.68 Mrays/s, 12.8 GB -> compile OOM; ~3 GB is the sweet spot between
     per-chunk dispatch overhead and HBM pressure (scratch/bench_chunk.py).
     """
-    C = spack.seg_planes.shape[-1] // (spack.K + 1)
-    # int8 packs: keep the CHUNK SIZE of the bf16 tuning (floor itemsize
-    # at 2) — the ~250k-ray sweet spot is a working-set property, and
-    # doubling the chunk erases the int8 gather win (measured: auto-523k
-    # chunk 4.06 M rays/s vs 262k chunk 5.24 at 512^3 rk2s2,
+    C = spack.seg_planes.shape[-1] // _plane_blocks(
+        spack.K, getattr(spack, "qbits", None))
+    # int8/int4 packs: keep the CHUNK SIZE of the bf16 tuning (size the
+    # chunk as if every (K+1)*C value were 2 bytes) — the ~250k-ray
+    # sweet spot is a working-set property, and doubling the chunk
+    # erases the int8 gather win (measured: auto-523k chunk 4.06 M
+    # rays/s vs 262k chunk 5.24 at 512^3 rk2s2,
     # scratch/bench_int8_prod.py vs BENCH int8 tier first cut)
     per_ray = (4 * (spack.K + 1) * C
                * max(spack.seg_planes.dtype.itemsize, 2))
@@ -1048,7 +1142,8 @@ def solve_zscan_segments(
         shape_ab=spack.shape_ab, layout=layout, K=K, n_seg=n_seg,
         substeps=substeps, atten_sign=atten_sign, ray_chunk=ray_chunk,
         unroll=unroll, integrator=integrator, weights=weights,
-        seg_scales=getattr(spack, "scales", None))
+        seg_scales=getattr(spack, "scales", None),
+        qbits=getattr(spack, "qbits", None))
     uf.block_until_ready()
     duration = time.perf_counter() - start
 
@@ -1062,10 +1157,12 @@ def solve_zscan_segments(
 
 @partial(jax.jit, static_argnames=("shape_ab", "layout", "K", "C",
                                    "substeps", "atten_sign", "integrator",
-                                   "unroll", "ray_chunk", "weights"))
+                                   "unroll", "ray_chunk", "weights",
+                                   "qbits"))
 def _march_one_segment(u, seg, origin_ab, inv_ab, dp, *, shape_ab, layout,
                        K, C, substeps, atten_sign, integrator, unroll,
-                       ray_chunk, weights="stage", scales=None):
+                       ray_chunk, weights="stage", scales=None,
+                       qbits=None):
     """One jitted march of ALL rays (optionally lax.map-chunked) through
     one uploaded segment table — the program body of the streamed path."""
     def run(uu):
@@ -1073,7 +1170,7 @@ def _march_one_segment(u, seg, origin_ab, inv_ab, dp, *, shape_ab, layout,
                              shape_ab=shape_ab, layout=layout, K=K, C=C,
                              substeps=substeps, atten_sign=atten_sign,
                              integrator=integrator, unroll=unroll,
-                             weights=weights, scales=scales)
+                             weights=weights, scales=scales, qbits=qbits)
 
     if ray_chunk is None or u.shape[0] <= ray_chunk:
         return run(u)
@@ -1167,7 +1264,8 @@ def solve_zscan_segments_streamed(
         probing_depth = domain.extent
     K = hpack.K
     n_seg = hpack.seg_planes.shape[0]
-    C = hpack.seg_planes.shape[-1] // (K + 1)
+    qbits = getattr(hpack, "qbits", None)
+    C = hpack.seg_planes.shape[-1] // _plane_blocks(K, qbits)
     if ray_chunk is None:
         ray_chunk = _auto_ray_chunk(hpack)
 
@@ -1205,7 +1303,8 @@ def solve_zscan_segments_streamed(
             layout=layout, K=K, C=C, substeps=substeps,
             atten_sign=atten_sign, integrator=integrator, unroll=unroll,
             ray_chunk=ray_chunk, weights=weights,
-            scales=None if scales_dev is None else scales_dev[si])
+            scales=None if scales_dev is None else scales_dev[si],
+            qbits=qbits)
         seg_dev = nxt
     u.block_until_ready()
     duration = time.perf_counter() - start
@@ -1460,7 +1559,11 @@ def build_segment_pack_device(
     nc = float(_c.critical_density(omega))
     pref = -0.5 * _c.C**2 / nc
     verdet = _c.verdet_constant(lwl) if layout.B_on else 0.0
-    quantized = dtype == jnp.int8
+    quantized4 = isinstance(dtype, str) and dtype == "int4"
+    quantized = quantized4 or dtype == jnp.int8
+    if quantized4 and K % 2:
+        raise ValueError("int4 nibble packs require even K")
+    qmax = 7.0 if quantized4 else 127.0
     C = layout.n_channels
     n_slabs = n_p - 1
     n_seg = -(-n_slabs // K)
@@ -1526,9 +1629,24 @@ def build_segment_pack_device(
                 out = jnp.where((gidx <= n_p - 1)[:, None, None, None],
                                 out, 0)
                 amax = jnp.max(jnp.abs(out), axis=(1, 2))   # (K+1, C)
-                scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+                scale = jnp.where(amax > 0, amax / qmax, 1.0)
                 q = jnp.clip(jnp.round(out / scale[:, None, None]),
-                             -127, 127).astype(jnp.int8)
+                             -qmax, qmax)
+                if quantized4:
+                    qi = q.astype(jnp.int8)         # (K+1, na, nb, C)
+                    # pair planes (2j, 2j+1) into bytes; even K leaves a
+                    # lone final plane -> zero high nibble. All-int8
+                    # bit math (wrapping << 4) keeps the builder
+                    # transient at 1 byte/value — a 1024^3 K=256 int4
+                    # pack builds in one chip's HBM.
+                    qi = jnp.concatenate(
+                        [qi, jnp.zeros((1, na, nb, C), jnp.int8)],
+                        axis=0)
+                    lo, hi = qi[0::2], qi[1::2]     # (K//2+1, na, nb, C)
+                    pk = (lo & 15) | ((hi & 15) << 4)
+                    pk = jnp.transpose(pk, (1, 2, 0, 3))
+                    return pk.reshape(na * nb, (K // 2 + 1) * C), scale
+                q = q.astype(jnp.int8)
                 q = jnp.transpose(q, (1, 2, 0, 3))  # (na, nb, K+1, C)
                 return q.reshape(na * nb, (K + 1) * C), scale
             out = jnp.stack([c.astype(dtype) for c in chans], axis=-1)
@@ -1555,4 +1673,5 @@ def build_segment_pack_device(
     origin_ab = jnp.stack([ca[0], cb[0]])
     inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])
     return SegmentPack(out, origin_ab, inv_ab, (na, nb), K, n_slabs,
-                       float(cp[0]), dp, omega, scales)
+                       float(cp[0]), dp, omega, scales,
+                       4 if quantized4 else None)

@@ -489,3 +489,64 @@ def test_gridsharded_segment_tracer_int8_matches_single_device():
                                          integrator="rk2s2")
     out = np.asarray(tr(u, tables, sp.origin_ab, sp.inv_spacing_ab, dp))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_multichip_marches_int4_match_single_device():
+    """int4 nibble packs on BOTH multi-chip paths (PP over segments;
+    grid-sharded transverse shard) == the single-device int4 march,
+    bit-for-bit: all three run march_segment's nibble decode, and the
+    per-(segment, plane, channel) scales are cell-independent so
+    sharding composes exactly as for int8."""
+    from jax.sharding import AxisType
+
+    from synthpy_tpu.fields import layout_of as _layout_of
+    from synthpy_tpu.parallel.mesh import make_gridsharded_segment_tracer
+    from synthpy_tpu.parallel.pipeline_pp import (
+        make_pipelined_segment_tracer,
+    )
+    from synthpy_tpu.tracer.zscan import (
+        make_segment_pack,
+        make_zscan_pack,
+        quantize_segment_pack,
+        trace_zscan_segments,
+    )
+
+    d = ScalarDomain(2 * EXT, 32).test_lens(ne_0=5e24, LR=1.5e-3)
+    pack = build_pack(d)
+    lay = _layout_of(d)
+    sp = quantize_segment_pack(
+        make_segment_pack(make_zscan_pack(pack, lay), K=8), bits=4)
+    assert sp.qbits == 4
+
+    s0 = init_beam(jax.random.PRNGKey(16), 192, 1.5e-3, 1e-3, EXT,
+                   "circular")
+    s = jnp.asarray(s0)
+    u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]], axis=1)
+    dp = jnp.float32(sp.dp)
+    n_seg = sp.seg_planes.shape[0]
+
+    ref = np.asarray(trace_zscan_segments(
+        u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab, dp,
+        shape_ab=sp.shape_ab, layout=lay, K=sp.K, n_seg=n_seg,
+        integrator="rk2s2", seg_scales=sp.scales, qbits=4))
+
+    mesh = jax.make_mesh((4,), ("seg",), devices=jax.devices()[:4],
+                         axis_types=(AxisType.Auto,))
+    chunks = u.reshape(3, 64, 8)
+    tracer = make_pipelined_segment_tracer(mesh, lay, sp, n_chunks=3,
+                                           integrator="rk2s2")
+    out = np.asarray(tracer(chunks, sp.seg_planes, sp.scales,
+                            sp.origin_ab, sp.inv_spacing_ab,
+                            dp)).reshape(192, 8)
+    np.testing.assert_array_equal(out, ref)
+
+    gmesh = jax.make_mesh((4,), ("grid",), devices=jax.devices()[:4],
+                          axis_types=(AxisType.Auto,))
+    na, nb = sp.shape_ab
+    tables = sp.seg_planes.reshape(n_seg, na, nb,
+                                   sp.seg_planes.shape[-1])
+    tr = make_gridsharded_segment_tracer(gmesh, lay, sp,
+                                         integrator="rk2s2")
+    out_g = np.asarray(tr(u, tables, sp.origin_ab, sp.inv_spacing_ab,
+                          dp))
+    np.testing.assert_array_equal(out_g, ref)

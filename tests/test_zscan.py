@@ -973,8 +973,12 @@ def test_quantize_segment_pack_round_trip_and_guards():
                                         ).layout_of(d),
                       K=sp_q.K, C=C, substeps=2,
                       scales=sp_q.scales[0])
-    with pytest.raises(ValueError, match="int8"):
-        build_segment_pack_streaming(d, dtype=jnp.int8)
+    # int8 STREAMING packs are supported since the streamed >HBM path
+    # gained quantisation (half the H2D bytes): device=True uploads the
+    # host-assembled table, device=False keeps it host-resident
+    sp_s = build_segment_pack_streaming(d, K=8, dtype=jnp.int8,
+                                        plane_batch=5)
+    assert sp_s.seg_planes.dtype == jnp.int8 and sp_s.scales is not None
 
 def test_streamed_int8_pack_matches_device_and_march():
     """int8 on the STREAMED path: the host streaming builder's quantised
@@ -1010,3 +1014,96 @@ def test_streamed_int8_pack_matches_device_and_march():
     out = np.asarray(solve_zscan_segments_streamed(
         s0, d, hpack=sp_str, integrator="rk2s2").sf)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_int4_pack_decode_exact_and_images_close():
+    """int4 nibble packs: the packed bytes decode EXACTLY to the
+    symmetric [-7, 7] quantisation of the float pack (low nibble =
+    plane 2j, high = 2j+1, sign-extended), the device builder and the
+    standalone quantizer agree bit-for-bit, and the even-stride
+    integrators produce images at the int8-class error level on
+    extended fields. Rationale: the march is GATHER-bound; int4
+    quarters the bytes/ray vs bf16 — measured 8.69 M rays/s rk2s4 at
+    512^3 on v5e (scratch/bench_int4.py), with turbulent-field image
+    rel-L1 5% raw / 0.7% at 1-px detector PSF vs the f32 pack
+    (scratch/int4_error_512.py; the lens CAUSTIC at 512^3 is the
+    documented worst case — sub-cell ray displacement but caustic
+    pixel reshuffling)."""
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_device,
+                                          quantize_segment_pack,
+                                          solve_zscan_segments)
+
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    sp_f = build_segment_pack_device(d, K=8, dtype=jnp.float32)
+    sp_4 = quantize_segment_pack(sp_f, bits=4)
+    sp_4b = build_segment_pack_device(d, K=8, dtype="int4")
+    assert sp_4.qbits == 4 and sp_4b.qbits == 4
+    n_seg, cells, cols = sp_f.seg_planes.shape
+    K = sp_f.K
+    C = cols // (K + 1)
+    assert sp_4.seg_planes.shape == (n_seg, cells, (K // 2 + 1) * C)
+    np.testing.assert_array_equal(np.asarray(sp_4b.seg_planes),
+                                  np.asarray(sp_4.seg_planes))
+    np.testing.assert_allclose(np.asarray(sp_4b.scales),
+                               np.asarray(sp_4.scales), rtol=1e-6)
+
+    # decode exactness vs an independent numpy nibble unpack
+    v = np.asarray(sp_f.seg_planes, np.float32).reshape(
+        n_seg, cells, K + 1, C)
+    amax = np.abs(v).max(axis=1)
+    scale = np.where(amax > 0, amax / 7.0, 1.0)
+    q_ref = np.clip(np.round(v / scale[:, None]), -7, 7)
+    pk = np.asarray(sp_4.seg_planes).reshape(n_seg, cells, K // 2 + 1, C)
+    dec = np.empty((n_seg, cells, K + 2, C), np.int8)
+    dec[:, :, 0::2] = (pk << 4) >> 4          # low nibble, sign-extended
+    dec[:, :, 1::2] = pk >> 4                 # high nibble (arithmetic)
+    np.testing.assert_array_equal(dec[:, :, :K + 1], q_ref)
+    np.testing.assert_allclose(np.asarray(sp_4.scales), scale, rtol=1e-6)
+
+    # trace + image closeness on both even-stride tiers x weights modes
+    s0 = init_beam(jax.random.PRNGKey(90), 4096, 2e-3, 1e-3, EXT,
+                   "circular")
+    for integ in ("rk2s2", "rk2s4"):
+        for w in ("stage", "slab"):
+            ref = np.asarray(solve_zscan_segments(
+                s0, d, spack=sp_f, integrator=integ, weights=w).sf)
+            out = np.asarray(solve_zscan_segments(
+                s0, d, spack=sp_4, integrator=integ, weights=w).sf)
+            np.testing.assert_allclose(out[0], ref[0], atol=5e-5,
+                                       err_msg=f"{integ}/{w}")
+    H = np.asarray(pipeline.run(d, s0, spack=sp_f, solver="zscan_seg",
+                                bins=(54, 40), integrator="rk2s2"))
+    H4 = np.asarray(pipeline.run(d, s0, spack=sp_4, solver="zscan_seg",
+                                 bins=(54, 40), integrator="rk2s2"))
+    assert H4.sum() == H.sum()
+    assert np.abs(H4 - H).sum() <= 0.06 * H.sum()
+
+
+def test_int4_pack_guards():
+    """int4 packs are even-stride only: odd K and single-stride
+    integrators are rejected with actionable errors."""
+    from synthpy_tpu.fields.domain import layout_of
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_device,
+                                          march_segment,
+                                          quantize_segment_pack)
+
+    d = ScalarDomain(2 * EXT, 17).test_lens(ne_0=5e24, LR=1.5e-3)
+    with pytest.raises(ValueError, match="even K"):
+        build_segment_pack_device(d, K=7, dtype="int4")
+    sp_f = build_segment_pack_device(d, K=7, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="even K"):
+        quantize_segment_pack(sp_f, bits=4)
+    with pytest.raises(ValueError, match="bits"):
+        quantize_segment_pack(sp_f, bits=5)
+
+    sp_4 = build_segment_pack_device(d, K=8, dtype="int4")
+    lay = layout_of(d)
+    u = jnp.zeros((16, 8))
+    for integ in ("rk4", "rk2"):
+        with pytest.raises(ValueError, match="int4"):
+            march_segment(u, sp_4.seg_planes[0], sp_4.origin_ab,
+                          sp_4.inv_spacing_ab, sp_4.dp,
+                          shape_ab=sp_4.shape_ab, layout=lay,
+                          K=sp_4.K, C=3, integrator=integ,
+                          scales=sp_4.scales[0], qbits=4)
