@@ -115,7 +115,7 @@ def main() -> None:
 
     H, elapsed = timed(integrator)
     rk4_rays_s = rk2s2_rays_s = rk2s4_rays_s = int8_rk2s2_rays_s = None
-    int4_rk2s4_rays_s = None
+    int4_rk2s4_rays_s = int4s2_rk2s2_rays_s = int4s4_rk2s2_rays_s = None
     if solver == "zscan_seg" and integrator == "rk2":
         _, el4 = timed("rk4")
         rk4_rays_s = round(rays / el4, 1)
@@ -144,6 +144,22 @@ def main() -> None:
             _, elq4 = timed("rk2s4", {"spack": spack_int4})
             int4_rk2s4_rays_s = round(rays / elq4, 1)
             del spack_int4
+            # plane-decimated tiers: rk2s2 on a stride-2 pack is
+            # BIT-identical to rk2s4 on the full pack at half the
+            # gather bytes (tests/test_zscan.py::
+            # test_decimated_pack_rk2s2_equals_rk2s4); stride-4 +
+            # rk2s2 is the effective-stride-8 tier (own accuracy
+            # envelope: scratch/results_stride_error_512.jsonl)
+            sp_s2 = _bspd(domain, K=min(K, dim) // 4 * 4, dtype="int4",
+                          plane_stride=2)
+            _, els2q = timed("rk2s2", {"spack": sp_s2})
+            int4s2_rk2s2_rays_s = round(rays / els2q, 1)
+            del sp_s2
+            sp_s4 = _bspd(domain, K=min(K, dim) // 8 * 8, dtype="int4",
+                          plane_stride=4)
+            _, els4q = timed("rk2s2", {"spack": sp_s4})
+            int4s4_rk2s2_rays_s = round(rays / els4q, 1)
+            del sp_s4
 
     # Optional REAL north-star measurement (never a citation: the value
     # reported is the wall clock of the run this bench just executed).
@@ -161,10 +177,13 @@ def main() -> None:
                "int8": jnp.int8,
                "int4": "int4"}[os.environ.get("BENCH_FULL_PACK_DTYPE",
                                               "int8")]
+        # BENCH_FULL_PLANE_STRIDE=2 + rk2s2 = the rk2s4-class tier at
+        # half the gather bytes (bit-identical, test-gated)
+        fps = int(os.environ.get("BENCH_FULL_PLANE_STRIDE", 1))
         t0 = time.perf_counter()  # field + pack + trace + detector
         d2 = _SD(2 * ext, dim).test_lens(ne_0=5e24, LR=1.5e-3)
         sp2 = build_segment_pack_device(d2, K=dim, dtype=fdt,
-                                        free_ne=True)
+                                        free_ne=True, plane_stride=fps)
         key = jax.random.PRNGKey(0)
         acc = None
         from synthpy_tpu.tracer import init_beam as _ib
@@ -203,6 +222,11 @@ def main() -> None:
             "rk2s4_rays_s": rk2s4_rays_s,
             "int8_rk2s2_rays_s": int8_rk2s2_rays_s,
             "int4_rk2s4_rays_s": int4_rk2s4_rays_s,
+            # bit-identical to int4_rk2s4 at half the gather bytes
+            "int4s2_rk2s2_rays_s": int4s2_rk2s2_rays_s,
+            # effective-stride-8 tier (accuracy envelope in
+            # scratch/results_stride_error_512.jsonl)
+            "int4s4_rk2s2_rays_s": int4s4_rk2s2_rays_s,
             # freshly measured under BENCH_FULL=1, else absent (the
             # historical record lives in scratch/results_1e8_*.jsonl and
             # README, not in live bench output)

@@ -60,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
                         " rk2 (midpoint; ~1.4x faster on TPU), rk2s2"
                         " (stride-2 midpoint; ~2x; both oracle-validated)"
                         " or rk2s4 (stride-4; image-equivalence tier)")
+    p.add_argument("--plane-stride", type=int, default=1,
+                   help="keep every Nth field plane in the segment pack "
+                        "(gradients still computed at full resolution): "
+                        "rk2s2 on a stride-2 pack is BIT-identical to "
+                        "rk2s4 on the full pack at half the gather "
+                        "bytes/ray. zscan_seg only; the effective step "
+                        "is plane_stride x the integrator stride")
     p.add_argument("--phaseshift", action="store_true")
     p.add_argument("-o", "--output", default=None,
                    help="output prefix (writes <prefix>.npz)")
@@ -105,8 +112,16 @@ def main(argv=None) -> dict:
     s0 = init_beam(jax.random.PRNGKey(args.seed), int(args.rays), beam_size,
                    args.divergence, ext, args.beam, args.probing)
 
+    ps = args.plane_stride
+    if ps != 1 and args.solver != "zscan_seg":
+        raise SystemExit("--plane-stride requires --solver zscan_seg")
+    if ps != 1 and args.integrator == "rk4":
+        raise SystemExit("--plane-stride needs an even-stride integrator "
+                         "(rk2/rk2s2/rk2s4): rk4 blends mid-slab planes "
+                         "the decimated pack no longer holds exactly")
     spack = None
-    if args.solver == "zscan_seg" and args.pack_dtype != "bf16":
+    if args.solver == "zscan_seg" and (args.pack_dtype != "bf16"
+                                       or ps != 1):
         import jax.numpy as jnp
 
         from synthpy_tpu.tracer.zscan import build_segment_pack_device
@@ -115,14 +130,14 @@ def main(argv=None) -> dict:
                 raise SystemExit("--pack-dtype int4 requires --integrator "
                                  "rk2s2 or rk2s4 (nibble pairs align to "
                                  "even plane strides)")
-            stride = 2 if args.integrator == "rk2s2" else 4
+            stride = (2 if args.integrator == "rk2s2" else 4) * ps
             K = min(64, (domain.dims[0] - 1) // stride * stride)
         else:
-            K = min(64, domain.dims[0] - 1)
+            K = min(64, (domain.dims[0] - 1) // ps * ps)
         spack = build_segment_pack_device(
-            domain, lwl=args.lwl, K=K,
-            dtype={"f32": jnp.float32, "int8": jnp.int8,
-                   "int4": "int4"}[args.pack_dtype])
+            domain, lwl=args.lwl, K=K, plane_stride=ps,
+            dtype={"bf16": jnp.bfloat16, "f32": jnp.float32,
+                   "int8": jnp.int8, "int4": "int4"}[args.pack_dtype])
 
     if args.diagnostic == "none":
         if args.solver == "zscan_seg":

@@ -3,6 +3,7 @@
 from synthpy_tpu.tracer.beam import BEAM_TYPES, Beam, init_beam  # noqa: F401
 from synthpy_tpu.tracer.zscan import (  # noqa: F401
     build_segment_pack_streaming,
+    decimate_segment_pack,
     make_device_segment_cache,
     make_segment_pack,
     make_zscan_pack,

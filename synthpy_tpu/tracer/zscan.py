@@ -489,6 +489,55 @@ def quantize_segment_pack(spack: SegmentPack, bits: int = 8) -> SegmentPack:
                           qbits=None if bits == 8 else 4)
 
 
+def decimate_segment_pack(spack: SegmentPack,
+                          stride: int = 2) -> SegmentPack:
+    """Drop all but every ``stride``-th plane: K' = K/stride slabs of
+    dp' = stride*dp per segment.
+
+    The even-stride integrators never read the dropped planes — rk2s4 on
+    a full pack reads exactly planes (4j, 4j+2), which are planes
+    (2j', 2j'+1) of the stride-2 pack — so ``rk2s2`` on a stride-2 pack
+    is BIT-IDENTICAL to ``rk2s4`` on the full pack (same stage planes,
+    same h = 4*dp update; gated by
+    tests/test_zscan.py::test_decimated_pack_rk2s2_equals_rk2s4) while
+    the per-ray corner GATHER pulls half the row bytes. The march is
+    gather-bound (ROADMAP "Performance"), so this converts a pack-layout
+    artifact (full rows gathered, half the planes read) into throughput.
+    Compose with :func:`quantize_segment_pack` AFTER decimating:
+    per-plane scales make the quantised values identical to the full
+    pack's at the kept planes. ``rk2s4`` on a stride-2 pack opens an
+    effective-stride-8 tier (8-cell steps; image-equivalence gated like
+    rk2s4 itself).
+
+    Requires a float pack (decimate, then quantise) and K % stride == 0.
+    The field gradients were computed at FULL plane resolution by the
+    pack builder; decimation only changes which planes the integrator
+    may step on. ``n_slabs`` becomes the ceil'd real-slab count at the
+    coarse dp (trailing zero-padded slabs march exactly: zero field =
+    straight flight, removed by exit-plane back-projection).
+    """
+    if spack.scales is not None:
+        raise ValueError("decimate float packs, then quantise "
+                         "(per-plane scales compose exactly)")
+    if stride < 1 or spack.K % stride:
+        raise ValueError(f"K={spack.K} must divide by stride={stride}")
+    if stride == 1:
+        return spack
+    n_seg, cells, cols = spack.seg_planes.shape
+    K = spack.K
+    C = cols // (K + 1)
+    Kd = K // stride
+
+    @jax.jit
+    def dec(planes):
+        v = planes.reshape(n_seg, cells, K + 1, C)
+        return v[:, :, ::stride].reshape(n_seg, cells, (Kd + 1) * C)
+
+    return spack._replace(seg_planes=dec(spack.seg_planes), K=Kd,
+                          n_slabs=-(-spack.n_slabs // stride),
+                          dp=spack.dp * stride)
+
+
 def _scale_row(scales, k, n, dtype):
     """(n, C) f32 dequantisation factors for planes [k, k+n), flattened
     to a (1, n*C) row broadcastable over (N, n*C) corner windows."""
@@ -1517,6 +1566,8 @@ def build_segment_pack_device(
     K: int = 64,
     dtype=jnp.bfloat16,
     free_ne: bool = False,
+    plane_stride: int = 1,
+    fuse_threshold_bytes: int = 4 << 30,
 ) -> SegmentPack:
     """On-device SegmentPack construction via lax.map over segments.
 
@@ -1538,6 +1589,19 @@ def build_segment_pack_device(
     ~17 GB f32, so full-physics 1024^3 single-chip runs should use
     :func:`build_segment_pack_streaming` (host assembly) with the
     streamed march instead.
+
+    ``plane_stride``: keep every stride-th plane (gradients still
+    computed at full resolution): the K/stride-slab, dp*stride pack of
+    :func:`decimate_segment_pack`. rk2s2 on a stride-2 pack is
+    bit-identical to rk2s4 on the full pack at HALF the gather
+    bytes/ray. Route selection (``fuse_threshold_bytes``): when the
+    FULL-resolution f32 pack fits under the threshold, the pack is
+    built full + decimated + quantised post-hoc (all on device) — the
+    strided slices inside the fused seg_fn cost real XLA compile time
+    (measured 34 s fused vs 8.8 s post-hoc at 512^3 K=512 on the axon
+    service, scratch/probe_stride_build.py); above it (1024^3-class)
+    the fused path keeps every transient 1/stride-sized. Both routes
+    are bit-identical (test-gated).
     """
     from synthpy_tpu import constants as _c
 
@@ -1561,8 +1625,31 @@ def build_segment_pack_device(
     verdet = _c.verdet_constant(lwl) if layout.B_on else 0.0
     quantized4 = isinstance(dtype, str) and dtype == "int4"
     quantized = quantized4 or dtype == jnp.int8
-    if quantized4 and K % 2:
-        raise ValueError("int4 nibble packs require even K")
+    if plane_stride < 1 or K % plane_stride:
+        raise ValueError(f"K={K} must divide by plane_stride="
+                         f"{plane_stride}")
+    Ko = K // plane_stride          # output slabs/segment at dp*stride
+    if quantized4 and Ko % 2:
+        raise ValueError("int4 nibble packs require even K after "
+                         "plane_stride (output planes pair per byte)")
+    if plane_stride > 1:
+        _n_seg = -(-(n_p - 1) // K)
+        full_f32 = na * nb * _n_seg * (K + 1) * layout.n_channels * 4
+        if full_f32 <= fuse_threshold_bytes:
+            # post-hoc route: full f32 build + decimate + quantise
+            # compiles an order of magnitude faster than the fused
+            # strided seg_fn (docstring) and is bit-identical
+            spf = build_segment_pack_device(domain, lwl=lwl, K=K,
+                                            dtype=jnp.float32,
+                                            free_ne=free_ne)
+            sp = decimate_segment_pack(spf, plane_stride)
+            del spf
+            if quantized:
+                return quantize_segment_pack(sp, 4 if quantized4 else 8)
+            if dtype != jnp.float32:
+                sp = sp._replace(
+                    seg_planes=sp.seg_planes.astype(dtype))
+            return sp
     qmax = 7.0 if quantized4 else 127.0
     C = layout.n_channels
     n_slabs = n_p - 1
@@ -1593,14 +1680,24 @@ def build_segment_pack_device(
                  jnp.zeros((n_pad - n_p - 2, na, nb), ne.dtype)], axis=0)
             for e in ex)
 
+        S = plane_stride
+
         def seg_fn(s):
             p_lo = s * K
             slab = jax.lax.dynamic_slice_in_dim(padded, p_lo, K + 3, axis=0)
-            body = slab[1:-1]
+            # decimate FIRST (kept planes only): transverse gradients
+            # and pointwise channels never touch the dropped planes, and
+            # the probe-axis central diff strides its two operands — so
+            # every transient below is 1/S-sized. (Decimating the
+            # finished channel stack instead OOMs at 1024^3: the full-
+            # resolution stack alone is ~10 GB of f32 transients.)
+            body = slab[1:-1:S]                      # (Ko+1, na, nb)
             Ga = pref * jnp.gradient(body, da, axis=1)
             Gb = pref * jnp.gradient(body, db, axis=2)
-            Gp = pref * (slab[2:] - slab[:-2]) / (2.0 * dp)
-            gidx = p_lo + jnp.arange(K + 1)
+            # central diff at kept plane k*S: (slab[k*S+2] - slab[k*S])
+            Gp = pref * (slab[2::S][:Ko + 1]
+                         - slab[:-2:S][:Ko + 1]) / (2.0 * dp)
+            gidx = p_lo + jnp.arange(Ko + 1) * S
             # front margin duplicates plane 0 (half one-sided diff); the
             # last real plane sees a zero pad, where the correct one-sided
             # derivative is (0 - ne[n_p-2]) ... instead use duplicate-edge
@@ -1613,7 +1710,8 @@ def build_segment_pack_device(
             Gp = jnp.where(last[:, None, None],
                            2.0 * Gp + pref * body / dp, Gp)
             chans = [Ga, Gb, Gp]
-            eb = [jax.lax.dynamic_slice_in_dim(e, p_lo, K + 1, axis=0)
+            eb = [jax.lax.dynamic_slice_in_dim(e, p_lo, K + 1,
+                                               axis=0)[::S]
                   for e in ex_pad]
             if layout.inv_brems:
                 Te_b, Z_b = eb[0], eb[1]
@@ -1628,13 +1726,13 @@ def build_segment_pack_device(
                 out = jnp.stack(chans, axis=-1)     # (K+1, na, nb, C) f32
                 out = jnp.where((gidx <= n_p - 1)[:, None, None, None],
                                 out, 0)
-                amax = jnp.max(jnp.abs(out), axis=(1, 2))   # (K+1, C)
+                amax = jnp.max(jnp.abs(out), axis=(1, 2))   # (Ko+1, C)
                 scale = jnp.where(amax > 0, amax / qmax, 1.0)
                 q = jnp.clip(jnp.round(out / scale[:, None, None]),
                              -qmax, qmax)
                 if quantized4:
-                    qi = q.astype(jnp.int8)         # (K+1, na, nb, C)
-                    # pair planes (2j, 2j+1) into bytes; even K leaves a
+                    qi = q.astype(jnp.int8)         # (Ko+1, na, nb, C)
+                    # pair planes (2j, 2j+1) into bytes; even Ko leaves a
                     # lone final plane -> zero high nibble. All-int8
                     # bit math (wrapping << 4) keeps the builder
                     # transient at 1 byte/value — a 1024^3 K=256 int4
@@ -1642,17 +1740,17 @@ def build_segment_pack_device(
                     qi = jnp.concatenate(
                         [qi, jnp.zeros((1, na, nb, C), jnp.int8)],
                         axis=0)
-                    lo, hi = qi[0::2], qi[1::2]     # (K//2+1, na, nb, C)
+                    lo, hi = qi[0::2], qi[1::2]     # (Ko//2+1, na, nb, C)
                     pk = (lo & 15) | ((hi & 15) << 4)
                     pk = jnp.transpose(pk, (1, 2, 0, 3))
-                    return pk.reshape(na * nb, (K // 2 + 1) * C), scale
+                    return pk.reshape(na * nb, (Ko // 2 + 1) * C), scale
                 q = q.astype(jnp.int8)
-                q = jnp.transpose(q, (1, 2, 0, 3))  # (na, nb, K+1, C)
-                return q.reshape(na * nb, (K + 1) * C), scale
+                q = jnp.transpose(q, (1, 2, 0, 3))  # (na, nb, Ko+1, C)
+                return q.reshape(na * nb, (Ko + 1) * C), scale
             out = jnp.stack([c.astype(dtype) for c in chans], axis=-1)
             out = jnp.where((gidx <= n_p - 1)[:, None, None, None], out, 0)
-            out = jnp.transpose(out, (1, 2, 0, 3))  # (na, nb, K+1, C)
-            return out.reshape(na * nb, (K + 1) * C)
+            out = jnp.transpose(out, (1, 2, 0, 3))  # (na, nb, Ko+1, C)
+            return out.reshape(na * nb, (Ko + 1) * C)
 
         return jax.lax.map(seg_fn, jnp.arange(n_seg))
 
@@ -1672,6 +1770,7 @@ def build_segment_pack_device(
 
     origin_ab = jnp.stack([ca[0], cb[0]])
     inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])
-    return SegmentPack(out, origin_ab, inv_ab, (na, nb), K, n_slabs,
-                       float(cp[0]), dp, omega, scales,
+    return SegmentPack(out, origin_ab, inv_ab, (na, nb), Ko,
+                       -(-n_slabs // plane_stride), float(cp[0]),
+                       dp * plane_stride, omega, scales,
                        4 if quantized4 else None)

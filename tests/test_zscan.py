@@ -1107,3 +1107,101 @@ def test_int4_pack_guards():
                           shape_ab=sp_4.shape_ab, layout=lay,
                           K=sp_4.K, C=3, integrator=integ,
                           scales=sp_4.scales[0], qbits=4)
+
+
+def test_decimated_pack_rk2s2_equals_rk2s4():
+    """Plane-decimated packs: rk2s4 on the full pack reads exactly
+    planes (4j, 4j+2) with update cols + 4dp*k2 — which IS rk2s2 on the
+    stride-2 pack (planes (2j', 2j'+1), h = 2*dp' = 4dp). The decimated
+    pack halves the per-ray corner-gather row bytes (the march's
+    measured binding constraint), so the equivalence converts a pack-
+    layout artifact into throughput with BIT-IDENTICAL exit states.
+    Also: the builder's fused plane_stride= path == post-hoc
+    decimate_segment_pack, and composing with int4 quantisation keeps
+    the bit-parity (per-plane scales are unchanged by decimation)."""
+    from synthpy_tpu.fields.domain import layout_of
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_device,
+                                          decimate_segment_pack,
+                                          quantize_segment_pack,
+                                          trace_zscan_segments)
+
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    lay = layout_of(d)
+    sp_f = build_segment_pack_device(d, K=8, dtype=jnp.float32)
+    sp_d = decimate_segment_pack(sp_f, stride=2)
+    assert sp_d.K == 4 and sp_d.dp == 2 * sp_f.dp
+    # both builder routes: post-hoc (default under the fuse threshold)
+    # and the FUSED strided seg_fn (forced via fuse_threshold_bytes=0,
+    # the 1024^3-class route) must equal the standalone decimation
+    for thresh in (4 << 30, 0):
+        sp_db = build_segment_pack_device(d, K=8, dtype=jnp.float32,
+                                          plane_stride=2,
+                                          fuse_threshold_bytes=thresh)
+        np.testing.assert_array_equal(np.asarray(sp_db.seg_planes),
+                                      np.asarray(sp_d.seg_planes))
+        assert sp_db.K == sp_d.K and sp_db.dp == sp_d.dp
+
+    s0 = init_beam(jax.random.PRNGKey(21), 256, 1.5e-3, 1e-3, EXT,
+                   "circular")
+    s = jnp.asarray(s0)
+    u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]],
+                  axis=1)
+    n_seg = sp_f.seg_planes.shape[0]
+
+    def run(sp, integ, **kw):
+        return np.asarray(trace_zscan_segments(
+            u, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab,
+            jnp.float32(sp.dp), shape_ab=sp.shape_ab, layout=lay,
+            K=sp.K, n_seg=n_seg, integrator=integ, **kw))
+
+    # float: bit-identical exit states
+    ref = run(sp_f, "rk2s4")
+    np.testing.assert_array_equal(run(sp_d, "rk2s2"), ref)
+
+    # int4 composition: quantise AFTER decimating; scales per stored
+    # plane are the full pack's at the kept planes -> still bit-identical
+    sp_f4 = quantize_segment_pack(sp_f, bits=4)
+    sp_d4 = quantize_segment_pack(sp_d, bits=4)
+    for thresh in (4 << 30, 0):
+        sp_d4b = build_segment_pack_device(d, K=8, dtype="int4",
+                                           plane_stride=2,
+                                           fuse_threshold_bytes=thresh)
+        np.testing.assert_array_equal(np.asarray(sp_d4b.seg_planes),
+                                      np.asarray(sp_d4.seg_planes))
+    ref4 = run(sp_f4, "rk2s4", seg_scales=sp_f4.scales, qbits=4)
+    np.testing.assert_array_equal(
+        run(sp_d4, "rk2s2", seg_scales=sp_d4.scales, qbits=4), ref4)
+
+    # weights="slab" fast mode holds the equivalence too
+    ref_s = run(sp_f, "rk2s4", weights="slab")
+    np.testing.assert_array_equal(run(sp_d, "rk2s2", weights="slab"),
+                                  ref_s)
+
+    # guards
+    with pytest.raises(ValueError, match="stride"):
+        decimate_segment_pack(sp_f, stride=3)
+    with pytest.raises(ValueError, match="float"):
+        decimate_segment_pack(quantize_segment_pack(sp_f), stride=2)
+
+
+def test_decimated_rk2s4_stride8_image_equivalent():
+    """rk2s4 on a stride-2 pack = effective-stride-8 tier (8-cell
+    steps). Exit states drift at the same order as rk2s4 itself vs rk4;
+    gate the detector image like the rk2s4 tier's own gate."""
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.tracer.zscan import build_segment_pack_device
+
+    d = ScalarDomain(2 * EXT, 65).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = init_beam(jax.random.PRNGKey(22), 4000, 1.5e-3, 1e-3, EXT,
+                   "circular")
+    sp_f = build_segment_pack_device(d, K=16, dtype=jnp.float32)
+    sp_d = build_segment_pack_device(d, K=16, dtype=jnp.float32,
+                                     plane_stride=2)
+    H = np.asarray(pipeline.run(d, s0, spack=sp_f, solver="zscan_seg",
+                                bins=(64, 64), integrator="rk4",
+                                critical_guard=None))
+    H8 = np.asarray(pipeline.run(d, s0, spack=sp_d, solver="zscan_seg",
+                                 bins=(64, 64), integrator="rk2s4",
+                                 critical_guard=None))
+    assert H8.sum() == H.sum()          # all rays still land
+    assert np.abs(H8 - H).sum() <= 0.10 * H.sum()
