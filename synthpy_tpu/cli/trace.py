@@ -46,7 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                         " a comma-separated list synthesises every named"
                         " bench from ONE trace")
     p.add_argument("--solver", default="zscan_seg",
-               choices=("zscan_seg", "zscan", "time"))
+               choices=("zscan_seg", "zscan", "time", "analytic"),
+               help="zscan_seg (segmented fast path) | zscan | time "
+                    "(general) | analytic (pack-free closed-form march "
+                    "for --ne-type fields: zero pack build, grid-free "
+                    "exact field)")
     p.add_argument("--bin-scale", type=int, default=8)
     p.add_argument("--pack-dtype", default="bf16",
                    choices=("bf16", "f32", "int8", "int4"),
@@ -99,9 +103,14 @@ def main(argv=None) -> dict:
         domain = ScalarDomain(args.length, args.domain,
                               ne_type=args.ne_type,
                               probing_direction=args.probing)
-    if args.integrator != "rk4" and args.solver != "zscan_seg":
+    if (args.integrator != "rk4"
+            and args.solver not in ("zscan_seg", "analytic")):
         raise SystemExit("--integrator rk2 requires --solver zscan_seg "
-                         "(other solvers are rk4-only)")
+                         "or analytic (other solvers are rk4-only)")
+    if args.solver == "analytic" and args.integrator in ("rk2s2", "rk2s4"):
+        raise SystemExit("analytic solver integrators: rk2 | rk4 (plane "
+                         "strides are gridded-pack concepts; lower "
+                         "--steps via -s instead)")
     diags = tuple(d.strip() for d in args.diagnostic.split(",") if d.strip())
     coherent = any(d in ("interferometry", "refractometry_coherent")
                    for d in diags)
@@ -140,7 +149,11 @@ def main(argv=None) -> dict:
                    "int8": jnp.int8, "int4": "int4"}[args.pack_dtype])
 
     if args.diagnostic == "none":
-        if args.solver == "zscan_seg":
+        if args.solver == "analytic":
+            from synthpy_tpu.tracer import solve_zscan_analytic
+            res = solve_zscan_analytic(s0, domain, lwl=args.lwl,
+                                       integrator=args.integrator)
+        elif args.solver == "zscan_seg":
             from synthpy_tpu.tracer.zscan import solve_zscan_segments
             res = solve_zscan_segments(s0, domain, lwl=args.lwl,
                                        integrator=args.integrator,
@@ -156,7 +169,7 @@ def main(argv=None) -> dict:
     else:
         t1 = time.perf_counter()
         extra = ({"integrator": args.integrator}
-                 if args.solver == "zscan_seg" else {})
+                 if args.solver in ("zscan_seg", "analytic") else {})
         if spack is not None:
             extra["spack"] = spack
         out = pipeline.run(domain, s0,

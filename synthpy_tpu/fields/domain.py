@@ -112,6 +112,10 @@ class ScalarDomain:
         self.B: Optional[jnp.ndarray] = None
         self.Te: Optional[jnp.ndarray] = None
         self.Z: Optional[jnp.ndarray] = None
+        # Closed-form field closures for the pack-free analytic march
+        # (tracer.analytic): {"ne": f(x,y,z), optional "B"/"Te"/"Z"}.
+        # test_* constructors populate it; external grids clear it.
+        self.analytic: Optional[dict] = None
 
         if ne_type is not None:
             generator = getattr(self, ne_type, None)
@@ -145,6 +149,7 @@ class ScalarDomain:
     def test_null(self):
         """Empty cube — rays must pass undeflected (full_solver.py:130)."""
         self.ne = jnp.zeros(self.dims, self.dtype)
+        self.analytic = {"ne": lambda x, y, z: jnp.zeros_like(x)}
         return self
 
     def test_slab(self, s: float = 1.0, ne_0: float = 2e23):
@@ -152,6 +157,9 @@ class ScalarDomain:
         (X,) = self._mesh("x")
         self.ne = (ne_0 * (1.0 + s * X / self.extent)
                    ) * jnp.ones(self.dims, self.dtype)
+        ext = self.extent
+        self.analytic = {"ne": lambda x, y, z:
+                         ne_0 * (1.0 + s * x / ext) + 0.0 * (y + z)}
         return self
 
     def test_linear_cos(self, s1: float = 0.1, s2: float = 0.1,
@@ -161,6 +169,11 @@ class ScalarDomain:
         f = ne_0 * (1.0 + s1 * X / self.extent) * (
             1.0 + s2 * jnp.cos(2 * jnp.pi * Y / Ly))
         self.ne = jnp.broadcast_to(f, self.dims).astype(self.dtype)
+        ext = self.extent
+        self.analytic = {"ne": lambda x, y, z:
+                         ne_0 * (1.0 + s1 * x / ext)
+                         * (1.0 + s2 * jnp.cos(2 * jnp.pi * y / Ly))
+                         + 0.0 * z}
         return self
 
     def test_exponential_cos(self, ne_0: float = 1e24, Ly: float = 1e-3,
@@ -169,6 +182,9 @@ class ScalarDomain:
         X, Y = self._mesh("x", "y")
         f = ne_0 * 10 ** (X / s) * (1.0 + jnp.cos(2 * jnp.pi * Y / Ly))
         self.ne = jnp.broadcast_to(f, self.dims).astype(self.dtype)
+        self.analytic = {"ne": lambda x, y, z:
+                         ne_0 * 10 ** (x / s)
+                         * (1.0 + jnp.cos(2 * jnp.pi * y / Ly)) + 0.0 * z}
         return self
 
     def test_lens(self, ne_0: float = 1e24, LR: float = 1e-3):
@@ -176,6 +192,8 @@ class ScalarDomain:
         X, Y = self._mesh("x", "y")
         f = ne_0 * jnp.exp(-(X**2 + Y**2) / LR**2)
         self.ne = jnp.broadcast_to(f, self.dims).astype(self.dtype)
+        self.analytic = {"ne": lambda x, y, z:
+                         ne_0 * jnp.exp(-(x**2 + y**2) / LR**2) + 0.0 * z}
         return self
 
     def test_liner(self, ne_0: float = 1e24, LR: float = 1e-3):
@@ -183,6 +201,8 @@ class ScalarDomain:
         X, Z = self._mesh("x", "z")
         f = ne_0 * jnp.exp(-(X**2 + Z**2) / LR**2)
         self.ne = jnp.broadcast_to(f, self.dims).astype(self.dtype)
+        self.analytic = {"ne": lambda x, y, z:
+                         ne_0 * jnp.exp(-(x**2 + z**2) / LR**2) + 0.0 * y}
         return self
 
     def test_B(self, Bmax: float = 1.0):
@@ -192,6 +212,11 @@ class ScalarDomain:
         self.B = B.at[..., 2].set(
             jnp.broadcast_to(Bmax * X / self.extent, self.dims))
         self.B_on = True
+        if self.analytic is not None:
+            ext = self.extent
+            self.analytic = dict(self.analytic)
+            self.analytic["B"] = lambda x, y, z: (
+                jnp.zeros_like(x), jnp.zeros_like(x), Bmax * x / ext)
         return self
 
     # -- external field loading --------------------------------------------
@@ -215,6 +240,7 @@ class ScalarDomain:
             self.ne = _np.asarray(ne, self._np_dtype())
         else:
             self.ne = jnp.asarray(ne, self.dtype)
+        self.analytic = None  # gridded field replaces any closed form
         if self.ne.shape != tuple(self.dims):
             raise ValueError(
                 f"ne shape {self.ne.shape} != grid dims {self.dims}")
@@ -228,6 +254,7 @@ class ScalarDomain:
         else:
             self.B = jnp.asarray(B, self.dtype)
         self.B_on = True
+        self.analytic = None  # mixed grid/closure packs are not supported
         return self
 
     def external_Te(self, Te, Te_min: float = 1.0, host: bool = False):
@@ -237,6 +264,7 @@ class ScalarDomain:
             self.Te = _np.maximum(_np.asarray(Te, self._np_dtype()), Te_min)
         else:
             self.Te = jnp.maximum(jnp.asarray(Te, self.dtype), Te_min)
+        self.analytic = None
         return self
 
     def external_Z(self, Z, host: bool = False):
@@ -246,6 +274,7 @@ class ScalarDomain:
             self.Z = _np.asarray(Z, self._np_dtype())
         else:
             self.Z = jnp.asarray(Z, self.dtype)
+        self.analytic = None
         return self
 
     def plot_midline_gradients(self, ax, lwl: float = 1053e-9):

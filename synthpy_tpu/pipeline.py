@@ -379,7 +379,8 @@ def run(
     def _out(res):
         return dict(zip(diagnostic, res)) if multi else res
 
-    if (critical_guard is not None and solver in ("zscan", "zscan_seg")
+    if (critical_guard is not None
+            and solver in ("zscan", "zscan_seg", "analytic")
             and domain.ne is not None):
         frac = peak_ne_over_nc(domain, lwl)
         if frac >= critical_guard:
@@ -391,7 +392,8 @@ def run(
                 "falling back to solver='time'.", stacklevel=2)
             solver = "time"
 
-    if pack is None and zpack is None and spack is None:
+    if (pack is None and zpack is None and spack is None
+            and solver != "analytic"):
         pack = build_pack(domain, lwl)
     elif pack is None and solver == "time":
         pack = build_pack(domain, lwl)
@@ -439,6 +441,22 @@ def run(
             ray_chunk=ray_chunk, integrator=integrator,
             weights=bench_kwargs.pop("seg_weights", "stage"),
             cache=bench_kwargs.pop("seg_cache", None))
+        return _out(_image_only(
+            res.sf, depth, diagnostic=diagnostic,
+            probing_direction=domain.probing_direction, bins=bins,
+            lwl=lwl, **bench_kwargs))
+
+    if solver == "analytic":
+        # pack-free closed-form march (tracer.analytic): no field table is
+        # ever built — the RHS evaluates domain.analytic closures at each
+        # RK stage. Zero pack-build latency and zero gather traffic; the
+        # march is pure VPU math and the field is grid-free exact.
+        from synthpy_tpu.tracer.analytic import solve_zscan_analytic
+
+        res = solve_zscan_analytic(
+            s0, domain, probing_depth, lwl=lwl, n_steps=n_steps,
+            integrator=bench_kwargs.pop("integrator", "rk2"),
+            ray_chunk=ray_chunk)
         return _out(_image_only(
             res.sf, depth, diagnostic=diagnostic,
             probing_direction=domain.probing_direction, bins=bins,

@@ -13,6 +13,7 @@ from synthpy_tpu.tracer.zscan import (  # noqa: F401
     solve_zscan_segments_streamed,
 )
 from synthpy_tpu.tracer.adaptive import solve_adaptive  # noqa: F401
+from synthpy_tpu.tracer.analytic import solve_zscan_analytic  # noqa: F401
 from synthpy_tpu.tracer.propagator import (  # noqa: F401
     TraceResult,
     back_propagate,
