@@ -3,6 +3,7 @@
 from synthpy_tpu.optics.diagnostics import (  # noqa: F401
     Diagnostic,
     Interferometry,
+    Polarimetry,
     Refractometry,
     Schlieren,
     Shadowgraphy,

@@ -210,6 +210,22 @@ def interferometry_two_lens(L: float = 400, R: float = 25,
     ])
 
 
+def polarimetry_two_lens(L: float = 400, R: float = 25,
+                         focal_plane: float = 0) -> List[Tuple]:
+    """M = 1 imaging telescope for Faraday-rotation polarimetry — the
+    geometry of :func:`shadowgraphy_two_lens`. The analyser is not a
+    ray-transfer element: it becomes a per-ray detector WEIGHT
+    |amp * cos(pol + beta)|^2 applied at binning time (pipeline
+    `pol_beta_deg` / Polarimetry.polarogram), since polarisation rides
+    the Jones vector, untouched by lenses and apertures."""
+    return shadowgraphy_two_lens(L=L, R=R, focal_plane=focal_plane)
+
+
+# Benches that are INCOHERENT (linear in rays, so batch sums are exact)
+# but still read the Jones vectors for per-ray detector weights.
+NEEDS_JONES = frozenset({"polarimetry"})
+
+
 def refractometer_coherent(L: float = 400, R: float = 25,
                            focal_plane: float = 0) -> List[Tuple]:
     """Coherent imaging refractometer (diagnostics.py:505-524): no phase
@@ -235,4 +251,5 @@ BENCHES = {
     "refractometry": (refractometer, False),
     "refractometry_coherent": (refractometer_coherent, True),
     "interferometry": (interferometry_two_lens, True),
+    "polarimetry": (polarimetry_two_lens, False),
 }

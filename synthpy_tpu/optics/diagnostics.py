@@ -190,6 +190,69 @@ class Shadowgraphy(Diagnostic):
     solve = single_lens_solve
 
 
+class Polarimetry(Diagnostic):
+    """Faraday-rotation imaging polarimeter (beyond the reference's four
+    benches — its Faraday physics stops at the pol channel,
+    full_solver.py:532-541; this is the pol channel's detector-side
+    consumer, the diagnostic MAGPIE fields as Faraday imaging).
+
+    Images the plasma through an M = 1 telescope (the shadowgraphy
+    two-lens geometry) with a linear analyser in front of the detector.
+    The analyser is not a ray-transfer element: polarisation rides the
+    Jones vector untouched by lenses/apertures, so the analyser becomes a
+    per-ray intensity weight at binning time,
+
+        I_ray = |Jx sin(beta) + Jy cos(beta)|^2
+              = amp^2 cos^2(pol + beta)
+
+    for the tracer's R(pol) @ y-hat polarisation convention
+    (tracer.propagator.ray_to_Jonesvector). ``beta`` is the analyser
+    angle from the initial (y) polarisation axis: beta = 90 deg is
+    crossed (extinction without plasma), and the standard working point
+    a few degrees off extinction (default 85 deg) gives signed
+    sensitivity to the rotation angle.
+    """
+
+    def two_lens_solve(self):
+        """M = 1 imaging telescope (same train as Shadowgraphy)."""
+        r1 = travel(self.r0, self.L - self.focal_plane)
+        r2 = circular_aperture(r1, self.R)
+        r3 = sym_lens(r2, self.L / 2)
+        r4 = travel(r3, self.L * 2)
+        r5 = circular_aperture(r4, self.R)
+        r6 = sym_lens(r5, self.L / 2)
+        self.rf = travel(r6, self.L)
+        return self.rf
+
+    solve = two_lens_solve
+
+    def polarogram(self, beta_deg: float = 85.0, bin_scale: int = 1,
+                   pix_x: int = 3448, pix_y: int = 2574,
+                   clear_mem: bool = False):
+        """Analyser-weighted detector image at analyser angle ``beta_deg``.
+
+        Linear in rays (a weighted incoherent histogram), so images sum
+        exactly across ray batches. Divide two polarograms at different
+        analyser angles to recover the rotation map (see
+        ``analysis.fringes`` for the interferometric analogue).
+        """
+        if self.Jf is None:
+            raise RuntimeError("polarogram requires Jones vectors "
+                               "(trace with return_E=True and B_on)")
+        beta = jnp.deg2rad(jnp.asarray(beta_deg, self.rf.dtype))
+        t = self.Jf[0, :] * jnp.sin(beta) + self.Jf[1, :] * jnp.cos(beta)
+        w = jnp.abs(t) ** 2
+        self.H, self.xedges, self.yedges = histogram2d(
+            self.rf[0, :], self.rf[2, :],
+            bins=(pix_x // bin_scale, pix_y // bin_scale),
+            range_=((-self.Lx / 2, self.Lx / 2),
+                    (-self.Ly / 2, self.Ly / 2)),
+            weights=w)
+        if clear_mem:
+            self.clear_rays()
+        return self.H
+
+
 class Schlieren(Diagnostic):
     """Dark/light-field schlieren bench (diagnostics.py:407-458)."""
 

@@ -35,11 +35,13 @@ from synthpy_tpu.fields.domain import (
 from synthpy_tpu.ops.histogram import complex_histogram, histogram2d
 from synthpy_tpu.optics.compose import (
     BENCHES,
+    NEEDS_JONES,
     apply_stages,
     interfere_ref_beam,
 )
 from synthpy_tpu.optics.diagnostics import (
     Interferometry,
+    Polarimetry,
     Refractometry,
     Schlieren,
     Shadowgraphy,
@@ -64,13 +66,17 @@ DIAGNOSTICS = {
     "refractometry": (Refractometry, "incoherent_solve", False),
     "refractometry_coherent": (Refractometry, "coherent_solve", True),
     "interferometry": (Interferometry, "two_lens_solve", True),
+    # incoherent detector with a Jones-vector analyser weight: linear in
+    # rays (exact batch sums) but requires return_E
+    "polarimetry": (Polarimetry, "two_lens_solve", False),
 }
 
 
 def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
                    bins, lwl, L, R, Lx, Ly, focal_plane,
                    coherent_convention="legacy", detL=None,
-                   n_fringes=10.0, deg=20.0, coherent_raw=False):
+                   n_fringes=10.0, deg=20.0, coherent_raw=False,
+                   pol_beta_deg=85.0):
     """Exit state -> optics -> detector (traced, shared by both solvers).
 
     ``diagnostic`` may be a tuple of names: the exit state is converted
@@ -80,7 +86,7 @@ def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
     pvti_trace_mpi.py:144-170).
     """
     names = (diagnostic,) if isinstance(diagnostic, str) else diagnostic
-    any_coherent = any(BENCHES[n][1] for n in names)
+    any_coherent = any(BENCHES[n][1] or n in NEEDS_JONES for n in names)
     rf, Jf = ray_to_Jonesvector(sf, probing_depth,
                                 probing_direction=probing_direction,
                                 return_E=any_coherent)
@@ -94,7 +100,21 @@ def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
         extra = ({"detL": detL} if detL is not None
                  and name == "shadowgraphy_exp" else {})
         stages = builder(L=L, R=R, focal_plane=focal_plane, **extra)
-        if coherent:
+        if name in NEEDS_JONES:
+            # Faraday polarimetry: incoherent detector (LINEAR in rays, so
+            # batch sums stay exact) with a per-ray analyser weight from
+            # the Jones vector: I = |Jx sin(beta) + Jy cos(beta)|^2
+            # = amp^2 cos^2(pol + beta) for the tracer's R(pol) @ y-hat
+            # polarisation (propagator.ray_to_Jonesvector).
+            beta = jnp.deg2rad(jnp.asarray(pol_beta_deg, r_mm.dtype))
+            t = Jf[0, :] * jnp.sin(beta) + Jf[1, :] * jnp.cos(beta)
+            w = jnp.abs(t) ** 2
+            r_out = apply_stages(r_mm, stages)
+            H, _, _ = histogram2d(
+                r_out[0, :], r_out[2, :], bins,
+                ((-Lx / 2, Lx / 2), (-Ly / 2, Ly / 2)), weights=w)
+            images.append(H)
+        elif coherent:
             E = Jf
             if name == "interferometry":
                 E = interfere_ref_beam(r_mm, E, n_fringes, deg)
@@ -118,7 +138,7 @@ def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
     "layout", "n_steps", "diagnostic", "probing_direction", "bins",
     "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane",
     "coherent_convention", "detL", "n_fringes", "deg",
-    "coherent_raw"))
+    "coherent_raw", "pol_beta_deg"))
 def synth_image(
     s_rows: jnp.ndarray,
     channels: jnp.ndarray,
@@ -144,6 +164,7 @@ def synth_image(
     n_fringes: float = 10.0,
     deg: float = 20.0,
     coherent_raw: bool = False,
+    pol_beta_deg: float = 85.0,
 ) -> jnp.ndarray:
     """Time-tracer pipeline on (Np, 9) ray rows. Returns (ny, nx) image.
 
@@ -157,7 +178,8 @@ def synth_image(
         probing_direction=probing_direction, bins=bins, lwl=lwl, L=L, R=R,
         Lx=Lx, Ly=Ly, focal_plane=focal_plane,
         coherent_convention=coherent_convention, detL=detL,
-        n_fringes=n_fringes, deg=deg, coherent_raw=coherent_raw)
+        n_fringes=n_fringes, deg=deg, coherent_raw=coherent_raw,
+        pol_beta_deg=pol_beta_deg)
 
 
 @partial(jax.jit, static_argnames=(
@@ -165,7 +187,7 @@ def synth_image(
     "bins", "ray_chunk", "lwl", "L", "R", "Lx", "Ly", "focal_plane", "p0",
     "dp_static", "sort_rays", "segmented", "seg_K", "shape_ab",
     "coherent_convention", "integrator", "detL", "n_fringes", "deg",
-    "coherent_raw", "seg_weights", "seg_qbits"))
+    "coherent_raw", "pol_beta_deg", "seg_weights", "seg_qbits"))
 def synth_image_zscan(
     s0: jnp.ndarray,
     planes: jnp.ndarray,
@@ -198,6 +220,7 @@ def synth_image_zscan(
     n_fringes: float = 10.0,
     deg: float = 20.0,
     coherent_raw: bool = False,
+    pol_beta_deg: float = 85.0,
     seg_weights: str = "stage",
     seg_scales: Optional[jnp.ndarray] = None,
     seg_qbits: Optional[int] = None,
@@ -247,13 +270,14 @@ def synth_image_zscan(
         probing_direction=probing_direction, bins=bins, lwl=lwl, L=L, R=R,
         Lx=Lx, Ly=Ly, focal_plane=focal_plane,
         coherent_convention=coherent_convention, detL=detL,
-        n_fringes=n_fringes, deg=deg, coherent_raw=coherent_raw)
+        n_fringes=n_fringes, deg=deg, coherent_raw=coherent_raw,
+        pol_beta_deg=pol_beta_deg)
 
 
 @partial(jax.jit, static_argnames=(
     "diagnostic", "probing_direction", "bins", "lwl", "L", "R", "Lx", "Ly",
     "focal_plane", "coherent_convention", "detL", "n_fringes", "deg",
-    "coherent_raw"))
+    "coherent_raw", "pol_beta_deg"))
 def _image_only(
     sf: jnp.ndarray,
     probing_depth: jnp.ndarray,
@@ -272,6 +296,7 @@ def _image_only(
     n_fringes: float = 10.0,
     deg: float = 20.0,
     coherent_raw: bool = False,
+    pol_beta_deg: float = 85.0,
 ):
     """(9, Np) exit state -> optics -> detector, as one jitted program.
 
@@ -284,7 +309,8 @@ def _image_only(
         probing_direction=probing_direction, bins=bins, lwl=lwl, L=L, R=R,
         Lx=Lx, Ly=Ly, focal_plane=focal_plane,
         coherent_convention=coherent_convention, detL=detL,
-        n_fringes=n_fringes, deg=deg, coherent_raw=coherent_raw)
+        n_fringes=n_fringes, deg=deg, coherent_raw=coherent_raw,
+        pol_beta_deg=pol_beta_deg)
 
 
 def _pad_ray_cols(s0: jnp.ndarray, multiple: int, a_ax: int,
