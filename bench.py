@@ -161,6 +161,29 @@ def main() -> None:
             int4s4_rk2s2_rays_s = round(rays / els4q, 1)
             del sp_s4
 
+    # analytic pack-free tier (the bench lens has a closed form): zero
+    # pack build, zero gathers; 64 steps is the CONVERGED point for this
+    # field (rel_v_err 5.8e-5 = f32 floor, flat 32..512 steps —
+    # scratch/results_analytic_r3.jsonl), so this tier is EXACT where
+    # the gridded tiers carry interpolation error.
+    analytic_rk2_rays_s = None
+    if (solver == "zscan_seg" and integrator == "rk2"
+            and getattr(domain, "analytic", None) is not None):
+        def run_analytic():
+            return pipeline.run(domain, s0, solver="analytic",
+                                bins=(431, 321), integrator="rk2",
+                                n_steps=64, critical_guard=None)
+
+        Ha = run_analytic()
+        Ha.block_until_ready()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            Ha = run_analytic()
+            Ha.block_until_ready()
+            times.append(time.perf_counter() - t0)
+        analytic_rk2_rays_s = round(rays / min(times), 1)
+
     # Optional REAL north-star measurement (never a citation: the value
     # reported is the wall clock of the run this bench just executed).
     measured_1e8 = None
@@ -227,6 +250,9 @@ def main() -> None:
             # effective-stride-8 tier (accuracy envelope in
             # scratch/results_stride_error_512.jsonl)
             "int4s4_rk2s2_rays_s": int4s4_rk2s2_rays_s,
+            # pack-free closed-form march at its converged 64-step point
+            # (exact field, no gathers; scratch/results_analytic_r3.jsonl)
+            "analytic_rk2_rays_s": analytic_rk2_rays_s,
             # freshly measured under BENCH_FULL=1, else absent (the
             # historical record lives in scratch/results_1e8_*.jsonl and
             # README, not in live bench output)
