@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from synthpy_tpu.fields.domain import (ScalarDomain, build_pack, layout_of)
-from synthpy_tpu.optics.compose import BENCHES
+from synthpy_tpu.optics.compose import BENCHES, NEEDS_JONES
 from synthpy_tpu.optics.rtm import m_to_mm
 from synthpy_tpu.tracer.propagator import ray_to_Jonesvector
 from synthpy_tpu.tracer.zscan import (make_segment_pack, make_zscan_pack,
@@ -205,6 +205,7 @@ def make_renderer(
     probing_depth: float | None = None,
     n_fringes: float = 10.0,
     deg: float = 20.0,
+    pol_beta_deg: float = 85.0,
     remat: bool = True,
     pack_dtype=None,
     bench_kwargs: Optional[dict] = None,
@@ -252,7 +253,8 @@ def make_renderer(
     # constraint where a raw fringe MSE is wrap-trapped (the fringe
     # image decoheres once shape error exceeds ~2pi/phi_total).
     needs_phase = [n == "phase_map" or BENCHES[n][1] for n in names]
-    any_coherent = any(BENCHES[n][1] for n in names if n != "phase_map")
+    any_coherent = any(BENCHES[n][1] or n in NEEDS_JONES
+                       for n in names if n != "phase_map")
     if any(needs_phase) and not domain.phaseshift:
         raise ValueError(f"{names} includes a phase-carrying bench: "
                          "requires domain.phaseshift=True (the trace "
@@ -334,6 +336,20 @@ def make_renderer(
                                                         wavelength=lwl)
                 images.append(cic_intensity_image(
                     r_out[0, :], r_out[2, :], w, E_out, bins, Lx, Ly))
+            elif name in NEEDS_JONES:
+                # Faraday polarimetry: the analyser weight
+                # |Jx sin(beta) + Jy cos(beta)|^2 folds into the
+                # aperture-transmission weight. Written as re^2 + im^2
+                # (not abs()**2): smooth everywhere, no |.| kink at the
+                # extinction null to poison jax.grad. pol depends on ne
+                # through Verdet*ne*B, so polarograms constrain ne given
+                # a known B (Faraday inversion).
+                beta = jnp.deg2rad(jnp.asarray(pol_beta_deg, r_mm.dtype))
+                t = Jf[0, :] * jnp.sin(beta) + Jf[1, :] * jnp.cos(beta)
+                wp = t.real**2 + t.imag**2
+                r_out, w = apply_stages_weighted(r_mm, stages)
+                images.append(cic_image(r_out[0, :], r_out[2, :], w * wp,
+                                        bins, Lx, Ly))
             else:
                 r_out, w = apply_stages_weighted(r_mm, stages)
                 images.append(cic_image(r_out[0, :], r_out[2, :], w, bins,

@@ -241,7 +241,7 @@ class Polarimetry(Diagnostic):
                                "(trace with return_E=True and B_on)")
         beta = jnp.deg2rad(jnp.asarray(beta_deg, self.rf.dtype))
         t = self.Jf[0, :] * jnp.sin(beta) + self.Jf[1, :] * jnp.cos(beta)
-        w = jnp.abs(t) ** 2
+        w = t.real**2 + t.imag**2  # smooth (no |.| kink) for grad
         self.H, self.xedges, self.yedges = histogram2d(
             self.rf[0, :], self.rf[2, :],
             bins=(pix_x // bin_scale, pix_y // bin_scale),

@@ -108,7 +108,7 @@ def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
             # polarisation (propagator.ray_to_Jonesvector).
             beta = jnp.deg2rad(jnp.asarray(pol_beta_deg, r_mm.dtype))
             t = Jf[0, :] * jnp.sin(beta) + Jf[1, :] * jnp.cos(beta)
-            w = jnp.abs(t) ** 2
+            w = t.real**2 + t.imag**2  # smooth (no |.| kink) for grad
             r_out = apply_stages(r_mm, stages)
             H, _, _ = histogram2d(
                 r_out[0, :], r_out[2, :], bins,

@@ -116,3 +116,34 @@ def test_polarogram_requires_jones():
     d = Polarimetry(LWL, jnp.zeros((4, 8)))
     with pytest.raises(RuntimeError, match="Jones"):
         d.polarogram()
+
+
+def test_differentiable_faraday_rendering():
+    """make_renderer('polarimetry') gives a usable ne gradient: pol
+    depends on ne through Verdet*ne*B, so polarograms constrain ne given
+    a known B (Faraday inversion). Gradients are checked in scaled units
+    (per-unit-ne SI gradients are ~1e-24 and their squared norms
+    underflow f32)."""
+    from synthpy_tpu.inverse import make_renderer
+
+    dim = 17
+    dom = ScalarDomain(2 * EXT, dim, B_on=True)
+    ne = np.full((dim,) * 3, NE, np.float32)
+    B = np.zeros((*([dim] * 3), 3), np.float32)
+    B[..., 2] = BZ
+    dom.external_ne(ne)
+    dom.external_B(B)
+    s0 = init_beam(jax.random.PRNGKey(0), 3000, 2e-3, 0.0, EXT, "circular")
+    render = make_renderer(dom, s0, diagnostic="polarimetry",
+                           bins=(16, 12), K=8)
+    target = render(jnp.asarray(ne) * 1.3)
+
+    def loss(scale):
+        return jnp.mean((render(scale * NE) - target) ** 2)
+
+    ones = jnp.ones((dim,) * 3, jnp.float32)
+    g = jax.grad(loss)(ones)
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 1e-7
+    # a descent step along -sign(g) reduces the loss
+    assert float(loss(ones - 1e-3 * jnp.sign(g))) < float(loss(ones))
