@@ -503,39 +503,72 @@ def decimate_segment_pack(spack: SegmentPack,
     the per-ray corner GATHER pulls half the row bytes. The march is
     gather-bound (ROADMAP "Performance"), so this converts a pack-layout
     artifact (full rows gathered, half the planes read) into throughput.
-    Compose with :func:`quantize_segment_pack` AFTER decimating:
-    per-plane scales make the quantised values identical to the full
-    pack's at the kept planes. ``rk2s4`` on a stride-2 pack opens an
-    effective-stride-8 tier (8-cell steps; image-equivalence gated like
-    rk2s4 itself).
+    Composes with :func:`quantize_segment_pack` in EITHER order,
+    bit-identically: quantisation scales are per-(segment, plane,
+    channel), so keeping every stride-th plane's codes and scales equals
+    re-quantising the decimated float pack (gated by
+    tests/test_zscan.py::test_decimate_quantise_commute). Decimating an
+    already-quantised pack is the cheap route for one-shot stride tiers:
+    the direct int4 full build is ~2x faster than the f32 build the
+    float route would need (ROADMAP "Performance", regime split).
+    ``rk2s4`` on a stride-2 pack opens an effective-stride-8 tier
+    (8-cell steps; image-equivalence gated like rk2s4 itself).
 
-    Requires a float pack (decimate, then quantise) and K % stride == 0.
-    The field gradients were computed at FULL plane resolution by the
-    pack builder; decimation only changes which planes the integrator
-    may step on. ``n_slabs`` becomes the ceil'd real-slab count at the
+    Requires K % stride == 0 (and, for int4 nibble packs, an even
+    K/stride so the output planes still pair per byte). The field
+    gradients were computed at FULL plane resolution by the pack
+    builder; decimation only changes which planes the integrator may
+    step on. ``n_slabs`` becomes the ceil'd real-slab count at the
     coarse dp (trailing zero-padded slabs march exactly: zero field =
     straight flight, removed by exit-plane back-projection).
     """
-    if spack.scales is not None:
-        raise ValueError("decimate float packs, then quantise "
-                         "(per-plane scales compose exactly)")
     if stride < 1 or spack.K % stride:
         raise ValueError(f"K={spack.K} must divide by stride={stride}")
     if stride == 1:
         return spack
     n_seg, cells, cols = spack.seg_planes.shape
     K = spack.K
-    C = cols // (K + 1)
     Kd = K // stride
+    scales = spack.scales
+    if spack.qbits == 4:
+        if Kd % 2:
+            raise ValueError(f"int4 nibble packs need an even K/stride "
+                             f"(got K={K}, stride={stride})")
+        n_blk = K // 2 + 1
+        C = cols // n_blk
+        n_blk_d = Kd // 2 + 1
 
-    @jax.jit
-    def dec(planes):
-        v = planes.reshape(n_seg, cells, K + 1, C)
-        return v[:, :, ::stride].reshape(n_seg, cells, (Kd + 1) * C)
+        @jax.jit
+        def dec(packed):
+            v = packed.reshape(n_seg, cells, n_blk, C)
+            # decode to sign-extended per-plane int8 codes (exact),
+            # keep every stride-th plane, repack pairs — the codes and
+            # the kept scales are those of the full pack, so the result
+            # is bit-identical to quantising the decimated float pack
+            planes = jnp.stack([_nibble_lo(v), _nibble_hi(v)],
+                               axis=3).reshape(n_seg, cells, 2 * n_blk,
+                                               C)[:, :, :K + 1:stride]
+            pad = 2 * n_blk_d - (Kd + 1)    # 1: even Kd, lone last plane
+            if pad:
+                planes = jnp.concatenate(
+                    [planes, jnp.zeros((n_seg, cells, pad, C), jnp.int8)],
+                    axis=2)
+            lo, hi = planes[:, :, 0::2], planes[:, :, 1::2]
+            packed_d = (lo & 15) | ((hi & 15) << 4)
+            return packed_d.reshape(n_seg, cells, n_blk_d * C)
+    else:
+        C = cols // (K + 1)
 
+        @jax.jit
+        def dec(planes):
+            v = planes.reshape(n_seg, cells, K + 1, C)
+            return v[:, :, ::stride].reshape(n_seg, cells, (Kd + 1) * C)
+
+    if scales is not None:
+        scales = scales[:, ::stride]
     return spack._replace(seg_planes=dec(spack.seg_planes), K=Kd,
                           n_slabs=-(-spack.n_slabs // stride),
-                          dp=spack.dp * stride)
+                          dp=spack.dp * stride, scales=scales)
 
 
 def _scale_row(scales, k, n, dtype):
@@ -1636,16 +1669,24 @@ def build_segment_pack_device(
         _n_seg = -(-(n_p - 1) // K)
         full_f32 = na * nb * _n_seg * (K + 1) * layout.n_channels * 4
         if full_f32 <= fuse_threshold_bytes:
-            # post-hoc route: full f32 build + decimate + quantise
-            # compiles an order of magnitude faster than the fused
-            # strided seg_fn (docstring) and is bit-identical
+            # post-hoc route: full build + decimate compiles an order of
+            # magnitude faster than the fused strided seg_fn (docstring)
+            # and is bit-identical
+            if quantized:
+                # build full directly at the quantised dtype (~2x faster
+                # than the f32 full build at 512^3) and decimate the
+                # quantised pack — exact: decimation and per-plane
+                # quantisation commute (decimate_segment_pack docstring,
+                # tests/test_zscan.py::test_decimate_quantise_commute)
+                spq = build_segment_pack_device(domain, lwl=lwl, K=K,
+                                                dtype=dtype,
+                                                free_ne=free_ne)
+                return decimate_segment_pack(spq, plane_stride)
             spf = build_segment_pack_device(domain, lwl=lwl, K=K,
                                             dtype=jnp.float32,
                                             free_ne=free_ne)
             sp = decimate_segment_pack(spf, plane_stride)
             del spf
-            if quantized:
-                return quantize_segment_pack(sp, 4 if quantized4 else 8)
             if dtype != jnp.float32:
                 sp = sp._replace(
                     seg_planes=sp.seg_planes.astype(dtype))

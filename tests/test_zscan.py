@@ -1180,8 +1180,43 @@ def test_decimated_pack_rk2s2_equals_rk2s4():
     # guards
     with pytest.raises(ValueError, match="stride"):
         decimate_segment_pack(sp_f, stride=3)
-    with pytest.raises(ValueError, match="float"):
-        decimate_segment_pack(quantize_segment_pack(sp_f), stride=2)
+
+
+def test_decimate_quantise_commute():
+    """Decimation and quantisation commute BIT-identically: scales are
+    per-(segment, plane, channel), so keeping every stride-th plane's
+    codes+scales == re-quantising the decimated float pack. This is
+    what lets the one-shot stride tiers build the full pack directly at
+    the quantised dtype (~2x faster than the f32 full build the float
+    route needs) and decimate that."""
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_device,
+                                          decimate_segment_pack,
+                                          quantize_segment_pack)
+
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    sp_f = build_segment_pack_device(d, K=8, dtype=jnp.float32)
+    for bits in (8, 4):
+        for stride in (2, 4):
+            a = decimate_segment_pack(quantize_segment_pack(sp_f, bits),
+                                      stride)
+            b = quantize_segment_pack(decimate_segment_pack(sp_f, stride),
+                                      bits)
+            np.testing.assert_array_equal(np.asarray(a.seg_planes),
+                                          np.asarray(b.seg_planes))
+            np.testing.assert_array_equal(np.asarray(a.scales),
+                                          np.asarray(b.scales))
+            assert (a.K, a.dp, a.n_slabs, a.qbits) == (b.K, b.dp,
+                                                       b.n_slabs, b.qbits)
+    # the builder's quantised post-hoc stride route rides this commute
+    sp_b = build_segment_pack_device(d, K=8, dtype="int4", plane_stride=2)
+    sp_m = decimate_segment_pack(
+        quantize_segment_pack(sp_f, bits=4), stride=2)
+    np.testing.assert_array_equal(np.asarray(sp_b.seg_planes),
+                                  np.asarray(sp_m.seg_planes))
+    # int4 output planes must still pair per byte
+    with pytest.raises(ValueError, match="even"):
+        decimate_segment_pack(quantize_segment_pack(sp_f, bits=4),
+                              stride=8)
 
 
 def test_decimated_rk2s4_stride8_image_equivalent():
