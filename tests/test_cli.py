@@ -101,3 +101,67 @@ def test_trace_cli_int8_pack():
     # quantisation may push a handful of edge rays across the detector
     # boundary; counts agree to a fraction of a percent
     assert abs(res["image_sum"] - ref["image_sum"]) <= 0.01 * ref["image_sum"]
+
+
+def test_campaign_cli_end_to_end(tmp_path):
+    """Config-driven campaign: chunked run, exact coherent accumulation,
+    checkpoint resume, and determinism of the accumulated images."""
+    import json
+
+    from synthpy_tpu.cli import campaign as campaign_cli
+
+    cfg = {
+        "seed": 3,
+        "domain": {"dim": 17, "length": 2e-3, "ne_type": "test_lens",
+                   "ne_kwargs": {"ne_0": 5e24, "LR": 1.5e-3}},
+        "beam": {"size": 0.6e-3},
+        "trace": {"total_rays": 4000, "chunk_rays": 1500,
+                  "integrator": "rk2s2"},
+        "diagnostics": ["shadowgraphy", "interferometry"],
+        "detector": {"bin_scale": 64},
+        "output": {"dir": str(tmp_path / "out")},
+    }
+    cpath = str(tmp_path / "cfg.json")
+    with open(cpath, "w") as f:
+        json.dump(cfg, f)
+
+    s1 = campaign_cli.main([cpath, "--quiet"])
+    assert s1["total_rays"] == 4000 and s1["chunk_rays"] == 1500
+    h = load_histograms(s1["images"])
+    assert sorted(h) == ["interferometry", "shadowgraphy"]
+    assert h["shadowgraphy"].sum() == 4000.0          # counts conserved
+    assert h["interferometry"].dtype == np.float32 or h[
+        "interferometry"].ndim == 2                   # finalized image
+
+    # a completed checkpoint resumes to the identical result (no rework)
+    s2 = campaign_cli.main([cpath, "--quiet"])
+    h2 = load_histograms(s2["images"])
+    np.testing.assert_array_equal(h2["interferometry"],
+                                  h["interferometry"])
+
+    # --fresh recomputes from scratch, deterministically
+    s3 = campaign_cli.main([cpath, "--quiet", "--fresh"])
+    h3 = load_histograms(s3["images"])
+    np.testing.assert_array_equal(h3["shadowgraphy"], h["shadowgraphy"])
+    np.testing.assert_array_equal(h3["interferometry"],
+                                  h["interferometry"])
+
+
+def test_campaign_cli_rejects_typos(tmp_path):
+    import json
+
+    import pytest
+
+    from synthpy_tpu.cli import campaign as campaign_cli
+
+    cpath = str(tmp_path / "bad.json")
+    with open(cpath, "w") as f:
+        json.dump({"trace": {"total_rays": 100, "integrater": "rk2"}}, f)
+    with pytest.raises(SystemExit, match="integrater"):
+        campaign_cli.main([cpath, "--quiet"])
+    with open(cpath, "w") as f:
+        json.dump({"diagnostics": ["shadowgraphy", "shadography"],
+                   "trace": {"total_rays": 100}}, f)
+    with pytest.raises(SystemExit, match="shadography"):
+        campaign_cli.main([cpath, "--quiet",
+                           "-o", str(tmp_path / "o2")])
