@@ -43,7 +43,8 @@ Config schema (defaults shown; every section optional except
         "solver": "zscan_seg", "integrator": "rk2",
         "seg_weights": "slab",
         "pack_dtype": "bf16",          # bf16 | f32 | int8 | int4
-        "plane_stride": 1, "K": null   # null = auto
+        "plane_stride": 1, "K": null,  # null = auto
+        "pack_dither": null            # int seed: dithered quantisation
       },
       "diagnostics": ["shadowgraphy"],
       "detector": {"bin_scale": 8},
@@ -79,6 +80,7 @@ DEFAULTS = {
         "solver": "zscan_seg", "integrator": "rk2",
         "seg_weights": "slab",
         "pack_dtype": "bf16", "plane_stride": 1, "K": None,
+        "pack_dither": None,
     },
     "diagnostics": ["shadowgraphy"],
     "detector": {"bin_scale": 8},
@@ -91,6 +93,8 @@ def merge_config(user: dict) -> dict:
     """DEFAULTS overlaid with ``user``; unknown keys raise."""
     cfg = copy.deepcopy(DEFAULTS)
     for section, val in user.items():
+        if section.startswith("_"):
+            continue                      # JSON comment idiom
         if section not in cfg:
             raise SystemExit(f"unknown config section {section!r} "
                              f"(known: {sorted(cfg)})")
@@ -221,7 +225,8 @@ def main(argv=None) -> dict:
             align = max(2 * ps if tr["pack_dtype"] == "int4" else ps, 1)
             K = max(n_p // align * align, align)
         spack = build_segment_pack_device(domain, lwl=tr["lwl"], K=K,
-                                          dtype=dt, plane_stride=ps)
+                                          dtype=dt, plane_stride=ps,
+                                          dither=tr["pack_dither"])
     t_setup = time.perf_counter() - t0
 
     bins = (3448 // cfg["detector"]["bin_scale"],

@@ -71,6 +71,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "rk2s4 on the full pack at half the gather "
                         "bytes/ray. zscan_seg only; the effective step "
                         "is plane_stride x the integrator stride")
+    p.add_argument("--pack-dither", type=int, default=None,
+                   help="dither seed for quantised packs (int8/int4): "
+                        "decorrelates rounding error into a zero-mean "
+                        "walk — measured 12x smaller caustic exit RMS "
+                        "at no march cost; same seed = bit-identical "
+                        "pack")
     p.add_argument("--phaseshift", action="store_true")
     p.add_argument("-o", "--output", default=None,
                    help="output prefix (writes <prefix>.npz)")
@@ -143,8 +149,13 @@ def main(argv=None) -> dict:
             K = min(64, (domain.dims[0] - 1) // stride * stride)
         else:
             K = min(64, (domain.dims[0] - 1) // ps * ps)
+        if (args.pack_dither is not None
+                and args.pack_dtype not in ("int8", "int4")):
+            raise SystemExit("--pack-dither applies to --pack-dtype "
+                             "int8 or int4")
         spack = build_segment_pack_device(
             domain, lwl=args.lwl, K=K, plane_stride=ps,
+            dither=args.pack_dither,
             dtype={"bf16": jnp.bfloat16, "f32": jnp.float32,
                    "int8": jnp.int8, "int4": "int4"}[args.pack_dtype])
 

@@ -433,7 +433,8 @@ def segment_pack_metadata(domain: ScalarDomain, lwl: float = 1064e-9,
                        float(_c.omega_from_lwl(lwl)), None)
 
 
-def quantize_segment_pack(spack: SegmentPack, bits: int = 8) -> SegmentPack:
+def quantize_segment_pack(spack: SegmentPack, bits: int = 8,
+                          dither=None) -> SegmentPack:
     """Symmetric per-(segment, plane, channel) int8/int4 quantisation.
 
     The march is gather-bound (4 random corner rows/ray through the XLA
@@ -449,6 +450,22 @@ def quantize_segment_pack(spack: SegmentPack, bits: int = 8) -> SegmentPack:
     gather bytes at ~0.75% image rel-L1 (scratch/int4_error_probe.py).
     int4 packs require even K and run on the even-stride integrators
     (rk2s2, rk2s4) only, whose stage reads align to whole bytes.
+
+    ``dither``: PRNG key (or int seed) for non-subtractive uniform
+    dither — add u ~ U[-0.5, 0.5) LSB to NONZERO values before
+    rounding (exact zeros stay exact: vacuum remains bit-straight).
+    Deterministic rounding of a SMOOTH field biases every march step
+    the same way (error grows ~K); dither decorrelates it into a
+    zero-mean walk (~sqrt(K)). Measured on the 512^3 lens caustic —
+    the quantised tiers' documented worst case — exit RMS displacement
+    drops 12x (int4 0.197 -> 0.016 cells; int8 0.0083 -> 0.0009) and
+    raw image rel-L1 47% -> 14% / 12% -> 2.2%
+    (scratch/probe_int4_dither.py). Noise is keyed by the ABSOLUTE
+    plane index (fold_in(key, s*K + k)), so the on-device builder with
+    the same key produces bit-identical packs, shared segment-border
+    planes dither identically, and plane decimation of a dithered
+    quantised pack keeps exactly the noise those planes were built
+    with. Costs nothing at march time.
     """
     if spack.scales is not None:
         return spack
@@ -461,13 +478,22 @@ def quantize_segment_pack(spack: SegmentPack, bits: int = 8) -> SegmentPack:
         raise ValueError("int4 nibble packs require even K "
                          "(planes pair per byte)")
     qmax = 127.0 if bits == 8 else 7.0
+    if dither is not None and not hasattr(dither, "dtype"):
+        dither = jax.random.PRNGKey(int(dither))
 
     @jax.jit
     def quant(planes):
         v = planes.reshape(n_seg, cells, K + 1, C).astype(jnp.float32)
         amax = jnp.max(jnp.abs(v), axis=1)             # (n_seg, K+1, C)
         scale = jnp.where(amax > 0, amax / qmax, 1.0)
-        q = jnp.clip(jnp.round(v / scale[:, None]), -qmax, qmax)
+        x = v / scale[:, None]
+        if dither is not None:
+            u = jax.vmap(lambda s: jax.vmap(lambda k: jax.random.uniform(
+                jax.random.fold_in(dither, s * K + k), (cells, C),
+                minval=-0.5, maxval=0.5))(jnp.arange(K + 1)))(
+                    jnp.arange(n_seg))                 # (n_seg, K+1, cells, C)
+            x = x + jnp.where(v != 0, u.transpose(0, 2, 1, 3), 0.0)
+        q = jnp.clip(jnp.round(x), -qmax, qmax)
         if bits == 8:
             return q.astype(jnp.int8).reshape(n_seg, cells, cols), scale
         n_blk = K // 2 + 1
@@ -1601,6 +1627,7 @@ def build_segment_pack_device(
     free_ne: bool = False,
     plane_stride: int = 1,
     fuse_threshold_bytes: int = 4 << 30,
+    dither=None,
 ) -> SegmentPack:
     """On-device SegmentPack construction via lax.map over segments.
 
@@ -1635,6 +1662,14 @@ def build_segment_pack_device(
     service, scratch/probe_stride_build.py); above it (1024^3-class)
     the fused path keeps every transient 1/stride-sized. Both routes
     are bit-identical (test-gated).
+
+    ``dither``: PRNG key (or int seed) for dithered quantisation of the
+    int8/int4 tiers — see :func:`quantize_segment_pack`. Noise is keyed
+    by absolute plane index, so the fused in-kernel quantiser, the
+    post-hoc quantiser, and the strided routes all produce bit-identical
+    dithered packs for the same key. Measured 12x smaller caustic exit
+    RMS at no march cost (scratch/probe_int4_dither.py) — recommended
+    whenever the quantised tiers image sharp caustics.
     """
     from synthpy_tpu import constants as _c
 
@@ -1658,6 +1693,11 @@ def build_segment_pack_device(
     verdet = _c.verdet_constant(lwl) if layout.B_on else 0.0
     quantized4 = isinstance(dtype, str) and dtype == "int4"
     quantized = quantized4 or dtype == jnp.int8
+    if dither is not None and not quantized:
+        raise ValueError("dither applies to quantised dtypes "
+                         "(int8 / 'int4') only")
+    if dither is not None and not hasattr(dither, "dtype"):
+        dither = jax.random.PRNGKey(int(dither))
     if plane_stride < 1 or K % plane_stride:
         raise ValueError(f"K={K} must divide by plane_stride="
                          f"{plane_stride}")
@@ -1680,7 +1720,8 @@ def build_segment_pack_device(
                 # tests/test_zscan.py::test_decimate_quantise_commute)
                 spq = build_segment_pack_device(domain, lwl=lwl, K=K,
                                                 dtype=dtype,
-                                                free_ne=free_ne)
+                                                free_ne=free_ne,
+                                                dither=dither)
                 return decimate_segment_pack(spq, plane_stride)
             spf = build_segment_pack_device(domain, lwl=lwl, K=K,
                                             dtype=jnp.float32,
@@ -1769,8 +1810,15 @@ def build_segment_pack_device(
                                 out, 0)
                 amax = jnp.max(jnp.abs(out), axis=(1, 2))   # (Ko+1, C)
                 scale = jnp.where(amax > 0, amax / qmax, 1.0)
-                q = jnp.clip(jnp.round(out / scale[:, None, None]),
-                             -qmax, qmax)
+                x = out / scale[:, None, None]
+                if dither is not None:
+                    # keyed by ABSOLUTE plane index (gidx): bit-matches
+                    # quantize_segment_pack and the strided routes
+                    u = jax.vmap(lambda g: jax.random.uniform(
+                        jax.random.fold_in(dither, g), (na, nb, C),
+                        minval=-0.5, maxval=0.5))(gidx)
+                    x = x + jnp.where(out != 0, u, 0.0)
+                q = jnp.clip(jnp.round(x), -qmax, qmax)
                 if quantized4:
                     qi = q.astype(jnp.int8)         # (Ko+1, na, nb, C)
                     # pair planes (2j, 2j+1) into bytes; even Ko leaves a

@@ -1240,3 +1240,64 @@ def test_decimated_rk2s4_stride8_image_equivalent():
                                  critical_guard=None))
     assert H8.sum() == H.sum()          # all rays still land
     assert np.abs(H8 - H).sum() <= 0.10 * H.sum()
+
+
+def test_dithered_quantisation_routes_and_accuracy():
+    """Dithered quantisation: (1) the fused in-kernel builder, the
+    post-hoc quantiser and the strided routes are bit-identical for the
+    same key (noise keyed by absolute plane index); (2) exact zeros stay
+    exact (vacuum rays march bit-straight); (3) on the smooth lens field
+    the dithered int4 march's exit error is smaller than deterministic
+    rounding's (the bias-vs-random-walk accumulation argument —
+    measured 12x at 512^3, scratch/probe_int4_dither.py)."""
+    from synthpy_tpu.fields.domain import layout_of
+    from synthpy_tpu.tracer.zscan import (build_segment_pack_device,
+                                          decimate_segment_pack,
+                                          quantize_segment_pack,
+                                          solve_zscan_segments)
+
+    d = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    sp_f = build_segment_pack_device(d, K=8, dtype=jnp.float32)
+
+    # (1) builder == quantizer, both bit depths; strided routes agree
+    for bits, dt in ((8, jnp.int8), (4, "int4")):
+        a = build_segment_pack_device(d, K=8, dtype=dt, dither=7)
+        b = quantize_segment_pack(sp_f, bits, dither=7)
+        np.testing.assert_array_equal(np.asarray(a.seg_planes),
+                                      np.asarray(b.seg_planes))
+    full4 = build_segment_pack_device(d, K=8, dtype="int4", dither=7)
+    for thresh in (4 << 30, 0):
+        s2 = build_segment_pack_device(d, K=8, dtype="int4",
+                                       plane_stride=2, dither=7,
+                                       fuse_threshold_bytes=thresh)
+        np.testing.assert_array_equal(
+            np.asarray(s2.seg_planes),
+            np.asarray(decimate_segment_pack(full4, 2).seg_planes))
+
+    # different key -> different pack; f32 + dither rejected
+    other = build_segment_pack_device(d, K=8, dtype="int4", dither=8)
+    assert (np.asarray(other.seg_planes)
+            != np.asarray(full4.seg_planes)).any()
+    with pytest.raises(ValueError, match="quantised"):
+        build_segment_pack_device(d, K=8, dtype=jnp.float32, dither=7)
+
+    # (2) vacuum stays exactly zero under dither
+    dv = ScalarDomain(2 * EXT, 17).test_null()
+    spv = build_segment_pack_device(dv, K=8, dtype=jnp.int8, dither=7)
+    assert not np.asarray(spv.seg_planes).any()
+
+    # (3) accuracy: dithered int4 beats deterministic int4 on the lens
+    s0 = init_beam(jax.random.PRNGKey(5), 2000, 1.5e-3, 0.0, EXT,
+                   "circular")
+    ref = np.asarray(solve_zscan_segments(
+        s0, d, spack=sp_f, integrator="rk2s2").sf)
+
+    def rms(sp):
+        sf = np.asarray(solve_zscan_segments(
+            s0, d, spack=sp, integrator="rk2s2").sf)
+        return float(np.sqrt(((sf[0] - ref[0]) ** 2
+                              + (sf[1] - ref[1]) ** 2).mean()))
+
+    det = rms(quantize_segment_pack(sp_f, 4))
+    dit = rms(quantize_segment_pack(sp_f, 4, dither=7))
+    assert dit < det
