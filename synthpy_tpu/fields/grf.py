@@ -97,6 +97,8 @@ def grf_domain_fft(
     res: int,
     factor: float = 1.0,
     ndim: int = 3,
+    mesh=None,
+    mesh_axis: str = "grid",
 ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
     """Band-limited GRF over [-extent, extent)^ndim (gaussian3D.py:215-271).
 
@@ -104,6 +106,18 @@ def grf_domain_fft(
     outside; the result is normalised to max |f| = 1. For ndim == 3 the last
     axis can be stretched by ``factor`` (elongated z domains for long
     probing depths, the reference's long-context mechanism).
+
+    ``mesh``: a ``jax.sharding.Mesh`` to synthesise the field SHARDED over
+    ``mesh_axis`` along axis 0 (the transverse a-axis of a z-probing
+    domain — the same axis :func:`make_gridsharded_segment_tracer` shards).
+    The whole program (spectrum, white noise, inverse FFT, max
+    normalisation) runs under one GSPMD partition: per-device memory is
+    O(total/G), XLA inserts the FFT transposes as ICI all-to-alls, and the
+    threefry bits per logical index are sharding-independent, so the result
+    equals the single-device field for the same key up to FFT reduction
+    order. >HBM fields never materialise on one chip (the multi-chip
+    analogue of the reference's rank-0-generates-then-bcast pattern,
+    pvti_trace_mpi.py:71-97, without the single-node memory ceiling).
 
     Returns:
         (coords, field): per-axis coordinate vectors and the real field.
@@ -119,24 +133,34 @@ def grf_domain_fft(
                                    endpoint=False, dtype=jnp.float32))
         ks.append(2 * jnp.pi * dft.fftfreq(n_ax, d=dx))
 
-    kgrids = jnp.meshgrid(*ks, indexing="ij")
-    k = jnp.sqrt(sum(g**2 for g in kgrids)).astype(jnp.float32)
-
     k_min = 2 * jnp.pi / l_max
     k_max = 2 * jnp.pi / l_min
-    S = jnp.where((k >= k_min) & (k <= k_max),
-                  _safe_spectrum(k_func, k), 0.0)
-
     kr, ki = jax.random.split(key)
+    shape = tuple(kv.shape[0] for kv in ks)
 
-    @jax.jit
-    def synth(kr, ki, amp):
-        noise = (jax.random.normal(kr, amp.shape)
-                 + 1j * jax.random.normal(ki, amp.shape))
+    def synth(kr, ki, *ks1d):
+        # |k| via broadcasting (never ndim full meshgrid buffers): each
+        # 1-D vector is expanded on its own axis only
+        k2 = sum(
+            (kv.reshape((1,) * i + (-1,) + (1,) * (ndim - 1 - i))) ** 2
+            for i, kv in enumerate(ks1d))
+        k = jnp.sqrt(k2).astype(jnp.float32)
+        S = jnp.where((k >= k_min) & (k <= k_max),
+                      _safe_spectrum(k_func, k), 0.0)
+        amp = jnp.sqrt(S)
+        noise = (jax.random.normal(kr, shape)
+                 + 1j * jax.random.normal(ki, shape))
         field = jnp.real(dft.ifftn(noise * amp))
         return field / jnp.max(jnp.abs(field))
 
-    return tuple(coords), synth(kr, ki, jnp.sqrt(S))
+    if mesh is None:
+        jitted = jax.jit(synth)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out_sh = NamedSharding(mesh, P(mesh_axis, *([None] * (ndim - 1))))
+        jitted = jax.jit(synth, out_shardings=out_sh)
+    return tuple(coords), jitted(kr, ki, *ks)
 
 
 # ---------------------------------------------------------------------------

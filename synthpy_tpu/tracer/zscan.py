@@ -1628,6 +1628,8 @@ def build_segment_pack_device(
     plane_stride: int = 1,
     fuse_threshold_bytes: int = 4 << 30,
     dither=None,
+    mesh=None,
+    mesh_axis: str = "grid",
 ) -> SegmentPack:
     """On-device SegmentPack construction via lax.map over segments.
 
@@ -1670,6 +1672,20 @@ def build_segment_pack_device(
     dithered packs for the same key. Measured 12x smaller caustic exit
     RMS at no march cost (scratch/probe_int4_dither.py) — recommended
     whenever the quantised tiers image sharp caustics.
+
+    ``mesh``: a ``jax.sharding.Mesh`` to build the pack SHARDED along the
+    transverse a-axis over ``mesh_axis`` (requires na % G == 0). The one
+    jitted program runs under GSPMD: input volumes arrive (or are
+    resharded) a-split, the transverse-a gradient's shifted slices become
+    halo collective-permutes, and the (n_seg, na*nb, cols) tables come
+    out split at a-row boundaries — exactly the
+    ``P(None, grid, None, None)`` layout
+    :func:`synthpy_tpu.parallel.make_gridsharded_segment_tracer`
+    consumes, so >HBM fields flow from :func:`grf_domain_fft(mesh=)
+    <synthpy_tpu.fields.grf.grf_domain_fft>` through the pack build to
+    the march without ever materialising on one chip. Values are
+    bit-identical to the single-device build (the a-gradient stencil is
+    the same arithmetic either way; test-gated).
     """
     from synthpy_tpu import constants as _c
 
@@ -1721,11 +1737,14 @@ def build_segment_pack_device(
                 spq = build_segment_pack_device(domain, lwl=lwl, K=K,
                                                 dtype=dtype,
                                                 free_ne=free_ne,
-                                                dither=dither)
+                                                dither=dither,
+                                                mesh=mesh,
+                                                mesh_axis=mesh_axis)
                 return decimate_segment_pack(spq, plane_stride)
             spf = build_segment_pack_device(domain, lwl=lwl, K=K,
                                             dtype=jnp.float32,
-                                            free_ne=free_ne)
+                                            free_ne=free_ne,
+                                            mesh=mesh, mesh_axis=mesh_axis)
             sp = decimate_segment_pack(spf, plane_stride)
             del spf
             if dtype != jnp.float32:
@@ -1750,7 +1769,25 @@ def build_segment_pack_device(
         extras += [domain.B[..., a_ax], domain.B[..., b_ax],
                    domain.B[..., p_ax]]
 
-    @partial(jax.jit, donate_argnums=(0,))
+    jit_kw = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        G = mesh.shape[mesh_axis]
+        if na % G:
+            raise ValueError(f"transverse a-dim {na} must divide over the "
+                             f"{G}-way '{mesh_axis}' axis")
+        vol_spec = [None, None, None]
+        vol_spec[a_ax] = mesh_axis
+        vol_sh = NamedSharding(mesh, P(*vol_spec))
+        pack_sh = NamedSharding(mesh, P(None, mesh_axis, None))
+        rep_sh = NamedSharding(mesh, P())
+        n_in = 1 + (2 if layout.inv_brems else 0) + (3 if layout.B_on else 0)
+        jit_kw = dict(
+            in_shardings=(vol_sh,) * n_in,
+            out_shardings=(pack_sh, rep_sh) if quantized else pack_sh)
+
+    @partial(jax.jit, donate_argnums=(0,), **jit_kw)
     def build(ne, *ex):
         pm = jnp.moveaxis(ne, p_ax, 0)  # (n_p, na, nb)
         padded = jnp.concatenate(

@@ -550,3 +550,86 @@ def test_multichip_marches_int4_match_single_device():
     out_g = np.asarray(tr(u, tables, sp.origin_ab, sp.inv_spacing_ab,
                           dp))
     np.testing.assert_array_equal(out_g, ref)
+
+
+def test_sharded_grf_matches_single_device():
+    """grf_domain_fft(mesh=) synthesises the SAME field as the unsharded
+    call (same key -> same threefry bits; FFT reduction order only),
+    actually distributed over the grid axis (SURVEY.md section 7: sharded
+    FFT when grid > 1 device)."""
+    from jax.sharding import AxisType
+    from synthpy_tpu.fields.grf import grf_domain_fft, kolmogorov
+
+    key = jax.random.PRNGKey(7)
+    coords, f1 = grf_domain_fft(key, kolmogorov, 2e-3, 2e-4, 5e-3, 16)
+
+    mesh = jax.make_mesh((8,), ("grid",), axis_types=(AxisType.Auto,))
+    coords_s, fs = grf_domain_fft(key, kolmogorov, 2e-3, 2e-4, 5e-3, 16,
+                                  mesh=mesh)
+    assert fs.shape == f1.shape == (32, 32, 32)
+    # genuinely sharded: 8 distinct single-device shards of 1/8th size
+    assert len(fs.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(f1),
+                               rtol=0, atol=1e-5)
+    for c1, c2 in zip(coords, coords_s):
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_sharded_pack_build_bit_identical_and_composes():
+    """build_segment_pack_device(mesh=) builds the SAME pack bytes as the
+    single-device build (the a-gradient halo exchange is the same stencil
+    arithmetic), and the sharded GRF -> sharded pack -> grid-sharded
+    march chain runs without any single-device field materialisation."""
+    from jax.sharding import AxisType, NamedSharding, PartitionSpec as P
+
+    from synthpy_tpu.fields import layout_of as _layout_of
+    from synthpy_tpu.fields.grf import grf_domain_fft, kolmogorov
+    from synthpy_tpu.parallel.mesh import make_gridsharded_segment_tracer
+    from synthpy_tpu.tracer.zscan import (
+        build_segment_pack_device,
+        trace_zscan_segments,
+    )
+
+    mesh = jax.make_mesh((8,), ("grid",), axis_types=(AxisType.Auto,))
+    key = jax.random.PRNGKey(3)
+    coords, f = grf_domain_fft(key, kolmogorov, 2e-3, 4e-4, EXT, 16,
+                               mesh=mesh)
+    ne = 1e25 * (1.0 + 0.5 * f)
+
+    d1 = ScalarDomain(2 * EXT, 32).external_ne(np.asarray(ne))
+    d1.phaseshift = True
+    sp1 = build_segment_pack_device(d1, K=8, dtype=jnp.float32)
+
+    ds = ScalarDomain(2 * EXT, 32).external_ne(ne)  # stays sharded
+    ds.phaseshift = True
+    sps = build_segment_pack_device(ds, K=8, dtype=jnp.float32, mesh=mesh)
+    assert len(sps.seg_planes.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(sps.seg_planes),
+                                  np.asarray(sp1.seg_planes))
+
+    # quantised + dithered route shards identically (scales replicated)
+    spq1 = build_segment_pack_device(d1, K=8, dtype=jnp.int8, dither=5)
+    spqs = build_segment_pack_device(ds, K=8, dtype=jnp.int8, dither=5,
+                                     mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(spqs.seg_planes),
+                                  np.asarray(spq1.seg_planes))
+    np.testing.assert_array_equal(np.asarray(spqs.scales),
+                                  np.asarray(spq1.scales))
+
+    # end-to-end: grid-sharded march consumes the sharded tables directly
+    lay = _layout_of(ds)
+    n_seg = sps.seg_planes.shape[0]
+    na, nb = sps.shape_ab
+    tables = sps.seg_planes.reshape(n_seg, na, nb,
+                                    sps.seg_planes.shape[-1])
+    s0 = init_beam(jax.random.PRNGKey(4), 128, 7e-3, 1e-3, EXT, "circular")
+    s = jnp.asarray(s0)
+    u = jnp.stack([s[0], s[1], s[3], s[4], s[5], s[6], s[7], s[8]], axis=1)
+    dp = jnp.float32(sps.dp)
+    tr = make_gridsharded_segment_tracer(mesh, lay, sps, integrator="rk2s2")
+    out = np.asarray(tr(u, tables, sps.origin_ab, sps.inv_spacing_ab, dp))
+    ref = np.asarray(trace_zscan_segments(
+        u, sp1.seg_planes, sp1.origin_ab, sp1.inv_spacing_ab, dp,
+        shape_ab=sp1.shape_ab, layout=lay, K=sp1.K, n_seg=n_seg,
+        integrator="rk2s2"))
+    np.testing.assert_array_equal(out, ref)
