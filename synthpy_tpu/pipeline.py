@@ -369,6 +369,7 @@ def run(
     critical_guard: Optional[float] = 0.85,
     mesh=None,
     ray_axis: str = "rays",
+    grid_axis: Optional[str] = None,
     **bench_kwargs,
 ) -> jnp.ndarray:
     """Convenience wrapper: pack the domain and run the fused pipeline.
@@ -396,6 +397,17 @@ def run(
     reduced with one psum over ICI. This is the one-call replacement for
     the reference's MPI flow (rank-split bundles + comm.reduce of
     histograms, pvti_trace_mpi.py:144-170).
+
+    ``grid_axis``: name of a mesh axis to shard the FIELD over instead of
+    replicating it (zscan_seg only): the segment tables are split along
+    the transverse a-axis and traced with
+    :func:`~synthpy_tpu.parallel.make_gridsharded_segment_tracer` (halo
+    ppermute + ownership psum, bit-identical to single-device) — >HBM
+    fields on the fast path in one call. If no ``spack`` is passed, the
+    pack is built sharded via ``build_segment_pack_device(mesh=)``
+    (``pack_dtype=`` kwarg selects the tier). Compose with ``ray_axis``
+    on a 2-D mesh for throughput; a mesh without a ray axis replicates
+    rays (capacity-only sharding).
     """
     from synthpy_tpu.tracer.propagator import default_n_steps
 
@@ -418,8 +430,12 @@ def run(
                 "falling back to solver='time'.", stacklevel=2)
             solver = "time"
 
+    grid_mode = mesh is not None and grid_axis is not None
+    if grid_mode and solver != "zscan_seg":
+        raise ValueError("grid_axis requires solver='zscan_seg' (the "
+                         "grid-sharded march is the segmented fast path)")
     if (pack is None and zpack is None and spack is None
-            and solver != "analytic"):
+            and solver != "analytic" and not grid_mode):
         pack = build_pack(domain, lwl)
     elif pack is None and solver == "time":
         pack = build_pack(domain, lwl)
@@ -434,8 +450,12 @@ def run(
 
         p_ax = _AXIS_OF[domain.probing_direction]
         a_ax, b_ax = [a for a in range(3) if a != p_ax]
-        s0 = _pad_ray_cols(s0, mesh.shape[ray_axis], a_ax, b_ax)
-        s0 = jax.device_put(s0, NamedSharding(mesh, P(None, ray_axis)))
+        if ray_axis in mesh.shape:
+            s0 = _pad_ray_cols(s0, mesh.shape[ray_axis], a_ax, b_ax)
+            s0 = jax.device_put(s0, NamedSharding(mesh, P(None, ray_axis)))
+        elif not grid_mode:
+            raise ValueError(f"mesh has no '{ray_axis}' axis; pass "
+                             f"grid_axis= for field-sharded tracing")
         _repl_sharding = NamedSharding(mesh, P())
 
         def _repl(x):
@@ -490,6 +510,45 @@ def run(
 
     if solver in ("zscan", "zscan_seg"):
         if solver == "zscan_seg":
+            if grid_mode:
+                # field-sharded march: the spack (built sharded via
+                # build_segment_pack_device(mesh=), or any single-device
+                # pack — GSPMD reshards at the jit boundary) is SPLIT
+                # along the transverse a-axis instead of replicated, so
+                # >HBM fields trace multi-chip on the fast path in one
+                # call. Composes with a ray axis on a 2-D mesh.
+                from synthpy_tpu.parallel.mesh import (
+                    make_gridsharded_segment_tracer)
+                from synthpy_tpu.tracer.zscan import (
+                    build_segment_pack_device, reassemble_state)
+
+                if spack is None:
+                    spack = build_segment_pack_device(
+                        domain, lwl=lwl, K=seg_K, mesh=mesh,
+                        mesh_axis=grid_axis,
+                        dtype=bench_kwargs.pop("pack_dtype", jnp.bfloat16))
+                r_ax = ray_axis if ray_axis in mesh.shape else None
+                tracer = make_gridsharded_segment_tracer(
+                    mesh, layout, spack, grid_axis=grid_axis,
+                    ray_axis=r_ax,
+                    substeps=max(int(round(steps_per_cell)), 1),
+                    integrator=bench_kwargs.pop("integrator", "rk4"))
+                n_seg = spack.seg_planes.shape[0]
+                na, nb = spack.shape_ab
+                tables = spack.seg_planes.reshape(
+                    n_seg, na, nb, spack.seg_planes.shape[-1])
+                u = jnp.stack([s0[a_ax], s0[b_ax], s0[3 + a_ax],
+                               s0[3 + b_ax], s0[3 + p_ax], s0[6], s0[7],
+                               s0[8]], axis=1)
+                uf = tracer(u, tables, spack.origin_ab,
+                            spack.inv_spacing_ab,
+                            jnp.asarray(spack.dp, u.dtype))
+                sf = reassemble_state(uf, spack.p0 + n_seg * spack.K
+                                      * spack.dp, domain.probing_direction)
+                return _out(_image_only(
+                    sf, depth, diagnostic=diagnostic,
+                    probing_direction=domain.probing_direction, bins=bins,
+                    lwl=lwl, **bench_kwargs))
             if spack is None:
                 zp = zpack or make_zscan_pack(pack, layout,
                                               domain.probing_direction)

@@ -633,3 +633,29 @@ def test_sharded_pack_build_bit_identical_and_composes():
         shape_ab=sp1.shape_ab, layout=lay, K=sp1.K, n_seg=n_seg,
         integrator="rk2s2"))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pipeline_run_grid_axis_matches_single_device():
+    """pipeline.run(mesh=, grid_axis=) — the one-call field-sharded path —
+    equals the single-device pipeline image, on both a grid-only mesh
+    (capacity sharding) and a 2-D grid x rays mesh."""
+    from jax.sharding import AxisType
+
+    d = ScalarDomain(2 * EXT, 32).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = jnp.asarray(init_beam(jax.random.PRNGKey(11), 512, 7e-3, 1e-3,
+                               EXT, "circular"))
+    ref = np.asarray(pipeline.run(d, s0, diagnostic="shadowgraphy",
+                                  solver="zscan_seg", seg_K=8))
+
+    mesh_g = jax.make_mesh((8,), ("grid",), axis_types=(AxisType.Auto,))
+    img_g = np.asarray(pipeline.run(d, s0, diagnostic="shadowgraphy",
+                                    solver="zscan_seg", seg_K=8,
+                                    mesh=mesh_g, grid_axis="grid"))
+    np.testing.assert_allclose(img_g, ref, rtol=1e-6)
+
+    mesh_2d = jax.make_mesh((4, 2), ("grid", "rays"),
+                            axis_types=(AxisType.Auto, AxisType.Auto))
+    img_2d = np.asarray(pipeline.run(d, s0, diagnostic="shadowgraphy",
+                                     solver="zscan_seg", seg_K=8,
+                                     mesh=mesh_2d, grid_axis="grid"))
+    np.testing.assert_allclose(img_2d, ref, rtol=1e-6)
