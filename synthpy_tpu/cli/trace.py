@@ -77,6 +77,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "walk — measured 12x smaller caustic exit RMS "
                         "at no march cost; same seed = bit-identical "
                         "pack")
+    p.add_argument("--mesh", default=None,
+                   help="device-mesh spec 'axis=N[,axis=N]', e.g. "
+                        "'rays=8' (data-parallel rays + psum'd detector) "
+                        "or 'grid=4,rays=2' (field sharded over the grid "
+                        "axis, zscan_seg only): the one-command "
+                        "replacement for the reference's mpiexec flow "
+                        "(simTraceMPI.sh:14, pvti_trace_mpi.py:144-170). "
+                        "Needs a --diagnostic (the image is the reduced "
+                        "output)")
+    p.add_argument("--grid-axis", default=None,
+                   help="mesh axis to shard the FIELD over (default: "
+                        "'grid' when the --mesh spec names one)")
     p.add_argument("--phaseshift", action="store_true")
     p.add_argument("-o", "--output", default=None,
                    help="output prefix (writes <prefix>.npz)")
@@ -127,6 +139,37 @@ def main(argv=None) -> dict:
     s0 = init_beam(jax.random.PRNGKey(args.seed), int(args.rays), beam_size,
                    args.divergence, ext, args.beam, args.probing)
 
+    mesh = None
+    grid_axis = None
+    if args.mesh:
+        try:
+            spec = {}
+            for part in args.mesh.split(","):
+                name, _, size = part.partition("=")
+                spec[name.strip()] = int(size)
+        except ValueError:
+            raise SystemExit(f"bad --mesh spec {args.mesh!r}; expected "
+                             "'axis=N[,axis=N]' e.g. 'grid=4,rays=2'")
+        grid_axis = args.grid_axis or ("grid" if "grid" in spec else None)
+        if grid_axis is not None and grid_axis not in spec:
+            raise SystemExit(f"--grid-axis {grid_axis!r} not in --mesh "
+                             f"spec {args.mesh!r}")
+        if "rays" not in spec and grid_axis is None:
+            raise SystemExit("--mesh needs a 'rays' axis and/or a grid "
+                             "axis (--grid-axis)")
+        n_want = 1
+        for s in spec.values():
+            n_want *= s
+        if n_want > len(jax.devices()):
+            raise SystemExit(f"--mesh {args.mesh!r} wants {n_want} devices"
+                             f"; jax sees {len(jax.devices())}")
+        if args.diagnostic == "none":
+            raise SystemExit("--mesh needs a --diagnostic (the reduced "
+                             "detector image is the multi-chip output)")
+        from jax.sharding import AxisType
+        mesh = jax.make_mesh(tuple(spec.values()), tuple(spec.keys()),
+                             axis_types=(AxisType.Auto,) * len(spec))
+
     ps = args.plane_stride
     if ps != 1 and args.solver != "zscan_seg":
         raise SystemExit("--plane-stride requires --solver zscan_seg")
@@ -156,6 +199,8 @@ def main(argv=None) -> dict:
         spack = build_segment_pack_device(
             domain, lwl=args.lwl, K=K, plane_stride=ps,
             dither=args.pack_dither,
+            mesh=mesh if grid_axis is not None else None,
+            mesh_axis=grid_axis or "grid",
             dtype={"bf16": jnp.bfloat16, "f32": jnp.float32,
                    "int8": jnp.int8, "int4": "int4"}[args.pack_dtype])
 
@@ -183,6 +228,10 @@ def main(argv=None) -> dict:
                  if args.solver in ("zscan_seg", "analytic") else {})
         if spack is not None:
             extra["spack"] = spack
+        if mesh is not None:
+            extra["mesh"] = mesh
+            if grid_axis is not None:
+                extra["grid_axis"] = grid_axis
         out = pipeline.run(domain, s0,
                            diagnostic=diags if len(diags) > 1 else diags[0],
                            lwl=args.lwl,

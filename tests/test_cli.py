@@ -165,3 +165,28 @@ def test_campaign_cli_rejects_typos(tmp_path):
     with pytest.raises(SystemExit, match="shadography"):
         campaign_cli.main([cpath, "--quiet",
                            "-o", str(tmp_path / "o2")])
+
+
+def test_trace_cli_mesh_grid_and_rays():
+    """--mesh grid=4,rays=2 runs the one-command multi-chip path (field
+    sharded + ray DP, the mpiexec replacement) and matches the
+    single-device image; bad specs are rejected."""
+    import pytest
+
+    argv = ["-d", "32", "-r", "2000", "--ne-type", "test_lens",
+            "--solver", "zscan_seg", "--diagnostic", "shadowgraphy",
+            "--bin-scale", "64"]
+    ref = trace_cli.main(argv)
+    res = trace_cli.main(argv + ["--mesh", "grid=4,rays=2"])
+    assert res["image_sum"] == ref["image_sum"]
+
+    res_dp = trace_cli.main(argv + ["--mesh", "rays=8"])
+    assert res_dp["image_sum"] == ref["image_sum"]
+
+    with pytest.raises(SystemExit):
+        trace_cli.main(argv + ["--mesh", "bogus"])
+    with pytest.raises(SystemExit):
+        trace_cli.main(argv + ["--mesh", "rays=999"])
+    with pytest.raises(SystemExit):
+        trace_cli.main(["-d", "16", "-r", "100", "--diagnostic", "none",
+                        "--mesh", "rays=8"])
