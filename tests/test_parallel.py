@@ -659,3 +659,33 @@ def test_pipeline_run_grid_axis_matches_single_device():
                                      solver="zscan_seg", seg_K=8,
                                      mesh=mesh_2d, grid_axis="grid"))
     np.testing.assert_allclose(img_2d, ref, rtol=1e-6)
+
+
+def test_pipeline_run_grid_axis_int8_and_divisibility_error():
+    """grid_axis= composes with quantised packs (pack_dtype=int8 builds the
+    tables sharded, bit-identical to the single-device int8 march) and
+    rejects transverse dims that don't divide over the grid axis with a
+    clear error."""
+    import pytest
+    from jax.sharding import AxisType
+    from synthpy_tpu.tracer.zscan import build_segment_pack_device
+
+    mesh = jax.make_mesh((4, 2), ("grid", "rays"),
+                         axis_types=(AxisType.Auto, AxisType.Auto))
+    d = ScalarDomain(2 * EXT, 32).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = jnp.asarray(init_beam(jax.random.PRNGKey(5), 1000, 7e-3, 1e-3,
+                               EXT, "circular"))
+    sp = build_segment_pack_device(d, K=8, dtype=jnp.int8)
+    ref = np.asarray(pipeline.run(d, s0, diagnostic="shadowgraphy",
+                                  solver="zscan_seg", spack=sp,
+                                  integrator="rk2s2", bins=(48, 36)))
+    img = np.asarray(pipeline.run(d, s0, diagnostic="shadowgraphy",
+                                  solver="zscan_seg", seg_K=8, bins=(48, 36),
+                                  mesh=mesh, grid_axis="grid",
+                                  pack_dtype=jnp.int8, integrator="rk2s2"))
+    np.testing.assert_array_equal(img, ref)
+
+    d33 = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
+    with pytest.raises(ValueError, match="must divide"):
+        pipeline.run(d33, s0, diagnostic="shadowgraphy", solver="zscan_seg",
+                     seg_K=8, mesh=mesh, grid_axis="grid")
