@@ -59,25 +59,18 @@ def main() -> None:
                else default_n_steps(domain, ext, spc))
 
     pack_kwargs = {"pack": pack}
-    spack_int8 = None
+    pdt = K = None
     if solver == "zscan_seg":
-        from synthpy_tpu.tracer.zscan import build_segment_pack_device
+        from synthpy_tpu.tracer.zscan import (PACK_DTYPES,
+                                              build_segment_pack_device)
 
         # default K = dim (EVEN): one zero-field pad slab, image-exact,
         # and the stride-2 march runs pure slab pairs (an odd K's
         # trailing single step costs ~20% on rk2s2)
         K = int(os.environ.get("BENCH_K", dim))
-        pdt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
-               "int8": jnp.int8,
-               "int4": "int4"}[os.environ.get("BENCH_PACK_DTYPE", "bf16")]
+        pdt = PACK_DTYPES[os.environ.get("BENCH_PACK_DTYPE", "bf16")]
         pack_kwargs = {"spack": build_segment_pack_device(
             domain, K=min(K, dim), dtype=pdt)}
-        if pdt not in (jnp.int8, "int4"):
-            # int8 tier (per-(plane, channel)-scaled quantised pack):
-            # halves the gather-bound march's bytes/ray; image-equivalence
-            # gated by tests/test_zscan.py::test_int8_pack_matches_float_pack
-            spack_int8 = build_segment_pack_device(
-                domain, K=min(K, dim), dtype=jnp.int8)
 
     s0 = init_beam(jax.random.PRNGKey(0), rays, 2e-3, 0.0, ext, "circular")
     # headline = the production configuration: midpoint (rk2) integrator,
@@ -127,7 +120,16 @@ def main() -> None:
         # tests/test_zscan.py::test_rk2s4_images_close)
         _, els4 = timed("rk2s4")
         rk2s4_rays_s = round(rays / els4, 1)
-        if spack_int8 is not None:
+        if pdt not in (jnp.int8, "int4"):
+            from synthpy_tpu.tracer.zscan import build_segment_pack_device
+
+            # int8 tier (per-(plane, channel)-scaled quantised pack):
+            # halves the gather-bound march's bytes/ray; image-equivalence
+            # gated by tests/test_zscan.py::test_int8_pack_matches_float_pack.
+            # Built lazily HERE so non-rk2 headline runs never hold a dead
+            # quantised pack in HBM during the timed measurement.
+            spack_int8 = build_segment_pack_device(
+                domain, K=min(K, dim), dtype=jnp.int8)
             # stride-2 midpoint on the int8 quantised pack (gather
             # bytes/ray halved)
             _, elq = timed("rk2s2", {"spack": spack_int8})
@@ -189,17 +191,15 @@ def main() -> None:
     measured_1e8 = None
     if os.environ.get("BENCH_FULL") == "1" and solver == "zscan_seg":
         from synthpy_tpu.fields import ScalarDomain as _SD
-        from synthpy_tpu.tracer.zscan import build_segment_pack_device
+        from synthpy_tpu.tracer.zscan import (PACK_DTYPES,
+                                              build_segment_pack_device)
 
         ns_integ = os.environ.get("BENCH_FULL_INTEGRATOR", "rk2s2")
         chunk = int(os.environ.get("BENCH_FULL_CHUNK", 4_000_000))
         total = int(float(os.environ.get("BENCH_FULL_RAYS", 1e8)))
         # fastest validated tier by default: int8 quantised pack
         # (image-equivalence gated; BENCH_FULL_PACK_DTYPE=bf16 reverts)
-        fdt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
-               "int8": jnp.int8,
-               "int4": "int4"}[os.environ.get("BENCH_FULL_PACK_DTYPE",
-                                              "int8")]
+        fdt = PACK_DTYPES[os.environ.get("BENCH_FULL_PACK_DTYPE", "int8")]
         # BENCH_FULL_PLANE_STRIDE=2 + rk2s2 = the rk2s4-class tier at
         # half the gather bytes (bit-identical, test-gated)
         fps = int(os.environ.get("BENCH_FULL_PLANE_STRIDE", 1))

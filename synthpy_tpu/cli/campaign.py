@@ -183,7 +183,6 @@ def main(argv=None) -> dict:
     chunk = min(int(float(tr["chunk_rays"])), total)
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from synthpy_tpu import pipeline
@@ -208,13 +207,22 @@ def main(argv=None) -> dict:
         from synthpy_tpu.tracer.zscan import build_segment_pack_device
 
         ps = int(tr["plane_stride"])
-        dt = {"bf16": jnp.bfloat16, "f32": jnp.float32,
-              "int8": jnp.int8, "int4": "int4"}[tr["pack_dtype"]]
+        from synthpy_tpu.tracer.zscan import PACK_DTYPES
+        dt = PACK_DTYPES[tr["pack_dtype"]]
         if tr["pack_dtype"] == "int4" and tr["integrator"] not in (
                 "rk2s2", "rk2s4"):
             raise SystemExit("pack_dtype int4 requires integrator rk2s2 "
                              "or rk2s4 (nibble pairs read byte-aligned "
                              "plane pairs)")
+        if ps != 1 and tr["integrator"] == "rk4":
+            raise SystemExit("plane_stride needs an even-stride integrator "
+                             "(rk2/rk2s2/rk2s4): rk4 blends mid-slab "
+                             "planes the decimated pack no longer holds "
+                             "exactly")
+        if (tr["pack_dither"] is not None
+                and tr["pack_dtype"] not in ("int8", "int4")):
+            raise SystemExit("pack_dither applies to pack_dtype int8 or "
+                             "int4")
         if tr["K"] is not None:
             K = int(tr["K"])
         else:

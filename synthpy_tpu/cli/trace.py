@@ -177,12 +177,15 @@ def main(argv=None) -> dict:
         raise SystemExit("--plane-stride needs an even-stride integrator "
                          "(rk2/rk2s2/rk2s4): rk4 blends mid-slab planes "
                          "the decimated pack no longer holds exactly")
+    if (args.pack_dither is not None
+            and args.pack_dtype not in ("int8", "int4")):
+        raise SystemExit("--pack-dither applies to --pack-dtype "
+                         "int8 or int4")
     spack = None
     if args.solver == "zscan_seg" and (args.pack_dtype != "bf16"
                                        or ps != 1):
-        import jax.numpy as jnp
-
-        from synthpy_tpu.tracer.zscan import build_segment_pack_device
+        from synthpy_tpu.tracer.zscan import (PACK_DTYPES,
+                                              build_segment_pack_device)
         if args.pack_dtype == "int4":
             if args.integrator not in ("rk2s2", "rk2s4"):
                 raise SystemExit("--pack-dtype int4 requires --integrator "
@@ -192,17 +195,12 @@ def main(argv=None) -> dict:
             K = min(64, (domain.dims[0] - 1) // stride * stride)
         else:
             K = min(64, (domain.dims[0] - 1) // ps * ps)
-        if (args.pack_dither is not None
-                and args.pack_dtype not in ("int8", "int4")):
-            raise SystemExit("--pack-dither applies to --pack-dtype "
-                             "int8 or int4")
         spack = build_segment_pack_device(
             domain, lwl=args.lwl, K=K, plane_stride=ps,
             dither=args.pack_dither,
             mesh=mesh if grid_axis is not None else None,
             mesh_axis=grid_axis or "grid",
-            dtype={"bf16": jnp.bfloat16, "f32": jnp.float32,
-                   "int8": jnp.int8, "int4": "int4"}[args.pack_dtype])
+            dtype=PACK_DTYPES[args.pack_dtype])
 
     if args.diagnostic == "none":
         if args.solver == "analytic":

@@ -535,7 +535,15 @@ def peak_ne_over_nc(domain: ScalarDomain,
             return val
     import jax
 
+    import numpy as np
+
     nc = float(constants.critical_density(constants.omega_from_lwl(lwl)))
-    frac = float(jax.jit(jnp.max)(domain.ne)) / nc
+    if isinstance(domain.ne, np.ndarray):
+        # host-resident field (external_ne(host=True)): reduce on the host —
+        # device_put-ing a >HBM volume for a scalar max would OOM the chip
+        # the streamed-pack path exists to protect
+        frac = float(np.max(domain.ne)) / nc
+    else:
+        frac = float(jax.jit(jnp.max)(domain.ne)) / nc
     domain._peak_cache = (weakref.ref(domain.ne), float(lwl), frac)
     return frac

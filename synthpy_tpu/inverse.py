@@ -41,7 +41,8 @@ import jax
 import jax.numpy as jnp
 
 from synthpy_tpu.fields.domain import (ScalarDomain, build_pack, layout_of)
-from synthpy_tpu.optics.compose import BENCHES, NEEDS_JONES
+from synthpy_tpu.optics.compose import (BENCHES, NEEDS_JONES,
+                                         analyser_weight)
 from synthpy_tpu.optics.rtm import m_to_mm
 from synthpy_tpu.tracer.propagator import ray_to_Jonesvector
 from synthpy_tpu.tracer.zscan import (make_segment_pack, make_zscan_pack,
@@ -338,15 +339,11 @@ def make_renderer(
                     r_out[0, :], r_out[2, :], w, E_out, bins, Lx, Ly))
             elif name in NEEDS_JONES:
                 # Faraday polarimetry: the analyser weight
-                # |Jx sin(beta) + Jy cos(beta)|^2 folds into the
-                # aperture-transmission weight. Written as re^2 + im^2
-                # (not abs()**2): smooth everywhere, no |.| kink at the
-                # extinction null to poison jax.grad. pol depends on ne
-                # through Verdet*ne*B, so polarograms constrain ne given
-                # a known B (Faraday inversion).
-                beta = jnp.deg2rad(jnp.asarray(pol_beta_deg, r_mm.dtype))
-                t = Jf[0, :] * jnp.sin(beta) + Jf[1, :] * jnp.cos(beta)
-                wp = t.real**2 + t.imag**2
+                # (optics.compose.analyser_weight) folds into the
+                # aperture-transmission weight. pol depends on ne through
+                # Verdet*ne*B, so polarograms constrain ne given a known B
+                # (Faraday inversion).
+                wp = analyser_weight(Jf, pol_beta_deg, r_mm.dtype)
                 r_out, w = apply_stages_weighted(r_mm, stages)
                 images.append(cic_image(r_out[0, :], r_out[2, :], w * wp,
                                         bins, Lx, Ly))

@@ -226,6 +226,21 @@ def polarimetry_two_lens(L: float = 400, R: float = 25,
 NEEDS_JONES = frozenset({"polarimetry"})
 
 
+def analyser_weight(Jf: jnp.ndarray, beta_deg, dtype=None) -> jnp.ndarray:
+    """Per-ray intensity transmitted by a linear analyser at ``beta_deg``.
+
+    I = |Jx sin(beta) + Jy cos(beta)|^2 = amp^2 cos^2(pol + beta) for the
+    tracer's R(pol) @ y-hat polarisation (propagator.ray_to_Jonesvector).
+    Written as re^2 + im^2 rather than abs()**2: smooth everywhere — no
+    |.| kink at the extinction null to poison jax.grad. The ONE place the
+    analyser convention lives (forward pipeline, differentiable renderer
+    and the Polarimetry class all call this).
+    """
+    beta = jnp.deg2rad(jnp.asarray(beta_deg, dtype))
+    t = Jf[0, :] * jnp.sin(beta) + Jf[1, :] * jnp.cos(beta)
+    return t.real**2 + t.imag**2
+
+
 def refractometer_coherent(L: float = 400, R: float = 25,
                            focal_plane: float = 0) -> List[Tuple]:
     """Coherent imaging refractometer (diagnostics.py:505-524): no phase

@@ -239,9 +239,9 @@ class Polarimetry(Diagnostic):
         if self.Jf is None:
             raise RuntimeError("polarogram requires Jones vectors "
                                "(trace with return_E=True and B_on)")
-        beta = jnp.deg2rad(jnp.asarray(beta_deg, self.rf.dtype))
-        t = self.Jf[0, :] * jnp.sin(beta) + self.Jf[1, :] * jnp.cos(beta)
-        w = t.real**2 + t.imag**2  # smooth (no |.| kink) for grad
+        from synthpy_tpu.optics.compose import analyser_weight
+
+        w = analyser_weight(self.Jf, beta_deg, self.rf.dtype)
         self.H, self.xedges, self.yedges = histogram2d(
             self.rf[0, :], self.rf[2, :],
             bins=(pix_x // bin_scale, pix_y // bin_scale),

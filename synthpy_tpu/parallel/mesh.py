@@ -176,7 +176,8 @@ def make_gridsharded_segment_tracer(mesh, layout: ChannelLayout, spack,
                                     substeps: int = 1,
                                     atten_sign: float = -1.0,
                                     integrator: str = "rk4",
-                                    unroll: int = 2):
+                                    unroll: int = 2,
+                                    weights: str = "stage"):
     """Gather-hoisted segmented march with the FIELD sharded along the
     transverse a-axis over ``grid_axis`` — >HBM fields on the FAST path
     (the plain :func:`make_gridsharded_tracer` wraps the slow full-grid
@@ -245,7 +246,7 @@ def make_gridsharded_segment_tracer(mesh, layout: ChannelLayout, spack,
                 shape_ab=(na, nb), layout=layout, K=K, C=C,
                 substeps=substeps, atten_sign=atten_sign,
                 integrator=integrator, unroll=unroll, a_offset=lo,
-                scales=sc, qbits=qbits)
+                weights=weights, scales=sc, qbits=qbits)
             out = jnp.where(owned[:, None], out, 0.0)
             return jax.lax.psum(out, grid_axis), None
 

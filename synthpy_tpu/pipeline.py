@@ -36,6 +36,7 @@ from synthpy_tpu.ops.histogram import complex_histogram, histogram2d
 from synthpy_tpu.optics.compose import (
     BENCHES,
     NEEDS_JONES,
+    analyser_weight,
     apply_stages,
     interfere_ref_beam,
 )
@@ -102,13 +103,10 @@ def _image_from_sf(sf, probing_depth, *, diagnostic, probing_direction,
         stages = builder(L=L, R=R, focal_plane=focal_plane, **extra)
         if name in NEEDS_JONES:
             # Faraday polarimetry: incoherent detector (LINEAR in rays, so
-            # batch sums stay exact) with a per-ray analyser weight from
-            # the Jones vector: I = |Jx sin(beta) + Jy cos(beta)|^2
-            # = amp^2 cos^2(pol + beta) for the tracer's R(pol) @ y-hat
-            # polarisation (propagator.ray_to_Jonesvector).
-            beta = jnp.deg2rad(jnp.asarray(pol_beta_deg, r_mm.dtype))
-            t = Jf[0, :] * jnp.sin(beta) + Jf[1, :] * jnp.cos(beta)
-            w = t.real**2 + t.imag**2  # smooth (no |.| kink) for grad
+            # batch sums stay exact) with the per-ray analyser weight
+            # (optics.compose.analyser_weight — single home of the
+            # convention).
+            w = analyser_weight(Jf, pol_beta_deg, r_mm.dtype)
             r_out = apply_stages(r_mm, stages)
             H, _, _ = histogram2d(
                 r_out[0, :], r_out[2, :], bins,
@@ -424,11 +422,17 @@ def run(
         if frac >= critical_guard:
             import warnings
 
+            dropped = [k for k in ("integrator", "seg_weights", "seg_cache",
+                                   "pack_dtype") if k in bench_kwargs]
             warnings.warn(
                 f"max(ne)/nc = {frac:.3f} >= {critical_guard}: z-scan "
                 "solvers are ill-conditioned near critical density; "
-                "falling back to solver='time'.", stacklevel=2)
+                "falling back to solver='time'"
+                + (f" (dropping {', '.join(dropped)})" if dropped else "")
+                + ".", stacklevel=2)
             solver = "time"
+            for k in dropped:
+                bench_kwargs.pop(k)
 
     grid_mode = mesh is not None and grid_axis is not None
     if grid_mode and solver != "zscan_seg":
@@ -522,17 +526,18 @@ def run(
                 from synthpy_tpu.tracer.zscan import (
                     build_segment_pack_device, reassemble_state)
 
+                pack_dtype = bench_kwargs.pop("pack_dtype", jnp.bfloat16)
                 if spack is None:
                     spack = build_segment_pack_device(
                         domain, lwl=lwl, K=seg_K, mesh=mesh,
-                        mesh_axis=grid_axis,
-                        dtype=bench_kwargs.pop("pack_dtype", jnp.bfloat16))
+                        mesh_axis=grid_axis, dtype=pack_dtype)
                 r_ax = ray_axis if ray_axis in mesh.shape else None
                 tracer = make_gridsharded_segment_tracer(
                     mesh, layout, spack, grid_axis=grid_axis,
                     ray_axis=r_ax,
                     substeps=max(int(round(steps_per_cell)), 1),
-                    integrator=bench_kwargs.pop("integrator", "rk4"))
+                    integrator=bench_kwargs.pop("integrator", "rk4"),
+                    weights=bench_kwargs.pop("seg_weights", "stage"))
                 n_seg = spack.seg_planes.shape[0]
                 na, nb = spack.shape_ab
                 tables = spack.seg_planes.reshape(

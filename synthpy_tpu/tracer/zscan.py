@@ -372,6 +372,13 @@ class SegmentPack(NamedTuple):
     qbits: Optional[int] = None
 
 
+# Pack-tier names as the CLIs/bench spell them -> the dtype argument
+# build_segment_pack_device takes ("int4" is the nibble-pack sentinel,
+# not a jnp dtype). One map so a new tier lands everywhere at once.
+PACK_DTYPES = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+               "int8": jnp.int8, "int4": "int4"}
+
+
 def _plane_blocks(K: int, qbits: Optional[int]) -> int:
     """Byte blocks per (K+1)-plane corner row: nibble packs pair planes."""
     return K // 2 + 1 if qbits == 4 else K + 1

@@ -190,3 +190,39 @@ def test_trace_cli_mesh_grid_and_rays():
     with pytest.raises(SystemExit):
         trace_cli.main(["-d", "16", "-r", "100", "--diagnostic", "none",
                         "--mesh", "rays=8"])
+
+
+def test_trace_cli_pack_dither_requires_quantised_dtype():
+    """--pack-dither on the default bf16/stride-1 config must error, not
+    silently no-op (the validation lives above the spack-build block)."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="pack-dither"):
+        trace_cli.main(["-d", "16", "-r", "100", "--solver", "zscan_seg",
+                        "--pack-dither", "7"])
+
+
+def test_campaign_cli_rejects_stride_rk4_and_bf16_dither(tmp_path):
+    """Campaign configs get the same plane_stride/integrator and dither
+    validation as the trace CLI (silent rk4-on-decimated-pack is the
+    degraded-accuracy trap both surfaces must refuse)."""
+    import json
+
+    import pytest
+
+    from synthpy_tpu.cli import campaign as campaign_cli
+
+    def cfg_file(trace_over):
+        tr = {"total_rays": 500, "chunk_rays": 500, "solver": "zscan_seg"}
+        tr.update(trace_over)
+        cfg = {"domain": {"dim": 16}, "trace": tr,
+               "output": {"dir": str(tmp_path / "out")}}
+        fp = tmp_path / "c.json"
+        fp.write_text(json.dumps(cfg))
+        return str(fp)
+
+    with pytest.raises(SystemExit, match="even-stride"):
+        campaign_cli.main([cfg_file({"plane_stride": 2,
+                                     "integrator": "rk4"})])
+    with pytest.raises(SystemExit, match="pack_dither"):
+        campaign_cli.main([cfg_file({"pack_dither": 3})])

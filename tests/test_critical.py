@@ -143,3 +143,28 @@ def test_run_split_warns_for_coherent():
     # accumulation + one finalize): the finalized image must be >= 0 and
     # bounded by the total coherent amplitude
     assert np.asarray(out).min() >= 0.0
+
+
+def test_pipeline_guard_fallback_drops_solver_specific_kwargs():
+    """The guard's fallback to solver='time' strips zscan_seg/analytic-only
+    kwargs (integrator, seg_weights, ...) instead of crashing synth_image —
+    exactly what the CLI/campaign surfaces always pass."""
+    d = overcritical_domain(n=31, peak=1.5)
+    s0 = init_beam(jax.random.PRNGKey(4), 500, 1e-3, 0.0, EXT, "circular",
+                   "z", dtype=jnp.float64)
+    with pytest.warns(UserWarning, match="dropping integrator, seg_weights"):
+        img = pipeline.run(d, s0, solver="zscan_seg", lwl=LWL, bins=(16, 12),
+                           seg_K=8, integrator="rk2", seg_weights="slab")
+    assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_peak_ne_over_nc_host_resident_field():
+    """external_ne(host=True) fields reduce on the HOST — the guard must
+    not device_put a >HBM volume for a scalar max."""
+    d = overcritical_domain(n=21, peak=2.0)
+    ne_host = np.asarray(d.ne)
+    d2 = ScalarDomain(2 * EXT, 21, dtype=jnp.float64)
+    d2.external_ne(ne_host, host=True)
+    assert isinstance(d2.ne, np.ndarray)
+    np.testing.assert_allclose(peak_ne_over_nc(d2, LWL), 2.0, rtol=1e-6)
+    assert isinstance(d2.ne, np.ndarray)  # still host-resident

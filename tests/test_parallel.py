@@ -689,3 +689,30 @@ def test_pipeline_run_grid_axis_int8_and_divisibility_error():
     with pytest.raises(ValueError, match="must divide"):
         pipeline.run(d33, s0, diagnostic="shadowgraphy", solver="zscan_seg",
                      seg_K=8, mesh=mesh, grid_axis="grid")
+
+
+def test_pipeline_run_grid_axis_slab_weights_matches_single_device():
+    """seg_weights='slab' (the production fast mode, bench default)
+    composes with grid_axis — threaded through to march_segment, matching
+    the single-device slab-mode image bit-for-bit."""
+    from jax.sharding import AxisType
+
+    d = ScalarDomain(2 * EXT, 32).test_lens(ne_0=5e24, LR=1.5e-3)
+    s0 = jnp.asarray(init_beam(jax.random.PRNGKey(13), 512, 7e-3, 1e-3,
+                               EXT, "circular"))
+    ref = np.asarray(pipeline.run(d, s0, diagnostic="shadowgraphy",
+                                  solver="zscan_seg", seg_K=8,
+                                  seg_weights="slab", bins=(48, 36)))
+    mesh = jax.make_mesh((4, 2), ("grid", "rays"),
+                         axis_types=(AxisType.Auto, AxisType.Auto))
+    img = np.asarray(pipeline.run(d, s0, diagnostic="shadowgraphy",
+                                  solver="zscan_seg", seg_K=8,
+                                  seg_weights="slab", bins=(48, 36),
+                                  mesh=mesh, grid_axis="grid",
+                                  integrator="rk2s2"))
+    ref2 = np.asarray(pipeline.run(d, s0, diagnostic="shadowgraphy",
+                                   solver="zscan_seg", seg_K=8,
+                                   seg_weights="slab", bins=(48, 36),
+                                   integrator="rk2s2"))
+    np.testing.assert_array_equal(img, ref2)
+    assert ref.sum() == img.sum()
