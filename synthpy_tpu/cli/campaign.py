@@ -44,7 +44,9 @@ Config schema (defaults shown; every section optional except
         "seg_weights": "slab",
         "pack_dtype": "bf16",          # bf16 | f32 | int8 | int4
         "plane_stride": 1, "K": null,  # null = auto
-        "pack_dither": null            # int seed: dithered quantisation
+        "pack_dither": null,           # int seed: dithered quantisation
+        "mesh": null,                  # 'rays=8' / 'grid=4,rays=2':
+        "grid_axis": null              # multi-chip (cli.trace --mesh)
       },
       "diagnostics": ["shadowgraphy"],
       "detector": {"bin_scale": 8},
@@ -81,6 +83,7 @@ DEFAULTS = {
         "seg_weights": "slab",
         "pack_dtype": "bf16", "plane_stride": 1, "K": None,
         "pack_dither": None,
+        "mesh": None, "grid_axis": None,
     },
     "diagnostics": ["shadowgraphy"],
     "detector": {"bin_scale": 8},
@@ -197,6 +200,19 @@ def main(argv=None) -> dict:
                          f"(known: {sorted(pipeline.BENCHES)})")
     coherent = {d for d in diags if pipeline.BENCHES[d][1]}
 
+    mesh = grid_axis = None
+    if tr["mesh"]:
+        from synthpy_tpu.parallel.mesh import mesh_from_spec
+
+        try:
+            mesh, grid_axis = mesh_from_spec(tr["mesh"], tr["grid_axis"])
+        except ValueError as e:
+            raise SystemExit(str(e))
+        if grid_axis is not None and tr["solver"] != "zscan_seg":
+            raise SystemExit("a grid axis in trace.mesh requires "
+                             "trace.solver zscan_seg (the grid-sharded "
+                             "march is the segmented fast path)")
+
     t0 = time.perf_counter()
     domain = _build_domain(cfg["domain"], bool(coherent))
 
@@ -232,9 +248,11 @@ def main(argv=None) -> dict:
             # stride/nibble alignment the tier needs
             align = max(2 * ps if tr["pack_dtype"] == "int4" else ps, 1)
             K = max(n_p // align * align, align)
-        spack = build_segment_pack_device(domain, lwl=tr["lwl"], K=K,
-                                          dtype=dt, plane_stride=ps,
-                                          dither=tr["pack_dither"])
+        spack = build_segment_pack_device(
+            domain, lwl=tr["lwl"], K=K, dtype=dt, plane_stride=ps,
+            dither=tr["pack_dither"],
+            mesh=mesh if grid_axis is not None else None,
+            mesh_axis=grid_axis or "grid")
     t_setup = time.perf_counter() - t0
 
     bins = (3448 // cfg["detector"]["bin_scale"],
@@ -248,6 +266,10 @@ def main(argv=None) -> dict:
         extra["seg_weights"] = tr["seg_weights"]
     if spack is not None:
         extra["spack"] = spack
+    if mesh is not None:
+        extra["mesh"] = mesh
+        if grid_axis is not None:
+            extra["grid_axis"] = grid_axis
 
     n_chunks = -(-total // chunk)
 

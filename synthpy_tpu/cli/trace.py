@@ -142,33 +142,15 @@ def main(argv=None) -> dict:
     mesh = None
     grid_axis = None
     if args.mesh:
-        try:
-            spec = {}
-            for part in args.mesh.split(","):
-                name, _, size = part.partition("=")
-                spec[name.strip()] = int(size)
-        except ValueError:
-            raise SystemExit(f"bad --mesh spec {args.mesh!r}; expected "
-                             "'axis=N[,axis=N]' e.g. 'grid=4,rays=2'")
-        grid_axis = args.grid_axis or ("grid" if "grid" in spec else None)
-        if grid_axis is not None and grid_axis not in spec:
-            raise SystemExit(f"--grid-axis {grid_axis!r} not in --mesh "
-                             f"spec {args.mesh!r}")
-        if "rays" not in spec and grid_axis is None:
-            raise SystemExit("--mesh needs a 'rays' axis and/or a grid "
-                             "axis (--grid-axis)")
-        n_want = 1
-        for s in spec.values():
-            n_want *= s
-        if n_want > len(jax.devices()):
-            raise SystemExit(f"--mesh {args.mesh!r} wants {n_want} devices"
-                             f"; jax sees {len(jax.devices())}")
+        from synthpy_tpu.parallel.mesh import mesh_from_spec
+
         if args.diagnostic == "none":
             raise SystemExit("--mesh needs a --diagnostic (the reduced "
                              "detector image is the multi-chip output)")
-        from jax.sharding import AxisType
-        mesh = jax.make_mesh(tuple(spec.values()), tuple(spec.keys()),
-                             axis_types=(AxisType.Auto,) * len(spec))
+        try:
+            mesh, grid_axis = mesh_from_spec(args.mesh, args.grid_axis)
+        except ValueError as e:
+            raise SystemExit(str(e))
 
     ps = args.plane_stride
     if ps != 1 and args.solver != "zscan_seg":

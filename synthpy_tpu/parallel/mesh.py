@@ -47,6 +47,42 @@ def ray_mesh(n_devices: Optional[int] = None, axis: str = "rays") -> Mesh:
                          axis_types=(AxisType.Auto,))
 
 
+def mesh_from_spec(spec: str, grid_axis: Optional[str] = None):
+    """Parse an ``'axis=N[,axis=N]'`` mesh spec (the CLI surface) into a
+    Mesh plus the resolved grid axis name.
+
+    ``'rays=8'`` -> 1-D ray-DP mesh; ``'grid=4,rays=2'`` -> 2-D field x
+    ray mesh. The grid axis defaults to ``'grid'`` when the spec names
+    one. Axis types are Auto (GSPMD propagation — see :func:`ray_mesh`).
+    Raises ValueError on malformed specs, unknown grid axes, a missing
+    rays/grid axis, or too few visible devices.
+    """
+    try:
+        parsed = {}
+        for part in spec.split(","):
+            name, _, size = part.partition("=")
+            parsed[name.strip()] = int(size)
+    except ValueError:
+        raise ValueError(f"bad mesh spec {spec!r}; expected "
+                         "'axis=N[,axis=N]' e.g. 'grid=4,rays=2'")
+    grid_axis = grid_axis or ("grid" if "grid" in parsed else None)
+    if grid_axis is not None and grid_axis not in parsed:
+        raise ValueError(f"grid axis {grid_axis!r} not in mesh spec "
+                         f"{spec!r}")
+    if "rays" not in parsed and grid_axis is None:
+        raise ValueError("mesh spec needs a 'rays' axis and/or a grid "
+                         "axis")
+    n_want = 1
+    for s in parsed.values():
+        n_want *= s
+    if n_want > len(jax.devices()):
+        raise ValueError(f"mesh spec {spec!r} wants {n_want} devices; "
+                         f"jax sees {len(jax.devices())}")
+    mesh = jax.make_mesh(tuple(parsed.values()), tuple(parsed.keys()),
+                         axis_types=(AxisType.Auto,) * len(parsed))
+    return mesh, grid_axis
+
+
 def grid_ray_mesh(n_grid: int, n_rays: Optional[int] = None) -> Mesh:
     """2-D mesh: ``grid`` axis shards the field, ``rays`` axis the bundle."""
     devs = jax.devices()

@@ -226,3 +226,35 @@ def test_campaign_cli_rejects_stride_rk4_and_bf16_dither(tmp_path):
                                      "integrator": "rk4"})])
     with pytest.raises(SystemExit, match="pack_dither"):
         campaign_cli.main([cfg_file({"pack_dither": 3})])
+
+
+def test_campaign_cli_mesh_matches_single_device(tmp_path):
+    """trace.mesh in a campaign config runs the chunked multi-chip path
+    (grid-sharded pack + ray DP) and matches the single-device images —
+    including the EXACT cross-chunk coherent accumulation."""
+    import json
+
+    from synthpy_tpu.cli import campaign as campaign_cli
+
+    base = {"domain": {"dim": 32, "ne_type": "test_lens",
+                       "ne_kwargs": {"ne_0": 5e24, "LR": 1.5e-3}},
+            "trace": {"total_rays": 3000, "chunk_rays": 1000,
+                      "solver": "zscan_seg", "integrator": "rk2s2"},
+            "diagnostics": ["shadowgraphy", "interferometry"],
+            "detector": {"bin_scale": 64},
+            "output": {"dir": str(tmp_path / "ref"), "checkpoint": None}}
+    fp = tmp_path / "c.json"
+    fp.write_text(json.dumps(base))
+    ref = campaign_cli.main([str(fp), "--quiet"])
+
+    base["trace"]["mesh"] = "grid=4,rays=2"
+    base["output"]["dir"] = str(tmp_path / "mesh")
+    fp.write_text(json.dumps(base))
+    res = campaign_cli.main([str(fp), "--quiet"])
+
+    a = np.load(tmp_path / "ref" / "images.npz")
+    b = np.load(tmp_path / "mesh" / "images.npz")
+    np.testing.assert_array_equal(b["shadowgraphy"], a["shadowgraphy"])
+    np.testing.assert_allclose(b["interferometry"], a["interferometry"],
+                               atol=1e-4 * float(a["interferometry"].max()))
+    assert res["image_sums"]["shadowgraphy"] == 3000.0
