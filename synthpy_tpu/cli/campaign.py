@@ -248,11 +248,19 @@ def main(argv=None) -> dict:
             # stride/nibble alignment the tier needs
             align = max(2 * ps if tr["pack_dtype"] == "int4" else ps, 1)
             K = max(n_p // align * align, align)
+        build_mesh = None
+        if grid_axis is not None:
+            # sharded build needs the transverse a-dim to divide over the
+            # grid axis; otherwise build on one device — pipeline.run pads
+            # the tables with zero a-rows (exact) before the sharded march
+            p_ax = {"x": 0, "y": 1, "z": 2}[cfg["domain"]["probing"]]
+            a_dim = [domain.dims[i] for i in range(3) if i != p_ax][0]
+            if a_dim % mesh.shape[grid_axis] == 0:
+                build_mesh = mesh
         spack = build_segment_pack_device(
             domain, lwl=tr["lwl"], K=K, dtype=dt, plane_stride=ps,
             dither=tr["pack_dither"],
-            mesh=mesh if grid_axis is not None else None,
-            mesh_axis=grid_axis or "grid")
+            mesh=build_mesh, mesh_axis=grid_axis or "grid")
     t_setup = time.perf_counter() - t0
 
     bins = (3448 // cfg["detector"]["bin_scale"],

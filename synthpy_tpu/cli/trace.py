@@ -177,11 +177,19 @@ def main(argv=None) -> dict:
             K = min(64, (domain.dims[0] - 1) // stride * stride)
         else:
             K = min(64, (domain.dims[0] - 1) // ps * ps)
+        build_mesh = None
+        if grid_axis is not None:
+            # sharded build needs the transverse a-dim to divide over the
+            # grid axis; otherwise build on one device — pipeline.run pads
+            # the tables with zero a-rows (exact) before the sharded march
+            p_ax = {"x": 0, "y": 1, "z": 2}[args.probing]
+            a_dim = [domain.dims[i] for i in range(3) if i != p_ax][0]
+            if a_dim % mesh.shape[grid_axis] == 0:
+                build_mesh = mesh
         spack = build_segment_pack_device(
             domain, lwl=args.lwl, K=K, plane_stride=ps,
             dither=args.pack_dither,
-            mesh=mesh if grid_axis is not None else None,
-            mesh_axis=grid_axis or "grid",
+            mesh=build_mesh, mesh_axis=grid_axis or "grid",
             dtype=PACK_DTYPES[args.pack_dtype])
 
     if args.diagnostic == "none":

@@ -213,7 +213,8 @@ def make_gridsharded_segment_tracer(mesh, layout: ChannelLayout, spack,
                                     atten_sign: float = -1.0,
                                     integrator: str = "rk4",
                                     unroll: int = 2,
-                                    weights: str = "stage"):
+                                    weights: str = "stage",
+                                    table_na: Optional[int] = None):
     """Gather-hoisted segmented march with the FIELD sharded along the
     transverse a-axis over ``grid_axis`` — >HBM fields on the FAST path
     (the plain :func:`make_gridsharded_tracer` wraps the slow full-grid
@@ -249,8 +250,21 @@ def make_gridsharded_segment_tracer(mesh, layout: ChannelLayout, spack,
 
     G = mesh.shape[grid_axis]
     na, nb = spack.shape_ab
-    assert na % G == 0, f"transverse a-dim {na} must divide over {G}"
-    naloc = na // G
+    # Non-divisible transverse dims are padded with zero a-rows by the
+    # caller (pipeline.run does this) to table_na = ceil(na/G)*G — EXACT:
+    # the mask/clip bound stays at the REAL na (march_segment's
+    # inside-mask and corner clip use shape_ab), so no ray ever owns or
+    # interpolates a pad row, and halo rows consumed by owned cells
+    # (ia0 <= na-2, rows <= na-1) are always real.
+    if table_na is None:
+        table_na = na
+    assert table_na % G == 0, (
+        f"transverse a-dim {table_na} must divide over the {G}-way "
+        f"'{grid_axis}' axis (pad the segment tables with zero a-rows "
+        f"to a multiple — pipeline.run(grid_axis=) does this "
+        f"automatically)")
+    assert table_na >= na, f"table_na {table_na} < shape_ab a-dim {na}"
+    naloc = table_na // G
     K = spack.K
     cols = spack.seg_planes.shape[-1]
     C = cols // _plane_blocks(K, qbits)

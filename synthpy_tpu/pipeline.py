@@ -527,21 +527,39 @@ def run(
                     build_segment_pack_device, reassemble_state)
 
                 pack_dtype = bench_kwargs.pop("pack_dtype", jnp.bfloat16)
+                G = mesh.shape[grid_axis]
                 if spack is None:
+                    p_dims = list(domain.dims)
+                    del p_dims[p_ax]
+                    # sharded build needs na % G == 0; otherwise build on
+                    # one device and pad below (GSPMD reshards at the jit
+                    # boundary)
+                    build_mesh = mesh if p_dims[0] % G == 0 else None
                     spack = build_segment_pack_device(
-                        domain, lwl=lwl, K=seg_K, mesh=mesh,
+                        domain, lwl=lwl, K=seg_K, mesh=build_mesh,
                         mesh_axis=grid_axis, dtype=pack_dtype)
                 r_ax = ray_axis if ray_axis in mesh.shape else None
+                n_seg = spack.seg_planes.shape[0]
+                na, nb = spack.shape_ab
+                na_pad = -(-na // G) * G
                 tracer = make_gridsharded_segment_tracer(
                     mesh, layout, spack, grid_axis=grid_axis,
                     ray_axis=r_ax,
                     substeps=max(int(round(steps_per_cell)), 1),
                     integrator=bench_kwargs.pop("integrator", "rk4"),
-                    weights=bench_kwargs.pop("seg_weights", "stage"))
-                n_seg = spack.seg_planes.shape[0]
-                na, nb = spack.shape_ab
+                    weights=bench_kwargs.pop("seg_weights", "stage"),
+                    table_na=na_pad)
                 tables = spack.seg_planes.reshape(
                     n_seg, na, nb, spack.seg_planes.shape[-1])
+                if na_pad != na:
+                    # EXACT zero-row padding: the march's inside-mask and
+                    # corner clip stay bounded by the REAL na (shape_ab),
+                    # so pad rows are never owned or interpolated —
+                    # non-power-of-two .pvti/FLASH fields shard without
+                    # constraint (quantised packs too: zero rows decode
+                    # to exact zeros)
+                    tables = jnp.pad(
+                        tables, ((0, 0), (0, na_pad - na), (0, 0), (0, 0)))
                 u = jnp.stack([s0[a_ax], s0[b_ax], s0[3 + a_ax],
                                s0[3 + b_ax], s0[3 + p_ax], s0[6], s0[7],
                                s0[8]], axis=1)

@@ -258,3 +258,16 @@ def test_campaign_cli_mesh_matches_single_device(tmp_path):
     np.testing.assert_allclose(b["interferometry"], a["interferometry"],
                                atol=1e-4 * float(a["interferometry"].max()))
     assert res["image_sums"]["shadowgraphy"] == 3000.0
+
+
+def test_trace_cli_mesh_grid_nondivisible_int8():
+    """--mesh grid=4 on a 30^3 field (30 % 4 != 0) with an int8 pack:
+    the pack builds unsharded, pipeline pads the tables with zero a-rows
+    and the sharded march matches the single-device image."""
+    argv = ["-d", "30", "-r", "2000", "--ne-type", "test_lens",
+            "--solver", "zscan_seg", "--pack-dtype", "int8",
+            "--integrator", "rk2s2", "--diagnostic", "shadowgraphy",
+            "--bin-scale", "64"]
+    ref = trace_cli.main(argv)
+    res = trace_cli.main(argv + ["--mesh", "grid=4,rays=2"])
+    assert res["image_sum"] == ref["image_sum"]

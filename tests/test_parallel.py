@@ -661,12 +661,13 @@ def test_pipeline_run_grid_axis_matches_single_device():
     np.testing.assert_allclose(img_2d, ref, rtol=1e-6)
 
 
-def test_pipeline_run_grid_axis_int8_and_divisibility_error():
+def test_pipeline_run_grid_axis_int8_and_nondivisible_dims():
     """grid_axis= composes with quantised packs (pack_dtype=int8 builds the
-    tables sharded, bit-identical to the single-device int8 march) and
-    rejects transverse dims that don't divide over the grid axis with a
-    clear error."""
-    import pytest
+    tables sharded, bit-identical to the single-device int8 march), and
+    transverse dims that don't divide over the grid axis are padded with
+    zero a-rows EXACTLY (the march's mask/clip stay bounded by the real
+    na, so pad rows are never owned) — non-power-of-two .pvti fields
+    shard without constraint."""
     from jax.sharding import AxisType
     from synthpy_tpu.tracer.zscan import build_segment_pack_device
 
@@ -685,10 +686,16 @@ def test_pipeline_run_grid_axis_int8_and_divisibility_error():
                                   pack_dtype=jnp.int8, integrator="rk2s2"))
     np.testing.assert_array_equal(img, ref)
 
+    # 33^3: na=33 pads to 36 over the 4-way grid axis, bit-identical
     d33 = ScalarDomain(2 * EXT, 33).test_lens(ne_0=5e24, LR=1.5e-3)
-    with pytest.raises(ValueError, match="must divide"):
-        pipeline.run(d33, s0, diagnostic="shadowgraphy", solver="zscan_seg",
-                     seg_K=8, mesh=mesh, grid_axis="grid")
+    ref33 = np.asarray(pipeline.run(d33, s0, diagnostic="shadowgraphy",
+                                    solver="zscan_seg", seg_K=8,
+                                    bins=(48, 36)))
+    img33 = np.asarray(pipeline.run(d33, s0, diagnostic="shadowgraphy",
+                                    solver="zscan_seg", seg_K=8,
+                                    bins=(48, 36), mesh=mesh,
+                                    grid_axis="grid"))
+    np.testing.assert_allclose(img33, ref33, rtol=1e-6)
 
 
 def test_pipeline_run_grid_axis_slab_weights_matches_single_device():
