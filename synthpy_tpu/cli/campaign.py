@@ -203,7 +203,11 @@ def main(argv=None) -> dict:
     mesh = grid_axis = None
     if tr["mesh"]:
         from synthpy_tpu.parallel.mesh import mesh_from_spec
+        from synthpy_tpu.parallel.multihost import initialize
 
+        # no-op on a single host; on multi-process jobs connects the hosts
+        # so the mesh spec addresses the GLOBAL device set
+        initialize()
         try:
             mesh, grid_axis = mesh_from_spec(tr["mesh"], tr["grid_axis"])
         except ValueError as e:

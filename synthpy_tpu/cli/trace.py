@@ -143,10 +143,15 @@ def main(argv=None) -> dict:
     grid_axis = None
     if args.mesh:
         from synthpy_tpu.parallel.mesh import mesh_from_spec
+        from synthpy_tpu.parallel.multihost import initialize
 
         if args.diagnostic == "none":
             raise SystemExit("--mesh needs a --diagnostic (the reduced "
                              "detector image is the multi-chip output)")
+        # no-op on a single host; on a multi-process job (TPU pod/SLURM/
+        # mpiexec env markers) connects the hosts so jax.devices() is the
+        # GLOBAL device set the mesh spec addresses
+        initialize()
         try:
             mesh, grid_axis = mesh_from_spec(args.mesh, args.grid_axis)
         except ValueError as e:
