@@ -51,6 +51,46 @@ def main() -> None:
     total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
     assert float(total) == 36.0, float(total)
 
+    # END-TO-END: the one-call pipeline surface over the 2-PROCESS mesh.
+    # Each process initialises only ITS slice of the bundle (the
+    # reference's per-rank init_beam, pvti_trace_mpi.py:144-163), the
+    # trace+detector program runs under GSPMD across processes, and the
+    # reduced image equals the single-device run of the full bundle.
+    import numpy as np
+
+    from jax.sharding import AxisType
+
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.fields import ScalarDomain
+    from synthpy_tpu.tracer import init_beam
+
+    ext = 5e-3
+    dom = ScalarDomain(2 * ext, 16).test_lens(ne_0=5e24, LR=1.5e-3)
+    Np = 512
+    s_full = np.asarray(init_beam(jax.random.PRNGKey(3), Np, 7e-3, 1e-3,
+                                  ext, "circular"))
+    ref = np.asarray(pipeline.run(dom, s_full, diagnostic="shadowgraphy",
+                                  solver="zscan_seg", seg_K=8,
+                                  bins=(24, 18)))
+
+    gmesh = jax.make_mesh((jax.device_count(),), ("rays",),
+                          axis_types=(AxisType.Auto,))
+    start, count = multihost.local_ray_slice(Np)
+    sh = NamedSharding(gmesh, P(None, "rays"))
+    s0g = jax.make_array_from_process_local_data(
+        sh, s_full[:, start:start + count], (9, Np))
+    img = pipeline.run(dom, s0g, diagnostic="shadowgraphy",
+                       solver="zscan_seg", seg_K=8, bins=(24, 18),
+                       mesh=gmesh)
+    # GSPMD may leave the image sharded across processes; a jitted
+    # identity with a replicated out sharding is the in-graph all-gather
+    img_rep = jax.jit(lambda x: x,
+                      out_shardings=NamedSharding(gmesh, P()))(img)
+    img_np = np.asarray(img_rep)
+    assert img_np.shape == ref.shape, (img_np.shape, ref.shape)
+    np.testing.assert_allclose(img_np, ref, rtol=1e-5, atol=1e-5)
+    assert float(img_np.sum()) == float(ref.sum()), "ray count not conserved"
+
     print(f"WORKER_OK {pid}", flush=True)
 
 
