@@ -46,7 +46,8 @@ Config schema (defaults shown; every section optional except
         "plane_stride": 1, "K": null,  # null = auto
         "pack_dither": null,           # int seed: dithered quantisation
         "mesh": null,                  # 'rays=8' / 'grid=4,rays=2':
-        "grid_axis": null              # multi-chip (cli.trace --mesh)
+        "grid_axis": null,             # multi-chip (cli.trace --mesh)
+        "pp_axis": null                # depth-pipelined axis (e.g. 'seg')
       },
       "diagnostics": ["shadowgraphy"],
       "detector": {"bin_scale": 8},
@@ -83,7 +84,7 @@ DEFAULTS = {
         "seg_weights": "slab",
         "pack_dtype": "bf16", "plane_stride": 1, "K": None,
         "pack_dither": None,
-        "mesh": None, "grid_axis": None,
+        "mesh": None, "grid_axis": None, "pp_axis": None,
     },
     "diagnostics": ["shadowgraphy"],
     "detector": {"bin_scale": 8},
@@ -209,13 +210,18 @@ def main(argv=None) -> dict:
         # so the mesh spec addresses the GLOBAL device set
         initialize()
         try:
-            mesh, grid_axis = mesh_from_spec(tr["mesh"], tr["grid_axis"])
+            mesh, grid_axis = mesh_from_spec(tr["mesh"], tr["grid_axis"],
+                                             tr["pp_axis"])
         except ValueError as e:
             raise SystemExit(str(e))
-        if grid_axis is not None and tr["solver"] != "zscan_seg":
-            raise SystemExit("a grid axis in trace.mesh requires "
-                             "trace.solver zscan_seg (the grid-sharded "
-                             "march is the segmented fast path)")
+        if tr["pp_axis"] and grid_axis:
+            raise SystemExit("trace.pp_axis and trace.grid_axis are "
+                             "mutually exclusive")
+        if ((grid_axis is not None or tr["pp_axis"])
+                and tr["solver"] != "zscan_seg"):
+            raise SystemExit("a grid/pp axis in trace.mesh requires "
+                             "trace.solver zscan_seg (both shard the "
+                             "segmented fast path)")
 
     t0 = time.perf_counter()
     domain = _build_domain(cfg["domain"], bool(coherent))
@@ -282,6 +288,8 @@ def main(argv=None) -> dict:
         extra["mesh"] = mesh
         if grid_axis is not None:
             extra["grid_axis"] = grid_axis
+        if tr["pp_axis"] is not None:
+            extra["pp_axis"] = tr["pp_axis"]
 
     n_chunks = -(-total // chunk)
 

@@ -89,6 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--grid-axis", default=None,
                    help="mesh axis to shard the FIELD over (default: "
                         "'grid' when the --mesh spec names one)")
+    p.add_argument("--pp-axis", default=None,
+                   help="mesh axis to PIPELINE the march over by probing "
+                        "depth (zscan_seg; exclusive with --grid-axis): "
+                        "e.g. --mesh seg=8 --pp-axis seg streams ray "
+                        "chunks through depth-sharded segment tables — "
+                        "the capacity mode when the PACK exceeds one HBM")
     p.add_argument("--phaseshift", action="store_true")
     p.add_argument("-o", "--output", default=None,
                    help="output prefix (writes <prefix>.npz)")
@@ -153,9 +159,15 @@ def main(argv=None) -> dict:
         # GLOBAL device set the mesh spec addresses
         initialize()
         try:
-            mesh, grid_axis = mesh_from_spec(args.mesh, args.grid_axis)
+            mesh, grid_axis = mesh_from_spec(args.mesh, args.grid_axis,
+                                             args.pp_axis)
         except ValueError as e:
             raise SystemExit(str(e))
+        if args.pp_axis and grid_axis:
+            raise SystemExit("--pp-axis and --grid-axis are mutually "
+                             "exclusive")
+        if args.pp_axis and args.solver != "zscan_seg":
+            raise SystemExit("--pp-axis requires --solver zscan_seg")
 
     ps = args.plane_stride
     if ps != 1 and args.solver != "zscan_seg":
@@ -225,6 +237,8 @@ def main(argv=None) -> dict:
             extra["mesh"] = mesh
             if grid_axis is not None:
                 extra["grid_axis"] = grid_axis
+            if args.pp_axis is not None:
+                extra["pp_axis"] = args.pp_axis
         out = pipeline.run(domain, s0,
                            diagnostic=diags if len(diags) > 1 else diags[0],
                            lwl=args.lwl,

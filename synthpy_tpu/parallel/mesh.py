@@ -47,15 +47,17 @@ def ray_mesh(n_devices: Optional[int] = None, axis: str = "rays") -> Mesh:
                          axis_types=(AxisType.Auto,))
 
 
-def mesh_from_spec(spec: str, grid_axis: Optional[str] = None):
+def mesh_from_spec(spec: str, grid_axis: Optional[str] = None,
+                   pp_axis: Optional[str] = None):
     """Parse an ``'axis=N[,axis=N]'`` mesh spec (the CLI surface) into a
     Mesh plus the resolved grid axis name.
 
     ``'rays=8'`` -> 1-D ray-DP mesh; ``'grid=4,rays=2'`` -> 2-D field x
-    ray mesh. The grid axis defaults to ``'grid'`` when the spec names
-    one. Axis types are Auto (GSPMD propagation — see :func:`ray_mesh`).
-    Raises ValueError on malformed specs, unknown grid axes, a missing
-    rays/grid axis, or too few visible devices.
+    ray mesh; ``'seg=8'`` with ``pp_axis='seg'`` -> depth-pipelined
+    mesh. The grid axis defaults to ``'grid'`` when the spec names one.
+    Axis types are Auto (GSPMD propagation — see :func:`ray_mesh`).
+    Raises ValueError on malformed specs, unknown grid/pp axes, a
+    missing rays/grid/pp axis, or too few visible devices.
     """
     try:
         parsed = {}
@@ -69,9 +71,11 @@ def mesh_from_spec(spec: str, grid_axis: Optional[str] = None):
     if grid_axis is not None and grid_axis not in parsed:
         raise ValueError(f"grid axis {grid_axis!r} not in mesh spec "
                          f"{spec!r}")
-    if "rays" not in parsed and grid_axis is None:
+    if pp_axis is not None and pp_axis not in parsed:
+        raise ValueError(f"pp axis {pp_axis!r} not in mesh spec {spec!r}")
+    if "rays" not in parsed and grid_axis is None and pp_axis is None:
         raise ValueError("mesh spec needs a 'rays' axis and/or a grid "
-                         "axis")
+                         "axis / pp axis")
     n_want = 1
     for s in parsed.values():
         n_want *= s

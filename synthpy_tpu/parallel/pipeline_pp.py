@@ -50,6 +50,8 @@ def make_pipelined_segment_tracer(
     integrator: str = "rk4",
     unroll: int = 2,
     shard_chunks: bool | None = None,
+    weights: str = "stage",
+    n_seg_real: int | None = None,
 ):
     """Build a jitted PP tracer over ``axis`` of ``mesh``.
 
@@ -78,6 +80,14 @@ def make_pipelined_segment_tracer(
     n_seg = spack.seg_planes.shape[0]
     assert n_seg % D == 0, f"n_seg {n_seg} must divide over {D} devices"
     segs_local = n_seg // D
+    # n_seg_real < n_seg: the tail segments are zero padding added so
+    # n_seg divides over the axis (pipeline.run(pp_axis=) does this).
+    # They are SKIPPED, not marched: marching zero field is physically a
+    # straight flight but accumulates one f32 rounding per slab in the
+    # position columns, which is enough to move rays across detector
+    # cells — the skip keeps the PP march bit-identical to single-chip.
+    if n_seg_real is None:
+        n_seg_real = n_seg
     K = spack.K
     from synthpy_tpu.tracer.zscan import _plane_blocks
     C = spack.seg_planes.shape[-1] // _plane_blocks(K, qbits)
@@ -102,11 +112,16 @@ def make_pipelined_segment_tracer(
                 sc = (None if scales_local is None else
                       jax.lax.dynamic_slice_in_dim(scales_local, s, 1,
                                                    axis=0)[0])
-                return march_segment(
+                out = march_segment(
                     uc, seg, origin_ab, inv_ab, dp, shape_ab=shape_ab,
                     layout=layout, K=K, C=C, substeps=substeps,
                     atten_sign=atten_sign, integrator=integrator,
-                    unroll=unroll, scales=sc, qbits=qbits), None
+                    unroll=unroll, weights=weights, scales=sc,
+                    qbits=qbits)
+                if n_seg_real < n_seg:
+                    real = (d * segs_local + s) < n_seg_real
+                    out = jnp.where(real, out, uc)
+                return out, None
 
             u, _ = jax.lax.scan(seg_step, u, jnp.arange(segs_local))
             return u

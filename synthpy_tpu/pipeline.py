@@ -368,6 +368,7 @@ def run(
     mesh=None,
     ray_axis: str = "rays",
     grid_axis: Optional[str] = None,
+    pp_axis: Optional[str] = None,
     **bench_kwargs,
 ) -> jnp.ndarray:
     """Convenience wrapper: pack the domain and run the fused pipeline.
@@ -406,6 +407,20 @@ def run(
     (``pack_dtype=`` kwarg selects the tier). Compose with ``ray_axis``
     on a 2-D mesh for throughput; a mesh without a ray axis replicates
     rays (capacity-only sharding).
+
+    ``pp_axis``: name of a mesh axis to PIPELINE the march over by
+    probing depth (zscan_seg only, exclusive with ``grid_axis``): the
+    segment tables are sharded by depth and ray chunks stream
+    device-to-device (``parallel.make_pipelined_segment_tracer``) — the
+    capacity lever when the pack exceeds one HBM but the field is not
+    transversely shardable. ``pp_chunks`` (default: the axis size) sets
+    the chunk count; segment counts that don't divide the axis are
+    padded with zero segments the tracer skips (bit-exact).
+
+    ``pack_dtype`` for both mesh modes defaults to float32 — ``mesh=``
+    is a pure distribution knob at the single-device accuracy class
+    (coherent images resolve bf16 pack rounding that incoherent binning
+    hides); pass jnp.bfloat16 / jnp.int8 / "int4" to opt into the tiers.
     """
     from synthpy_tpu.tracer.propagator import default_n_steps
 
@@ -435,11 +450,16 @@ def run(
                 bench_kwargs.pop(k)
 
     grid_mode = mesh is not None and grid_axis is not None
+    pp_mode = mesh is not None and pp_axis is not None
     if grid_mode and solver != "zscan_seg":
         raise ValueError("grid_axis requires solver='zscan_seg' (the "
                          "grid-sharded march is the segmented fast path)")
+    if pp_mode and (grid_mode or solver != "zscan_seg"):
+        raise ValueError("pp_axis requires solver='zscan_seg' and is "
+                         "mutually exclusive with grid_axis (the PP "
+                         "tracer shards segments by probing depth)")
     if (pack is None and zpack is None and spack is None
-            and solver != "analytic" and not grid_mode):
+            and solver != "analytic" and not grid_mode and not pp_mode):
         pack = build_pack(domain, lwl)
     elif pack is None and solver == "time":
         pack = build_pack(domain, lwl)
@@ -454,12 +474,13 @@ def run(
 
         p_ax = _AXIS_OF[domain.probing_direction]
         a_ax, b_ax = [a for a in range(3) if a != p_ax]
-        if ray_axis in mesh.shape:
+        if ray_axis in mesh.shape and not pp_mode:
             s0 = _pad_ray_cols(s0, mesh.shape[ray_axis], a_ax, b_ax)
             s0 = jax.device_put(s0, NamedSharding(mesh, P(None, ray_axis)))
-        elif not grid_mode:
+        elif not grid_mode and not pp_mode:
             raise ValueError(f"mesh has no '{ray_axis}' axis; pass "
-                             f"grid_axis= for field-sharded tracing")
+                             f"grid_axis= for field-sharded tracing or "
+                             f"pp_axis= for depth-pipelined tracing")
         _repl_sharding = NamedSharding(mesh, P())
 
         def _repl(x):
@@ -514,6 +535,83 @@ def run(
 
     if solver in ("zscan", "zscan_seg"):
         if solver == "zscan_seg":
+            if pp_mode:
+                # depth-pipelined march: segments sharded over pp_axis,
+                # ray chunks streamed device-to-device (ppermute). The
+                # capacity lever when the PACK exceeds one HBM but the
+                # field is not transversely shardable (or compile-time
+                # favors depth cuts). Segment count is padded to the
+                # axis size with zero segments that the tracer SKIPS
+                # (n_seg_real) — bit-exact: even marching zero field
+                # would accumulate one f32 rounding per slab in the
+                # position columns.
+                from synthpy_tpu.parallel.pipeline_pp import (
+                    make_pipelined_segment_tracer)
+                from synthpy_tpu.tracer.zscan import (
+                    build_segment_pack_device, reassemble_state)
+
+                pack_dtype = bench_kwargs.pop("pack_dtype", jnp.float32)
+                # f32 default: mesh= is a pure DISTRIBUTION knob at
+                # the single-device accuracy class (the coherent
+                # phase column resolves bf16-vs-f32 pack rounding
+                # that incoherent binning hides); opt into the
+                # bf16/int8/int4 tiers via pack_dtype=
+                if spack is None:
+                    spack = build_segment_pack_device(
+                        domain, lwl=lwl, K=seg_K, dtype=pack_dtype)
+                D = mesh.shape[pp_axis]
+                n_seg = spack.seg_planes.shape[0]
+                n_seg_pad = -(-n_seg // D) * D
+                if n_seg_pad != n_seg:
+                    seg_planes = jnp.pad(
+                        spack.seg_planes,
+                        ((0, n_seg_pad - n_seg), (0, 0), (0, 0)))
+                    scales = getattr(spack, "scales", None)
+                    if scales is not None:
+                        scales = jnp.pad(
+                            scales, ((0, n_seg_pad - n_seg), (0, 0),
+                                     (0, 0)), constant_values=1.0)
+                    spack = spack._replace(seg_planes=seg_planes,
+                                           scales=scales)
+                u = jnp.stack([s0[a_ax], s0[b_ax], s0[3 + a_ax],
+                               s0[3 + b_ax], s0[3 + p_ax], s0[6], s0[7],
+                               s0[8]], axis=1)
+                Np = u.shape[0]
+                n_chunks = int(bench_kwargs.pop("pp_chunks", D))
+                if n_chunks % D:
+                    raise ValueError(f"pp_chunks {n_chunks} must be a "
+                                     f"multiple of the {D}-way "
+                                     f"'{pp_axis}' axis")
+                chunk_rays = -(-Np // n_chunks)
+                total = n_chunks * chunk_rays
+                if total != Np:
+                    # pad rows are sliced off again before the detector
+                    u = jnp.concatenate(
+                        [u, jnp.repeat(u[:1], total - Np, axis=0)], 0)
+                chunks = u.reshape(n_chunks, chunk_rays, 8)
+                tracer = make_pipelined_segment_tracer(
+                    mesh, layout, spack, n_chunks=n_chunks, axis=pp_axis,
+                    substeps=max(int(round(steps_per_cell)), 1),
+                    integrator=bench_kwargs.pop("integrator", "rk4"),
+                    weights=bench_kwargs.pop("seg_weights", "stage"),
+                    n_seg_real=n_seg)
+                dp = jnp.asarray(spack.dp, u.dtype)
+                if getattr(spack, "scales", None) is not None:
+                    uf = tracer(chunks, spack.seg_planes, spack.scales,
+                                spack.origin_ab, spack.inv_spacing_ab, dp)
+                else:
+                    uf = tracer(chunks, spack.seg_planes,
+                                spack.origin_ab, spack.inv_spacing_ab, dp)
+                uf = uf.reshape(total, 8)[:Np]
+                # pad segments are skipped (n_seg_real), so the march
+                # really ends at the REAL segment count's exit plane
+                sf = reassemble_state(
+                    uf, spack.p0 + n_seg * spack.K * spack.dp,
+                    domain.probing_direction)
+                return _out(_image_only(
+                    sf, depth, diagnostic=diagnostic,
+                    probing_direction=domain.probing_direction, bins=bins,
+                    lwl=lwl, **bench_kwargs))
             if grid_mode:
                 # field-sharded march: the spack (built sharded via
                 # build_segment_pack_device(mesh=), or any single-device
@@ -526,7 +624,12 @@ def run(
                 from synthpy_tpu.tracer.zscan import (
                     build_segment_pack_device, reassemble_state)
 
-                pack_dtype = bench_kwargs.pop("pack_dtype", jnp.bfloat16)
+                pack_dtype = bench_kwargs.pop("pack_dtype", jnp.float32)
+                # f32 default: mesh= is a pure DISTRIBUTION knob at
+                # the single-device accuracy class (the coherent
+                # phase column resolves bf16-vs-f32 pack rounding
+                # that incoherent binning hides); opt into the
+                # bf16/int8/int4 tiers via pack_dtype=
                 G = mesh.shape[grid_axis]
                 if spack is None:
                     p_dims = list(domain.dims)

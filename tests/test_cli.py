@@ -271,3 +271,24 @@ def test_trace_cli_mesh_grid_nondivisible_int8():
     ref = trace_cli.main(argv)
     res = trace_cli.main(argv + ["--mesh", "grid=4,rays=2"])
     assert res["image_sum"] == ref["image_sum"]
+
+
+def test_trace_cli_pp_axis_matches_single_device():
+    """--mesh seg=8 --pp-axis seg: the one-command depth-pipelined path
+    equals the single-device image (segment padding + skip, ray-count
+    conserved)."""
+    import pytest
+
+    argv = ["-d", "32", "-r", "2000", "--ne-type", "test_lens",
+            "--solver", "zscan_seg", "--integrator", "rk2s2",
+            "--diagnostic", "shadowgraphy", "--bin-scale", "64"]
+    ref = trace_cli.main(argv)
+    res = trace_cli.main(argv + ["--mesh", "seg=8", "--pp-axis", "seg"])
+    assert res["image_sum"] == ref["image_sum"]
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        trace_cli.main(argv + ["--mesh", "grid=4,seg=2", "--pp-axis",
+                               "seg", "--grid-axis", "grid"])
+    with pytest.raises(SystemExit, match="zscan_seg"):
+        trace_cli.main(["-d", "16", "-r", "100", "--solver", "time",
+                        "--mesh", "seg=8", "--pp-axis", "seg"])

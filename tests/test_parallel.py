@@ -723,3 +723,105 @@ def test_pipeline_run_grid_axis_slab_weights_matches_single_device():
                                    integrator="rk2s2"))
     np.testing.assert_array_equal(img, ref2)
     assert ref.sum() == img.sum()
+
+
+def test_pipeline_run_pp_axis_matches_single_device():
+    """pipeline.run(mesh=, pp_axis=) — the one-call depth-pipelined path —
+    equals the single-device segmented march bit-for-bit, including
+    zero-segment padding when n_seg doesn't divide over the axis, int8
+    packs, and the coherent (interferometry) state columns."""
+    from jax.sharding import AxisType
+    from synthpy_tpu.tracer.zscan import build_segment_pack_device
+
+    d = ScalarDomain(2 * EXT, 32).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    s0 = jnp.asarray(init_beam(jax.random.PRNGKey(7), 1000, 7e-3, 1e-3,
+                               EXT, "circular"))
+    mesh = jax.make_mesh((8,), ("seg",), axis_types=(AxisType.Auto,))
+
+    # K=6 -> n_seg=6, padded to 8 with zero segments the tracer SKIPS
+    # (even vacuum marching accumulates f32 rounding). Same spack on both
+    # sides = the PP machinery must be BIT-identical, including the
+    # coherent phase column.
+    sp_f32 = build_segment_pack_device(d, K=6, dtype=jnp.float32)
+    for diag in ("shadowgraphy", "interferometry"):
+        ref = np.asarray(pipeline.run(d, s0, diagnostic=diag,
+                                      solver="zscan_seg", spack=sp_f32,
+                                      bins=(48, 36), integrator="rk2s2"))
+        img = np.asarray(pipeline.run(d, s0, diagnostic=diag,
+                                      solver="zscan_seg", spack=sp_f32,
+                                      bins=(48, 36), mesh=mesh,
+                                      pp_axis="seg", integrator="rk2s2"))
+        if diag == "shadowgraphy":
+            np.testing.assert_array_equal(img, ref)
+        else:
+            # exit states are bit-identical; the final |E|^2 square fuses
+            # differently in the fused vs staged program (last-ulp)
+            np.testing.assert_allclose(img, ref, atol=1e-6)
+
+    # default build (mesh branch builds its own f32 pack on-device, the
+    # single path regroups the host pack): same accuracy class, fp-level
+    # builder-route difference only
+    ref_d = np.asarray(pipeline.run(d, s0, diagnostic="interferometry",
+                                    solver="zscan_seg", seg_K=6,
+                                    bins=(48, 36), integrator="rk2s2"))
+    img_d = np.asarray(pipeline.run(d, s0, diagnostic="interferometry",
+                                    solver="zscan_seg", seg_K=6,
+                                    bins=(48, 36), mesh=mesh,
+                                    pp_axis="seg", integrator="rk2s2"))
+    assert np.abs(img_d - ref_d).max() <= 0.1 * ref_d.max()
+
+    # int8 pack through the one-call PP path (scales padded with ones)
+    sp = build_segment_pack_device(d, K=6, dtype=jnp.int8)
+    ref_q = np.asarray(pipeline.run(d, s0, diagnostic="shadowgraphy",
+                                    solver="zscan_seg", spack=sp,
+                                    bins=(48, 36), integrator="rk2s2"))
+    img_q = np.asarray(pipeline.run(d, s0, diagnostic="shadowgraphy",
+                                    solver="zscan_seg", seg_K=6,
+                                    pack_dtype=jnp.int8, bins=(48, 36),
+                                    mesh=mesh, pp_axis="seg",
+                                    integrator="rk2s2"))
+    np.testing.assert_array_equal(img_q, ref_q)
+
+    # guard rails
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        pipeline.run(d, s0, solver="zscan_seg", mesh=mesh, pp_axis="seg",
+                     grid_axis="seg")
+    with pytest.raises(ValueError, match="pp_axis requires"):
+        pipeline.run(d, s0, solver="time", mesh=mesh, pp_axis="seg")
+
+
+def test_pipeline_run_grid_axis_coherent_matches():
+    """Interferometry (phase-sensitive) through grid_axis: same spack ==
+    single-device to last-ulp; default build stays in the f32 accuracy
+    class (the round-3 fix — the bf16 default pack silently degraded
+    coherent images that incoherent binning hid)."""
+    from jax.sharding import AxisType
+    from synthpy_tpu.tracer.zscan import build_segment_pack_device
+
+    d = ScalarDomain(2 * EXT, 32).test_lens(ne_0=5e24, LR=1.5e-3)
+    d.phaseshift = True
+    s0 = jnp.asarray(init_beam(jax.random.PRNGKey(7), 1000, 7e-3, 1e-3,
+                               EXT, "circular"))
+    mesh = jax.make_mesh((4, 2), ("grid", "rays"),
+                         axis_types=(AxisType.Auto, AxisType.Auto))
+    sp = build_segment_pack_device(d, K=8, dtype=jnp.float32)
+    ref = np.asarray(pipeline.run(d, s0, diagnostic="interferometry",
+                                  solver="zscan_seg", spack=sp,
+                                  bins=(48, 36), integrator="rk2s2"))
+    img = np.asarray(pipeline.run(d, s0, diagnostic="interferometry",
+                                  solver="zscan_seg", spack=sp,
+                                  bins=(48, 36), mesh=mesh,
+                                  grid_axis="grid", integrator="rk2s2"))
+    np.testing.assert_allclose(img, ref, atol=1e-5)
+
+    ref_d = np.asarray(pipeline.run(d, s0, diagnostic="interferometry",
+                                    solver="zscan_seg", seg_K=8,
+                                    bins=(48, 36), integrator="rk2s2"))
+    img_d = np.asarray(pipeline.run(d, s0, diagnostic="interferometry",
+                                    solver="zscan_seg", seg_K=8,
+                                    bins=(48, 36), mesh=mesh,
+                                    grid_axis="grid", integrator="rk2s2"))
+    assert np.abs(img_d - ref_d).max() <= 0.1 * ref_d.max()
