@@ -1,0 +1,79 @@
+"""Point-projection proton radiography of a turbulent magnetised plasma.
+
+Beyond-reference diagnostic (the reference simulates optical probes
+only): a 14.7 MeV D3He proton cone from a point backlighter traverses a
+divergence-free turbulent B field (fields.grf.grf_vector_solenoidal, the
+same generator that drives Faraday rotation) and lands on a fluence
+detector. Magnetic deflection focuses/defocuses the cone into caustic
+networks — THE standard path-integrated B-field measurement on
+pulsed-power machines. The march is a relativistic Boris pusher
+(tracer.particles): |v| is invariant to machine precision and each step
+is one trilinear 3-channel gather + a fused VPU rotation.
+
+Also renders the 3 MeV (DD) image from the SAME field: the two-energy
+pair separates deflection magnitude from source structure, exactly as in
+experiment.
+
+Usage: python examples/proton_radiography.py [res] [Np]
+(defaults 64, 2_000_000 — CPU smoke: 16 20000)
+"""
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(globals().get(
+    "__file__", "examples/proton_radiography.py")))
+sys.path.insert(0, os.path.dirname(_HERE))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from synthpy_tpu.fields import ScalarDomain  # noqa: E402
+from synthpy_tpu.fields.grf import (  # noqa: E402
+    grf_vector_solenoidal,
+    power_law,
+)
+from synthpy_tpu.tracer.particles import (  # noqa: E402
+    init_proton_beam,
+    proton_radiograph,
+    trace_protons,
+)
+
+
+def main(res: int = 64, Np: int = 2_000_000) -> dict:
+    ext = 5e-3
+    t0 = time.perf_counter()
+    # 10 T RMS Kolmogorov-like solenoidal turbulence over a 1 cm cube
+    _, B = grf_vector_solenoidal(jax.random.PRNGKey(7), power_law(3.667),
+                                 l_max=3e-3, l_min=0.4e-3, extent=ext,
+                                 res=res, rms=10.0)
+    domain = ScalarDomain(2 * ext, 2 * res)
+    domain.external_B(B)
+
+    out = {}
+    for tag, E_MeV in (("D3He_14p7MeV", 14.7), ("DD_3MeV", 3.0)):
+        s0 = init_proton_beam(jax.random.PRNGKey(11), Np, E_MeV,
+                              source_distance=10e-3, extent=ext,
+                              cone_radius=0.6 * ext)
+        sf = trace_protons(s0, domain, E_MeV, ray_chunk=262_144)
+        H = np.asarray(proton_radiograph(
+            sf, detector_distance=100e-3, extent=ext, bins=(431, 321),
+            Lx=100.0, Ly=75.0))
+        out[tag] = H
+        print(json.dumps({"energy_MeV": E_MeV, "protons": Np,
+                          "on_detector": float(H.sum()),
+                          "fluence_contrast_rms": float(
+                              H.std() / max(H.mean(), 1e-30))}))
+
+    np.savez(os.path.join(_HERE, "proton_radiographs.npz"), **out)
+    dt = time.perf_counter() - t0
+    print(json.dumps({"total_seconds": round(dt, 2),
+                      "output": "examples/proton_radiographs.npz"}))
+    return out
+
+
+if __name__ == "__main__":
+    res = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    Np = int(float(sys.argv[2])) if len(sys.argv) > 2 else 2_000_000
+    main(res, Np)

@@ -43,6 +43,13 @@ VERDET_COEFF = 2.62e-13
 # Default probe wavelength [m] used across the reference examples.
 DEFAULT_LWL = 1064e-9
 
+# Proton rest mass [kg] and rest energy [MeV] (CODATA 2018) — charged-
+# particle radiography (tracer.particles), beyond the reference's
+# optical-only probes.
+M_PROTON = 1.67262192369e-27
+PROTON_REST_MEV = 938.27208816
+MEV = 1.602176634e-13  # J per MeV
+
 
 def omega_from_lwl(lwl: float) -> float:
     """Angular laser frequency [rad/s] from vacuum wavelength [m]."""

@@ -1,0 +1,225 @@
+"""Charged-particle (proton) radiography through magnetic/density fields.
+
+Beyond-reference capability: point-projection proton deflectometry is the
+standard path-integrated B-field diagnostic on pulsed-power machines (the
+MAGPIE experiments the reference's optical diagnostics serve), but the
+reference simulates optical probes only. This module reuses the
+framework's field plumbing — ``ScalarDomain.external_B`` /
+``fields.grf.grf_vector_solenoidal`` grids, ``ops.interp.trilinear``
+gathers, scatter-add detectors — with a relativistic **Boris pusher**
+instead of the photon RHS.
+
+Why Boris and not RK4: the magnetic force does no work, so |v| (and the
+Lorentz gamma) are exact invariants of the continuous dynamics. The Boris
+rotation preserves |v| to machine precision step by step (the standard
+particle-in-cell integrator), where an RK4 step leaks energy at
+O((omega_c dt)^5) per step. On TPU the pusher is a handful of fused
+VPU ops per step around one trilinear gather of the (3,)-channel B grid —
+the same gather/blend shape as the photon tracer's acceleration fetch
+(propagator._rhs).
+
+State layout: (N, 6) rows [x, y, z, vx, vy, vz] in SI units, matching the
+first six rows of the photon 9-vector (beam.py's init_beam convention).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from synthpy_tpu import constants
+from synthpy_tpu.ops.interp import grid_geometry, trilinear
+
+_AXIS_OF = {"x": 0, "y": 1, "z": 2}
+
+
+def proton_speed(energy_MeV: float) -> Tuple[float, float]:
+    """(speed [m/s], gamma) of a proton with the given kinetic energy.
+
+    Relativistic: gamma = 1 + T/(m c^2); v = c sqrt(1 - 1/gamma^2).
+    MAGPIE-class backlighters are 3 MeV (DD fusion) and 14.7 MeV (D3He).
+    """
+    gamma = 1.0 + energy_MeV / constants.PROTON_REST_MEV
+    v = constants.C * math.sqrt(1.0 - 1.0 / (gamma * gamma))
+    return v, gamma
+
+
+def init_proton_beam(
+    key: jax.Array,
+    Np: int,
+    energy_MeV: float,
+    source_distance: float,
+    extent: float,
+    cone_radius: Optional[float] = None,
+    probing_direction: str = "z",
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Point-projection proton source: (N, 6) rows aimed at the object.
+
+    The source sits at ``-(extent + source_distance)`` on the probing
+    axis; each proton is launched toward a uniformly sampled point of the
+    disc of radius ``cone_radius`` (default: ``extent``) on the object's
+    ENTRY plane, giving the diverging cone of a mesh-free point-projection
+    backlighter (fusion-capsule or foil source). All protons share the
+    kinetic energy; |v| is set relativistically (:func:`proton_speed`).
+    """
+    v, _ = proton_speed(energy_MeV)
+    if cone_radius is None:
+        cone_radius = extent
+    k_r, k_t = jax.random.split(key)
+    # uniform over the disc (sqrt-radius trick, same as beam.py 'circular')
+    r = cone_radius * jnp.sqrt(jax.random.uniform(k_r, (Np,), dtype))
+    th = 2 * jnp.pi * jax.random.uniform(k_t, (Np,), dtype)
+    a_hit, b_hit = r * jnp.cos(th), r * jnp.sin(th)
+
+    p_ax = _AXIS_OF[probing_direction]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+    src_p = -(extent + source_distance)
+    # direction from the point source to the entry-plane target
+    d = jnp.stack([a_hit, b_hit, jnp.full((Np,), source_distance, dtype)],
+                  axis=1)
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    s = jnp.zeros((Np, 6), dtype)
+    s = s.at[:, a_ax].set(0.0).at[:, b_ax].set(0.0)
+    s = s.at[:, p_ax].set(src_p)
+    s = s.at[:, 3 + a_ax].set(v * d[:, 0])
+    s = s.at[:, 3 + b_ax].set(v * d[:, 1])
+    s = s.at[:, 3 + p_ax].set(v * d[:, 2])
+    return s
+
+
+@partial(jax.jit, static_argnames=("n_steps", "gamma", "charge_sign",
+                                   "ray_chunk"))
+def _push_boris(s_rows, B_grid, origin, inv_spacing, dt, *,
+                n_steps: int, gamma: float, charge_sign: float = 1.0,
+                ray_chunk: Optional[int] = None):
+    """Fixed-step relativistic Boris push through a gridded B field.
+
+    Drift-kick-drift (2nd order, time-reversible): half position drift,
+    exact velocity ROTATION about the local B (|v| invariant to machine
+    precision), half drift. Outside the grid the trilinear fill value is
+    zero field = straight flight, so the pre/post-object legs of the
+    point-projection geometry cost nothing extra.
+    """
+    w = charge_sign * constants.E_CHARGE / (gamma * constants.M_PROTON)
+
+    def step(s, _):
+        pos = s[:, :3] + 0.5 * dt * s[:, 3:]
+        B = trilinear(B_grid, pos, origin, inv_spacing)
+        t = (0.5 * w * dt) * B
+        t2 = jnp.sum(t * t, axis=1, keepdims=True)
+        sfac = 2.0 / (1.0 + t2)
+        v = s[:, 3:]
+        v1 = v + jnp.cross(v, t)
+        v = v + sfac * jnp.cross(v1, t)
+        pos = pos + 0.5 * dt * v
+        return jnp.concatenate([pos, v], axis=1), None
+
+    def run(rows):
+        out, _ = jax.lax.scan(step, rows, None, length=n_steps)
+        return out
+
+    if ray_chunk is None:
+        return run(s_rows)
+    N = s_rows.shape[0]
+    n_chunks = -(-N // ray_chunk)
+    pad = n_chunks * ray_chunk - N
+    rows = jnp.pad(s_rows, ((0, pad), (0, 0)))
+    out = jax.lax.map(run, rows.reshape(n_chunks, ray_chunk, 6))
+    return out.reshape(-1, 6)[:N]
+
+
+def trace_protons(
+    s0,
+    domain,
+    energy_MeV: float,
+    steps_per_cell: float = 2.0,
+    ray_chunk: Optional[int] = None,
+    charge_sign: float = 1.0,
+):
+    """March a proton bundle through ``domain``'s B grid to the exit side.
+
+    ``s0``: (N, 6) rows (:func:`init_proton_beam`) or a (6, N)/(9, N)
+    column state (the photon convention; extra rows are ignored). The
+    march runs for the time a straight ray needs to cross from the
+    current position to one extent past the far face (protons that gyrate
+    inside longer simply exit later legs straight — the detector
+    projection uses each proton's own exit state). Step size is the cell
+    crossing time / ``steps_per_cell`` (the photon tracer's CFL
+    heuristic, propagator.default_n_steps).
+    """
+    s0 = jnp.asarray(s0)
+    if s0.ndim != 2:
+        raise ValueError("s0 must be 2-D")
+    transposed = s0.shape[0] in (6, 9) and s0.shape[1] not in (6, 9)
+    rows = s0.T[:, :6] if transposed else s0[:, :6]
+
+    if getattr(domain, "B", None) is None:
+        raise RuntimeError("proton radiography needs domain.external_B "
+                           "(or test_B) — the deflection IS the signal")
+    B_grid = jnp.asarray(domain.B)
+    origin, inv_spacing = grid_geometry((domain.x, domain.y, domain.z))
+
+    v, gamma = proton_speed(energy_MeV)
+    p_ax = _AXIS_OF[domain.probing_direction]
+    extent = domain.extent
+    # free-fly a distant point source to the entry face first (B = 0
+    # outside the object, so this is exact and costs zero steps)
+    t_in = jnp.maximum((-extent - rows[:, p_ax]) / rows[:, 3 + p_ax], 0.0)
+    rows = rows.at[:, :3].add(t_in[:, None] * rows[:, 3:])
+    # march 2x the axial crossing time (the photon tracer's escape-margin
+    # fudge, propagator.py's sqrt(8), adapted): deflected/gyrating protons
+    # still clear the far face, and the post-exit leg is straight flight
+    # through zero field
+    span = 2.0 * extent
+    total_time = 2.0 * span / v
+    cell = float(domain.lengths[p_ax]) / (domain.dims[p_ax] - 1)
+    n_steps = max(int(round(2.0 * span / cell * steps_per_cell)), 8)
+    dt = jnp.asarray(total_time / n_steps, rows.dtype)
+
+    out = _push_boris(rows, B_grid, origin, inv_spacing, dt,
+                      n_steps=n_steps, gamma=gamma,
+                      charge_sign=charge_sign, ray_chunk=ray_chunk)
+    return out.T if transposed else out
+
+
+def proton_radiograph(
+    sf,
+    detector_distance: float,
+    extent: float,
+    bins: Tuple[int, int] = (431, 321),
+    Lx: float = 18.0,
+    Ly: float = 13.5,
+    probing_direction: str = "z",
+):
+    """Project exit protons ballistically onto the detector and bin.
+
+    Each proton free-flies from its exit state to the plane
+    ``extent + detector_distance`` along the probing axis (B outside the
+    object is zero, so this is exact), then lands in a scatter-add
+    histogram with detector half-sizes in mm (KAF-defaults like the
+    optical benches). Returns the (ny, nx) fluence image — caustic
+    bunching/voiding of which is the deflectometry signal.
+    """
+    from synthpy_tpu.ops.histogram import histogram2d
+
+    sf = jnp.asarray(sf)
+    rows = sf.T if (sf.shape[0] in (6, 9)
+                    and sf.shape[1] not in (6, 9)) else sf
+    p_ax = _AXIS_OF[probing_direction]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+    t = (extent + detector_distance - rows[:, p_ax]) / rows[:, 3 + p_ax]
+    xa = (rows[:, a_ax] + t * rows[:, 3 + a_ax]) * 1e3
+    xb = (rows[:, b_ax] + t * rows[:, 3 + b_ax]) * 1e3
+    # magnetically mirrored / trapped protons (no forward exit velocity)
+    # never reach the detector
+    fwd = (rows[:, 3 + p_ax] > 0).astype(xa.dtype)
+    H, _, _ = histogram2d(xa, xb, bins,
+                          ((-Lx / 2, Lx / 2), (-Ly / 2, Ly / 2)),
+                          weights=fwd)
+    return H
