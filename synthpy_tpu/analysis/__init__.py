@@ -6,4 +6,10 @@ from synthpy_tpu.analysis.fringes import (  # noqa: F401
     extract_phase,
     phase_difference,
 )
+from synthpy_tpu.analysis.abel import (  # noqa: F401
+    abel_forward,
+    abel_invert,
+    invert_phase_map,
+    phase_to_line_density,
+)
 from synthpy_tpu.analysis import memprof  # noqa: F401

@@ -8,4 +8,4 @@ from synthpy_tpu.optics.diagnostics import (  # noqa: F401
     Schlieren,
     Shadowgraphy,
 )
-from synthpy_tpu.optics import compose, rtm  # noqa: F401
+from synthpy_tpu.optics import compose, rtm, xray  # noqa: F401

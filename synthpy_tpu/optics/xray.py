@@ -1,0 +1,275 @@
+"""Synthetic X-ray radiography and self-emission imaging.
+
+The reference ships a PROPACEOS opacity-table parser
+(src/utils/eos_opacity.py:3-187) but nothing in-tree consumes the tables.
+This module closes that loop TPU-natively: the parsed (T, rho) opacity
+tables become jittable log-bilinear lookups that drive straight-line
+transport integrals through (rho, Te) grids —
+
+- parallel-beam attenuation radiographs (transmission exp(-tau) per
+  transverse cell, a pure plane reduction: no rays needed),
+- point-projection radiographs (magnified backlighter geometry — the
+  X-ray analogue of the proton point-projection in tracer/particles.py,
+  sharing its detector convention), and
+- grey-body self-emission images (optically-thin emission integrals).
+
+X-rays at backlighter energies (keV) are undeflected by the plasma's
+refractive index, so transport is straight-line Beer-Lambert attenuation
+rather than the bent-ray ODE of the optical tracer — each image is one
+batched trilinear gather + a weighted reduction, an ideal TPU shape
+(large dense gathers, no data-dependent control flow).
+
+Units follow the PROPACEOS convention: kappa in cm^2/g, rho in g/cm^3,
+Te in eV; grid coordinates stay in meters like the rest of the package
+(path lengths are converted to cm inside the integrals).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from synthpy_tpu.ops.interp import trilinear, grid_geometry
+
+_AXIS_OF = {"x": 0, "y": 1, "z": 2}
+
+
+def make_opacity_lookup(
+    T_grid: jnp.ndarray,
+    rho_grid: jnp.ndarray,
+    table: jnp.ndarray,
+    *,
+    log_space: bool = True,
+) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Jittable kappa(Te, rho) lookup over a PROPACEOS-style table.
+
+    PROPACEOS tables (io/eos.read_propaceos; reference
+    src/utils/eos_opacity.py:49-187) are (n_T, n_rho) grids sampled
+    log-uniformly in both axes, so the lookup is bilinear in
+    (log T, log rho) of log(kappa) by default — the standard radiation
+    -hydro table convention (positivity-preserving, power laws exact).
+    Queries outside the table clamp to the edge (tables are built to
+    cover the regime; clamping beats extrapolating a log-fit).
+
+    Args:
+        T_grid: (n_T,) temperature grid [eV], ascending.
+        rho_grid: (n_rho,) density grid (any units, used consistently).
+        table: (n_T, n_rho) opacity values [cm^2/g], strictly positive
+            when ``log_space`` (PROPACEOS opacities are).
+        log_space: interpolate log(table) in (log T, log rho); set False
+            for tables with zeros/negatives (e.g. net emission).
+
+    Returns:
+        ``kappa(Te, rho) -> (N,)`` broadcasting elementwise over inputs.
+    """
+    T_grid = jnp.asarray(T_grid, dtype=jnp.float32)
+    rho_grid = jnp.asarray(rho_grid, dtype=jnp.float32)
+    table = jnp.asarray(table, dtype=jnp.float32)
+    if table.shape != (T_grid.shape[0], rho_grid.shape[0]):
+        raise ValueError(
+            f"table shape {table.shape} does not match grids "
+            f"({T_grid.shape[0]}, {rho_grid.shape[0]})")
+    lt = jnp.log(T_grid)
+    lr = jnp.log(rho_grid)
+    vals = jnp.log(table) if log_space else table
+
+    def lookup(Te: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
+        Te = jnp.asarray(Te, dtype=jnp.float32)
+        rho = jnp.asarray(rho, dtype=jnp.float32)
+        # log of clamped-positive queries; the axis clip below bounds the
+        # cell, the fraction clip bounds the weight, so zeros are safe.
+        qt = jnp.log(jnp.maximum(Te, T_grid[0]))
+        qr = jnp.log(jnp.maximum(rho, rho_grid[0]))
+        it = jnp.clip(jnp.searchsorted(lt, qt, side="right") - 1,
+                      0, lt.shape[0] - 2)
+        ir = jnp.clip(jnp.searchsorted(lr, qr, side="right") - 1,
+                      0, lr.shape[0] - 2)
+        ft = jnp.clip((qt - lt[it]) / (lt[it + 1] - lt[it]), 0.0, 1.0)
+        fr = jnp.clip((qr - lr[ir]) / (lr[ir + 1] - lr[ir]), 0.0, 1.0)
+        v00 = vals[it, ir]
+        v01 = vals[it, ir + 1]
+        v10 = vals[it + 1, ir]
+        v11 = vals[it + 1, ir + 1]
+        out = ((1 - ft) * (1 - fr) * v00 + (1 - ft) * fr * v01
+               + ft * (1 - fr) * v10 + ft * fr * v11)
+        return jnp.exp(out) if log_space else out
+
+    return lookup
+
+
+def grey_emissivity(
+    kappa_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Grey-body volume emissivity j(Te, rho) = kappa_e * rho * Te^4.
+
+    Kirchhoff's law with a frequency-integrated Planck source: the
+    optically-thin emission per unit length is the (emission) opacity
+    times density times B(T) ~ T^4; the sigma/pi constant is left out so
+    images are in relative exposure units (the reference's detector
+    images are likewise unnormalised counts, diagnostics.py:323-353).
+    """
+    def j(Te, rho):
+        return kappa_fn(Te, rho) * rho * Te ** 4
+    return j
+
+
+def _transverse_axes(probing_direction: str) -> Tuple[int, int, int]:
+    p_ax = _AXIS_OF[probing_direction]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+    return p_ax, a_ax, b_ax
+
+
+def _plane_integral(
+    weight: jnp.ndarray,
+    spacing_m: float,
+    p_ax: int,
+) -> jnp.ndarray:
+    """Trapezoid line integral of a (nx,ny,nz) weight field along p_ax,
+    in cm (meters -> cm conversion applied here)."""
+    w = jnp.moveaxis(weight, p_ax, 0)
+    n = w.shape[0]
+    trap = jnp.ones((n,), dtype=w.dtype).at[0].set(0.5).at[n - 1].set(0.5)
+    return jnp.tensordot(trap, w, axes=(0, 0)) * (spacing_m * 100.0)
+
+
+def attenuation_image(
+    rho: jnp.ndarray,
+    Te: jnp.ndarray,
+    kappa_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    spacing_m: float,
+    probing_direction: str = "z",
+) -> jnp.ndarray:
+    """Parallel-beam transmission image exp(-∫ kappa rho ds).
+
+    One pencil beam per transverse grid cell: the optical depth is a
+    trapezoid sum over probing-axis planes — a single fused elementwise
+    map + reduction, no ray state at all. Returns (na, nb) transmission
+    in [0, 1] over the two non-probing axes in x<y<z order (matching the
+    optical benches' detector orientation).
+    """
+    p_ax, _, _ = _transverse_axes(probing_direction)
+    tau = _plane_integral(kappa_fn(Te, rho) * rho, spacing_m, p_ax)
+    return jnp.exp(-tau)
+
+
+def self_emission_image(
+    rho: jnp.ndarray,
+    Te: jnp.ndarray,
+    emiss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    spacing_m: float,
+    probing_direction: str = "z",
+) -> jnp.ndarray:
+    """Optically-thin self-emission image ∫ j(Te, rho) ds [per cm path].
+
+    ``emiss_fn(Te, rho)`` is the volume emissivity per unit length —
+    use :func:`grey_emissivity` for the grey-body default or pass a
+    line-emission model. Same parallel plane-reduction geometry as
+    :func:`attenuation_image`.
+    """
+    p_ax, _, _ = _transverse_axes(probing_direction)
+    return _plane_integral(emiss_fn(Te, rho), spacing_m, p_ax)
+
+
+@partial(jax.jit, static_argnames=(
+    "kfn", "bins", "n_steps", "probing_direction"))
+def _pp_optical_depth(
+    kfn,
+    fields: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    origin: jnp.ndarray,
+    inv_spacing: jnp.ndarray,
+    source_distance: jnp.ndarray,
+    detector_distance: jnp.ndarray,
+    bins: Tuple[int, int],
+    Lx: float,
+    Ly: float,
+    n_steps: int,
+    probing_direction: str,
+) -> jnp.ndarray:
+    p_ax, a_ax, b_ax = _transverse_axes(probing_direction)
+    na, nb = bins
+    f32 = jnp.float32
+    # pixel centres on the detector plane, in meters
+    xa = (jnp.arange(na, dtype=f32) + 0.5) / na * (Lx * 1e-3) - Lx * 5e-4
+    xb = (jnp.arange(nb, dtype=f32) + 0.5) / nb * (Ly * 1e-3) - Ly * 5e-4
+    src = jnp.zeros((3,), f32).at[p_ax].set(lo[p_ax] - source_distance)
+    det_p = hi[p_ax] + detector_distance
+
+    A, B = jnp.meshgrid(xa, xb, indexing="ij")
+    det = jnp.zeros((na * nb, 3), f32)
+    det = det.at[:, a_ax].set(A.ravel())
+    det = det.at[:, b_ax].set(B.ravel())
+    det = det.at[:, p_ax].set(det_p)
+
+    d = det - src  # (P, 3) chord directions, unnormalised
+    # slab-clip each chord against the grid bounding box
+    safe = jnp.where(jnp.abs(d) > 0, d, f32(1e-30))
+    t1 = (lo - src) / safe
+    t2 = (hi - src) / safe
+    t_in = jnp.max(jnp.minimum(t1, t2), axis=1)
+    t_out = jnp.min(jnp.maximum(t1, t2), axis=1)
+    seg = jnp.maximum(t_out - t_in, 0.0)  # 0 when the chord misses
+
+    # n_steps trilinear samples along every chord's in-box segment; rho
+    # and Te ride one stacked gather
+    s = jnp.linspace(0.0, 1.0, n_steps, dtype=f32)
+    t = t_in[:, None] + seg[:, None] * s[None, :]
+    pos = src + t[..., None] * d[:, None, :]
+    samp = trilinear(fields, pos.reshape(-1, 3), origin, inv_spacing)
+    samp = samp.reshape(na * nb, n_steps, 2)
+    w = kfn(samp[..., 1], samp[..., 0]) * samp[..., 0]
+    trap = jnp.ones((n_steps,), f32).at[0].set(0.5).at[-1].set(0.5)
+    path_cm = seg * jnp.linalg.norm(d, axis=1) * 100.0 / (n_steps - 1)
+    return ((w * trap[None, :]).sum(axis=1) * path_cm).reshape(na, nb)
+
+
+def point_projection_radiograph(
+    rho: jnp.ndarray,
+    Te: jnp.ndarray,
+    kappa_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    coords: Sequence[jnp.ndarray],
+    source_distance: float,
+    detector_distance: float,
+    bins: Tuple[int, int] = (431, 321),
+    Lx: float = 18.0,
+    Ly: float = 13.5,
+    n_steps: int = 96,
+    probing_direction: str = "z",
+) -> jnp.ndarray:
+    """Magnified point-projection transmission radiograph.
+
+    A point X-ray source sits ``source_distance`` [m] before the object
+    box on the probing axis; the detector plane sits
+    ``detector_distance`` [m] past it, with half-sizes Lx/2 x Ly/2 [mm]
+    (KAF-8300 defaults shared with the optical benches, reference
+    diagnostics.py:302-311, and the proton point-projection,
+    tracer/particles.py). Each of the bins[0] x bins[1] pixels casts one
+    chord back to the source; optical depth is a trapezoid sum of
+    kappa*rho at ``n_steps`` trilinear samples over the chord's in-box
+    segment. Geometric magnification of a feature at the box centre is
+    M = (source_distance + L_p + detector_distance) /
+    (source_distance + L_p/2).
+
+    ``kappa_fn`` (e.g. from :func:`make_opacity_lookup`) enters the jit
+    as a static closure — a new lookup instance retraces, a new table
+    passed to the SAME instance does not arise (build one per table).
+
+    Returns (bins[0], bins[1]) transmission exp(-tau) in [0, 1].
+    """
+    coords = [jnp.asarray(c, dtype=jnp.float32) for c in coords]
+    origin, inv_spacing = grid_geometry(coords)
+    lo = jnp.stack([c[0] for c in coords])
+    hi = jnp.stack([c[-1] for c in coords])
+    fields = jnp.stack([jnp.asarray(rho, jnp.float32),
+                        jnp.asarray(Te, jnp.float32)], axis=-1)
+    tau = _pp_optical_depth(
+        kappa_fn, fields, lo, hi, origin.astype(jnp.float32),
+        inv_spacing.astype(jnp.float32),
+        jnp.float32(source_distance), jnp.float32(detector_distance),
+        tuple(bins), float(Lx), float(Ly), int(n_steps),
+        probing_direction)
+    return jnp.exp(-tau)

@@ -1,0 +1,162 @@
+"""X-ray radiography gates: closed-form transport physics.
+
+The reference only parses PROPACEOS tables (src/utils/eos_opacity.py);
+these tests gate the synthpy_tpu module that actually consumes them
+(optics/xray.py) with analytic Beer-Lambert / emission solutions and a
+point-projection magnification check against similar-triangles geometry.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from synthpy_tpu.optics.xray import (
+    attenuation_image,
+    grey_emissivity,
+    make_opacity_lookup,
+    point_projection_radiograph,
+    self_emission_image,
+)
+
+
+def _power_law_table(n_T=12, n_rho=15, aT=-1.5, ar=0.5, k0=3.0):
+    T = np.logspace(0, 3, n_T)
+    rho = np.logspace(-6, -1, n_rho)
+    table = k0 * np.outer(T ** aT, rho ** ar)
+    return T, rho, table, lambda t, r: k0 * t ** aT * r ** ar
+
+
+def test_opacity_lookup_power_law_exact():
+    # log-bilinear interpolation reproduces pure power laws EXACTLY at
+    # any interior point, not just at nodes — the defining property of
+    # the log-log table convention.
+    T, rho, table, exact = _power_law_table()
+    kfn = make_opacity_lookup(T, rho, table)
+    rng = np.random.default_rng(0)
+    qt = np.exp(rng.uniform(np.log(T[0]), np.log(T[-1]), 64))
+    qr = np.exp(rng.uniform(np.log(rho[0]), np.log(rho[-1]), 64))
+    np.testing.assert_allclose(np.asarray(kfn(qt, qr)), exact(qt, qr),
+                               rtol=2e-5)
+
+
+def test_opacity_lookup_clamps_to_edges():
+    T, rho, table, exact = _power_law_table()
+    kfn = make_opacity_lookup(T, rho, table)
+    np.testing.assert_allclose(
+        np.asarray(kfn(np.array([T[0] * 1e-3, T[-1] * 1e3]),
+                       np.array([rho[5], rho[5]]))),
+        [exact(T[0], rho[5]), exact(T[-1], rho[5])], rtol=2e-5)
+    # rho=0 (vacuum fill outside the grid) clamps instead of NaN-ing
+    assert np.isfinite(float(kfn(jnp.float32(10.0), jnp.float32(0.0))))
+
+
+def test_opacity_lookup_linear_space_passthrough():
+    T = np.array([1.0, 10.0, 100.0])
+    rho = np.array([1e-4, 1e-2])
+    table = np.array([[0.0, 1.0], [2.0, 3.0], [4.0, 5.0]])
+    kfn = make_opacity_lookup(T, rho, table, log_space=False)
+    np.testing.assert_allclose(np.asarray(kfn(T[1], rho[0])), 2.0,
+                               rtol=1e-6)
+
+
+def test_opacity_lookup_shape_mismatch():
+    with pytest.raises(ValueError):
+        make_opacity_lookup(np.ones(3), np.ones(4), np.ones((4, 3)))
+
+
+def _uniform_scene(n=16, rho0=1e-3, Te0=50.0, spacing=1e-4):
+    rho = jnp.full((n, n, n), rho0, dtype=jnp.float32)
+    Te = jnp.full((n, n, n), Te0, dtype=jnp.float32)
+    return rho, Te, spacing
+
+
+def test_attenuation_uniform_slab_beer_lambert():
+    rho, Te, ds = _uniform_scene()
+    kappa0 = 7.5
+    img = attenuation_image(rho, Te, lambda t, r: jnp.full_like(t, kappa0),
+                            ds, probing_direction="z")
+    L_cm = (rho.shape[2] - 1) * ds * 100.0  # trapezoid = exact length
+    assert img.shape == (16, 16)
+    np.testing.assert_allclose(np.asarray(img),
+                               np.exp(-kappa0 * 1e-3 * L_cm), rtol=1e-5)
+
+
+def test_attenuation_axis_selection():
+    # a slab that only exists in the upper half along x: probing along x
+    # attenuates everywhere; probing along z attenuates only rows with
+    # x in the upper half.
+    n = 8
+    rho = jnp.zeros((n, n, n)).at[n // 2:].set(1e-3)
+    Te = jnp.full((n, n, n), 10.0)
+    kfn = lambda t, r: jnp.ones_like(t)  # noqa: E731
+    img_z = np.asarray(attenuation_image(rho, Te, kfn, 1e-4, "z"))
+    assert np.all(img_z[: n // 2] == 1.0) and np.all(img_z[n // 2:] < 1.0)
+    img_x = np.asarray(attenuation_image(rho, Te, kfn, 1e-4, "x"))
+    assert np.all(img_x < 1.0)
+
+
+def test_self_emission_uniform_grey():
+    rho, Te, ds = _uniform_scene(rho0=2e-3, Te0=30.0)
+    kappa0 = 4.0
+    img = self_emission_image(
+        rho, Te, grey_emissivity(lambda t, r: jnp.full_like(t, kappa0)),
+        ds, probing_direction="y")
+    L_cm = (rho.shape[1] - 1) * ds * 100.0
+    np.testing.assert_allclose(
+        np.asarray(img), kappa0 * 2e-3 * 30.0 ** 4 * L_cm, rtol=1e-4)
+
+
+def _ball_scene(n=48, half=2e-3, R=6e-4, rho0=5e-3):
+    ax = np.linspace(-half, half, n)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    r2 = X ** 2 + Y ** 2 + Z ** 2
+    rho = jnp.asarray(np.where(r2 <= R ** 2, rho0, 0.0), jnp.float32)
+    Te = jnp.full((n, n, n), 20.0, dtype=jnp.float32)
+    return rho, Te, [jnp.asarray(ax, jnp.float32)] * 3
+
+
+def test_point_projection_centre_chord_and_magnification():
+    R, rho0, kappa0, half = 6e-4, 5e-3, 50.0, 2e-3
+    rho, Te, coords = _ball_scene(half=half, R=R, rho0=rho0)
+    sd, dd = 10e-3, 50e-3
+    bins, Lx = (201, 7), 20.0
+    img = np.asarray(point_projection_radiograph(
+        rho, Te, lambda t, r: jnp.full_like(t, kappa0), coords,
+        sd, dd, bins=bins, Lx=Lx, Ly=2.0, n_steps=256))
+    assert img.shape == bins
+    # central pixel: chord through the ball centre has length 2R ->
+    # tau = kappa * rho * 2R(cm); hard-edge trilinear sampling smears
+    # the boundary by ~1 cell, hence the few-percent tolerance
+    tau_c = -np.log(img[bins[0] // 2, bins[1] // 2])
+    np.testing.assert_allclose(tau_c, kappa0 * rho0 * 2 * R * 100.0,
+                               rtol=0.04)
+    # shadow magnification: the ball centre sits (sd + half) from the
+    # source and the detector (sd + 2*half + dd) from it; a ball's
+    # optical-depth profile is tau(y) = tau_c*sqrt(1-(y/(M R))^2), so
+    # the half-max contour sits at sqrt(3)/2 * M * R
+    M = (sd + 2 * half + dd) / (sd + half)
+    tau_row = -np.log(img[:, bins[1] // 2])
+    xs = (np.arange(bins[0]) + 0.5) / bins[0] * Lx - Lx / 2  # mm
+    hit = xs[tau_row > 0.5 * tau_c.max()]
+    shadow_half_mm = (hit.max() - hit.min()) / 2
+    np.testing.assert_allclose(shadow_half_mm,
+                               np.sqrt(3) / 2 * M * R * 1e3, rtol=0.06)
+    # far off-axis pixels miss the ball entirely
+    assert img[0, bins[1] // 2] > 0.999
+
+
+def test_point_projection_with_propaceos_style_table():
+    # the full loop: PROPACEOS-convention (T, rho) power-law table ->
+    # lookup -> radiograph; with kappa independent of position the image
+    # must match the constant-kappa radiograph evaluated at (Te0, rho)
+    rho, Te, coords = _ball_scene(n=24)
+    T_grid, rho_grid, table, exact = _power_law_table(aT=0.0, ar=0.0,
+                                                      k0=25.0)
+    kfn = make_opacity_lookup(T_grid, rho_grid, table)
+    img_tab = np.asarray(point_projection_radiograph(
+        rho, Te, kfn, coords, 10e-3, 50e-3, bins=(41, 5), Lx=20.0,
+        Ly=2.0, n_steps=64))
+    img_const = np.asarray(point_projection_radiograph(
+        rho, Te, lambda t, r: jnp.full_like(t, 25.0), coords, 10e-3,
+        50e-3, bins=(41, 5), Lx=20.0, Ly=2.0, n_steps=64))
+    np.testing.assert_allclose(img_tab, img_const, rtol=1e-4)
