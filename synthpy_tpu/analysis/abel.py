@@ -131,6 +131,12 @@ def invert_phase_map(
     profiles are averaged — the standard symmetrisation), converted to
     line density, and Abel-inverted. Returns (n_rows, n) radial
     profiles at r = (i + 1/2) * dr.
+
+    Sign: expects the PHYSICAL phase convention (plasma delays the
+    probe, so in-plasma phase < 0 -> positive density). Takeda
+    extraction (analysis.fringes) has a global sign ambiguity — the two
+    sidebands are conjugates — so flip the map first if its in-plasma
+    values come out positive (see examples/interferogram_to_density.py).
     """
     phase_map = jnp.asarray(phase_map, dtype=jnp.float32)
     n_y = phase_map.shape[-1]
