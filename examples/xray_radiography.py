@@ -41,6 +41,7 @@ from synthpy_tpu.optics.xray import (  # noqa: E402
 )
 
 res = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+res -= res % 2  # grf_domain_fft(res=res//2) yields 2*(res//2) ripple points
 half = 2.5e-3  # box half-size [m]
 ax = np.linspace(-half, half, res).astype(np.float32)
 X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")

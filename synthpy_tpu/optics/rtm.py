@@ -78,15 +78,19 @@ def annular_stop(r, R1, R2):
     return _kill(r, filt)
 
 
-def rect_aperture(r, Lx, Ly):
+def rect_aperture(r, Lx, Ly, exact: bool = False):
     """Reject rays outside the 2*Lx x 2*Ly rectangle.
 
     Note: the reference ANDs the two out-of-bounds conditions
     (diagnostics.py:212-223), killing only rays outside BOTH half-widths —
-    i.e. an aperture that only clips the corners. We reproduce that exact
-    behaviour for parity; use two knife-edge pairs for a true rectangle.
+    i.e. an aperture that only clips the corners. The default reproduces
+    that exact behaviour for parity (like the ``atten_sign`` and
+    ``legacy_mm_wavenumber`` bug-compat switches); pass ``exact=True``
+    for a true rectangular aperture (OR of the bounds).
     """
-    filt = (r[0, :] ** 2 > Lx**2) & (r[2, :] ** 2 > Ly**2)
+    out_x = r[0, :] ** 2 > Lx**2
+    out_y = r[2, :] ** 2 > Ly**2
+    filt = (out_x | out_y) if exact else (out_x & out_y)
     return _kill(r, filt)
 
 

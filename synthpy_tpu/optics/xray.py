@@ -59,8 +59,11 @@ def make_opacity_lookup(
         rho_grid: (n_rho,) density grid (any units, used consistently).
         table: (n_T, n_rho) opacity values [cm^2/g], strictly positive
             when ``log_space`` (PROPACEOS opacities are).
-        log_space: interpolate log(table) in (log T, log rho); set False
-            for tables with zeros/negatives (e.g. net emission).
+        log_space: when True (default), interpolate log(table); set False
+            to interpolate TABLE VALUES linearly, for tables with zeros/
+            negatives (e.g. net emission). Either way the interpolation
+            AXES are (log T, log rho), so both grids must be strictly
+            positive (PROPACEOS grids are log-uniform by construction).
 
     Returns:
         ``kappa(Te, rho) -> (N,)`` broadcasting elementwise over inputs.
@@ -72,6 +75,10 @@ def make_opacity_lookup(
         raise ValueError(
             f"table shape {table.shape} does not match grids "
             f"({T_grid.shape[0]}, {rho_grid.shape[0]})")
+    if float(T_grid[0]) <= 0.0 or float(rho_grid[0]) <= 0.0:
+        raise ValueError(
+            "T_grid and rho_grid must be strictly positive ascending "
+            "(the lookup axes are log-spaced regardless of log_space)")
     lt = jnp.log(T_grid)
     lr = jnp.log(rho_grid)
     vals = jnp.log(table) if log_space else table
@@ -196,13 +203,21 @@ def _pp_optical_depth(
     # pixel centres on the detector plane, in meters
     xa = (jnp.arange(na, dtype=f32) + 0.5) / na * (Lx * 1e-3) - Lx * 5e-4
     xb = (jnp.arange(nb, dtype=f32) + 0.5) / nb * (Ly * 1e-3) - Ly * 5e-4
-    src = jnp.zeros((3,), f32).at[p_ax].set(lo[p_ax] - source_distance)
+    # Source and detector ride the box's TRANSVERSE midpoint, not
+    # coordinate 0 — grids spanning [0, L] (e.g. FLASH imports) would
+    # otherwise be silently mis-framed with chords aimed beside the box.
+    ca = 0.5 * (lo[a_ax] + hi[a_ax])
+    cb = 0.5 * (lo[b_ax] + hi[b_ax])
+    src = (jnp.zeros((3,), f32)
+           .at[p_ax].set(lo[p_ax] - source_distance)
+           .at[a_ax].set(ca)
+           .at[b_ax].set(cb))
     det_p = hi[p_ax] + detector_distance
 
     A, B = jnp.meshgrid(xa, xb, indexing="ij")
     det = jnp.zeros((na * nb, 3), f32)
-    det = det.at[:, a_ax].set(A.ravel())
-    det = det.at[:, b_ax].set(B.ravel())
+    det = det.at[:, a_ax].set(ca + A.ravel())
+    det = det.at[:, b_ax].set(cb + B.ravel())
     det = det.at[:, p_ax].set(det_p)
 
     d = det - src  # (P, 3) chord directions, unnormalised
@@ -260,6 +275,9 @@ def point_projection_radiograph(
 
     Returns (bins[0], bins[1]) transmission exp(-tau) in [0, 1].
     """
+    if int(n_steps) < 2:
+        raise ValueError(
+            f"n_steps must be >= 2 (trapezoid chord sampling), got {n_steps}")
     coords = [jnp.asarray(c, dtype=jnp.float32) for c in coords]
     origin, inv_spacing = grid_geometry(coords)
     lo = jnp.stack([c[0] for c in coords])

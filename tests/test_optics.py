@@ -427,3 +427,21 @@ def test_propagate_E_legacy_mm_wavenumber_switch():
                                np.angle(np.exp(1j * k * path_mm)),
                                atol=1e-3)
 
+
+
+def test_rect_aperture_parity_vs_exact_modes():
+    from synthpy_tpu.optics.rtm import rect_aperture
+    # four probes: inside; outside x only; outside y only; outside both
+    r = jnp.array([[0.0, 3.0, 0.0, 3.0],
+                   [0.0] * 4,
+                   [0.0, 0.0, 4.0, 4.0],
+                   [0.0] * 4])
+    # parity default = reference corner-clip bug (diagnostics.py:212-223):
+    # only the outside-BOTH ray dies
+    out = np.asarray(rect_aperture(r, 1.0, 1.0))
+    assert np.isfinite(out[:, :3]).all()
+    assert np.isnan(out[:, 3]).all()
+    # exact=True = true rectangle: every out-of-bounds ray dies
+    out = np.asarray(rect_aperture(r, 1.0, 1.0, exact=True))
+    assert np.isfinite(out[:, 0]).all()
+    assert np.isnan(out[:, 1:]).all()

@@ -269,3 +269,22 @@ def test_probing_direction_x_roundtrip():
     rf = np.asarray(res.rf)
     np.testing.assert_allclose(rf[0], np.asarray(s0[1]), atol=1e-9)
     np.testing.assert_allclose(rf[2], np.asarray(s0[2]), atol=1e-9)
+
+
+def test_atten_sign_bug_compat_reciprocal():
+    # the reference's legacy solver GROWS the amplitude (+kappa,
+    # full_solver.py:540); atten_sign=+1.0 reproduces that for
+    # cross-validation. d(amp)/dt = sign*kappa*amp, so over the same
+    # trajectory the two amplitudes are exact reciprocals.
+    d = make_domain(31)
+    d.test_lens(ne_0=1e25, LR=2e-3)
+    d.external_Te(50.0 * np.ones(d.dims))
+    d.external_Z(2.0 * np.ones(d.dims))
+    d.inv_brems = True
+    key = jax.random.PRNGKey(3)
+    s0 = init_beam(key, 16, 2e-3, 0.0, EXT, "circular", "z")
+    amp_fix = np.asarray(solve(s0, d, steps_per_cell=4.0).sf[6])
+    amp_bug = np.asarray(
+        solve(s0, d, steps_per_cell=4.0, atten_sign=+1.0).sf[6])
+    assert amp_fix.min() < 1.0 and amp_bug.max() > 1.0
+    np.testing.assert_allclose(amp_fix * amp_bug, 1.0, rtol=1e-4)

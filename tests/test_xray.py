@@ -160,3 +160,35 @@ def test_point_projection_with_propaceos_style_table():
         rho, Te, lambda t, r: jnp.full_like(t, 25.0), coords, 10e-3,
         50e-3, bins=(41, 5), Lx=20.0, Ly=2.0, n_steps=64))
     np.testing.assert_allclose(img_tab, img_const, rtol=1e-4)
+
+
+def test_point_projection_offcenter_grid_same_framing():
+    # a grid spanning [0, 2*half] holds the SAME physical scene as the
+    # centered [-half, half] grid; the source/detector must follow the
+    # box's transverse midpoint so both radiographs agree exactly
+    # (advisor round-3 finding: transverse frame was pinned to 0)
+    rho, Te, coords = _ball_scene(n=32)
+    img_c = np.asarray(point_projection_radiograph(
+        rho, Te, lambda t, r: jnp.full_like(t, 40.0), coords,
+        10e-3, 50e-3, bins=(41, 5), Lx=20.0, Ly=2.0, n_steps=64))
+    half = 2e-3
+    shifted = [c + half for c in coords]  # all axes now span [0, 2*half]
+    img_s = np.asarray(point_projection_radiograph(
+        rho, Te, lambda t, r: jnp.full_like(t, 40.0), shifted,
+        10e-3, 50e-3, bins=(41, 5), Lx=20.0, Ly=2.0, n_steps=64))
+    np.testing.assert_allclose(img_s, img_c, rtol=1e-5, atol=1e-6)
+    assert img_c.min() < 0.99  # the ball is actually in frame
+
+
+def test_point_projection_rejects_single_step():
+    rho, Te, coords = _ball_scene(n=8)
+    with np.testing.assert_raises(ValueError):
+        point_projection_radiograph(
+            rho, Te, lambda t, r: t, coords, 1e-3, 1e-3, bins=(3, 3),
+            n_steps=1)
+
+
+def test_opacity_lookup_rejects_nonpositive_grids():
+    with np.testing.assert_raises(ValueError):
+        make_opacity_lookup(np.array([0.0, 1.0, 10.0]),
+                            np.array([1e-3, 1e-2]), np.ones((3, 2)))
