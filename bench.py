@@ -19,10 +19,13 @@ Prints exactly one JSON line. Environment overrides:
     BENCH_WEIGHTS (slab | stage; default slab for zscan_seg: the
     per-slab transverse-weight hoist is the production fast mode,
     image-equivalent and test-gated; stage = strict per-stage parity),
-    BENCH_FULL=1 (additionally run the REAL 1e8-ray end-to-end north
-    star — field + pack + trace + detector from a cold start — and
-    report it as detail.measured_1e8_end_to_end_s; ~30-90 s extra on one
-    v5e chip).
+    BENCH_E2E_RAYS (default 2e7 on TPU) scales the ALWAYS-ON cold-start
+    end-to-end measurement (field + pack + trace + detector) reported as
+    detail.end_to_end with its full tier config inline;
+    BENCH_FULL=1 additionally runs the REAL 1e8-ray north star, reported
+    as detail.measured_1e8_end_to_end in the same self-describing shape.
+    Both honour BENCH_FULL_INTEGRATOR / BENCH_FULL_CHUNK /
+    BENCH_FULL_PACK_DTYPE / BENCH_FULL_PLANE_STRIDE.
 
 The default fast profile (bf16 field channels, whole-trace corner
 segments) is image-equivalent to the exact f32 tracer at sub-pixel level
@@ -186,30 +189,28 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         analytic_rk2_rays_s = round(rays / min(times), 1)
 
-    # Optional REAL north-star measurement (never a citation: the value
-    # reported is the wall clock of the run this bench just executed).
-    measured_1e8 = None
-    if os.environ.get("BENCH_FULL") == "1" and solver == "zscan_seg":
+    # End-to-end measurement (field + pack + trace + detector from a cold
+    # start), self-describing: the exact tier configuration rides in the
+    # artifact so the number is auditable without the surrounding env.
+    # Always runs at a scaled ray count (BENCH_E2E_RAYS, default 2e7 on
+    # TPU) so driver artifacts never carry a null end-to-end field;
+    # BENCH_FULL=1 additionally runs the REAL 1e8-ray north star.
+    def end_to_end(total: int, ns_integ: str, chunk: int, fdt_name: str,
+                   fps: int) -> dict:
         from synthpy_tpu.fields import ScalarDomain as _SD
+        from synthpy_tpu.tracer import init_beam as _ib
         from synthpy_tpu.tracer.zscan import (PACK_DTYPES,
                                               build_segment_pack_device)
 
-        ns_integ = os.environ.get("BENCH_FULL_INTEGRATOR", "rk2s2")
-        chunk = int(os.environ.get("BENCH_FULL_CHUNK", 4_000_000))
-        total = int(float(os.environ.get("BENCH_FULL_RAYS", 1e8)))
-        # fastest validated tier by default: int8 quantised pack
-        # (image-equivalence gated; BENCH_FULL_PACK_DTYPE=bf16 reverts)
-        fdt = PACK_DTYPES[os.environ.get("BENCH_FULL_PACK_DTYPE", "int8")]
-        # BENCH_FULL_PLANE_STRIDE=2 + rk2s2 = the rk2s4-class tier at
-        # half the gather bytes (bit-identical, test-gated)
-        fps = int(os.environ.get("BENCH_FULL_PLANE_STRIDE", 1))
-        t0 = time.perf_counter()  # field + pack + trace + detector
+        fdt = PACK_DTYPES[fdt_name]
+        t0 = time.perf_counter()
         d2 = _SD(2 * ext, dim).test_lens(ne_0=5e24, LR=1.5e-3)
         sp2 = build_segment_pack_device(d2, K=dim, dtype=fdt,
                                         free_ne=True, plane_stride=fps)
+        jax.block_until_ready(sp2.seg_planes)
+        pack_s = time.perf_counter() - t0
         key = jax.random.PRNGKey(0)
         acc = None
-        from synthpy_tpu.tracer import init_beam as _ib
         for k in range(max(total // chunk, 1)):
             s_k = _ib(jax.random.fold_in(key, k), chunk, 2e-3, 0.0, ext,
                       "circular")
@@ -218,7 +219,32 @@ def main() -> None:
                               integrator=ns_integ, seg_weights=weights)
             acc = Hk if acc is None else acc + Hk
         acc.block_until_ready()
-        measured_1e8 = round(time.perf_counter() - t0, 2)
+        wall = time.perf_counter() - t0
+        return {
+            "rays": total, "dim": dim, "integrator": ns_integ,
+            "pack_dtype": fdt_name, "plane_stride": fps, "chunk": chunk,
+            "weights": weights, "pack_s": round(pack_s, 2),
+            "wall_s": round(wall, 2), "rays_per_s": round(total / wall, 1),
+        }
+
+    ns_integ = os.environ.get("BENCH_FULL_INTEGRATOR", "rk2s2")
+    chunk = int(float(os.environ.get("BENCH_FULL_CHUNK", 4_000_000)))
+    # fastest validated tier by default: int8 quantised pack
+    # (image-equivalence gated; BENCH_FULL_PACK_DTYPE=bf16 reverts);
+    # BENCH_FULL_PLANE_STRIDE=2 + rk2s2 = the rk2s4-class tier at
+    # half the gather bytes (bit-identical, test-gated)
+    fdt_name = os.environ.get("BENCH_FULL_PACK_DTYPE", "int8")
+    fps = int(os.environ.get("BENCH_FULL_PLANE_STRIDE", 1))
+
+    e2e = measured_1e8 = None
+    if solver == "zscan_seg" and integrator.startswith("rk2"):
+        e2e_rays = int(float(os.environ.get(
+            "BENCH_E2E_RAYS", 2e7 if backend == "tpu" else 4e4)))
+        e2e = end_to_end(e2e_rays, ns_integ, min(chunk, e2e_rays),
+                         fdt_name, fps)
+        if os.environ.get("BENCH_FULL") == "1":
+            total = int(float(os.environ.get("BENCH_FULL_RAYS", 1e8)))
+            measured_1e8 = end_to_end(total, ns_integ, chunk, fdt_name, fps)
 
     rays_per_sec = rays / elapsed
     # north-star: 1e8 rays end-to-end in 60 s on a v5e-8 -> per chip:
@@ -253,10 +279,13 @@ def main() -> None:
             # pack-free closed-form march at its converged 64-step point
             # (exact field, no gathers; scratch/results_analytic_r3.jsonl)
             "analytic_rk2_rays_s": analytic_rk2_rays_s,
-            # freshly measured under BENCH_FULL=1, else absent (the
-            # historical record lives in scratch/results_1e8_*.jsonl and
-            # README, not in live bench output)
-            "measured_1e8_end_to_end_s": measured_1e8,
+            # always-on scaled end-to-end (cold field+pack+trace+detector)
+            # with its full tier config inline — auditable from the
+            # artifact alone
+            "end_to_end": e2e,
+            # the REAL 1e8-ray north star, freshly measured under
+            # BENCH_FULL=1 (same self-describing shape), else absent
+            "measured_1e8_end_to_end": measured_1e8,
             "checksum": float(jnp.asarray(H).sum()),
         },
     }

@@ -41,6 +41,7 @@ time-domain tracer remains the fully general path.
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
@@ -1907,3 +1908,131 @@ def build_segment_pack_device(
                        -(-n_slabs // plane_stride), float(cp[0]),
                        dp * plane_stride, omega, scales,
                        4 if quantized4 else None)
+
+
+# ---------------------------------------------------------------------------
+# Pack persistence: save/load built SegmentPacks and a content-keyed cache
+# ---------------------------------------------------------------------------
+
+def save_segment_pack(path: str, spack: SegmentPack) -> None:
+    """Persist a SegmentPack to ``path`` (.npz, dependency-free).
+
+    Campaigns and parameter scans re-trace the SAME field many times; on
+    tunnel-attached chips the pack BUILD cost is dominated by the compile
+    service (measured 4-58 s at 512^3 vs ~0.2 s to load a 201 MB int4
+    pack from disk — scratch/results_pack_overlap_r4.jsonl), so
+    persisting the built pack removes the build from every run after the
+    first. Quantised (int8/int4) and plane-strided packs round-trip
+    exactly: all table/scale arrays are stored verbatim.
+    """
+    import numpy as _np
+
+    seg = _np.asarray(spack.seg_planes)
+    is_bf16 = seg.dtype == _np.dtype(jnp.bfloat16)
+    arrs = {
+        # numpy can't serialise bfloat16 (void dtype in npz) — store the
+        # raw bits as uint16 with a tag and re-view on load
+        "seg_planes": seg.view(_np.uint16) if is_bf16 else seg,
+        "seg_bf16": _np.array(is_bf16),
+        "origin_ab": _np.asarray(spack.origin_ab),
+        "inv_spacing_ab": _np.asarray(spack.inv_spacing_ab),
+        "meta": _np.array([spack.shape_ab[0], spack.shape_ab[1], spack.K,
+                           spack.n_slabs, spack.qbits or 0],
+                          dtype=_np.int64),
+        "fmeta": _np.array([spack.p0, spack.dp, spack.omega],
+                           dtype=_np.float64),
+    }
+    if spack.scales is not None:
+        arrs["scales"] = _np.asarray(spack.scales)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        _np.savez(f, **arrs)
+    os.replace(tmp, path)
+
+
+def load_segment_pack(path: str, device: bool = True) -> SegmentPack:
+    """Load a :func:`save_segment_pack` file.
+
+    ``device=False`` keeps ``seg_planes`` host-resident (numpy) — the
+    input format of :func:`solve_zscan_segments_streamed` for packs
+    larger than HBM.
+    """
+    import numpy as _np
+
+    with _np.load(path) as z:
+        seg = z["seg_planes"]
+        if "seg_bf16" in z.files and bool(z["seg_bf16"]):
+            seg = seg.view(_np.dtype(jnp.bfloat16))
+        meta = z["meta"]
+        fmeta = z["fmeta"]
+        scales = z["scales"] if "scales" in z.files else None
+        origin_ab = jnp.asarray(z["origin_ab"])
+        inv_ab = jnp.asarray(z["inv_spacing_ab"])
+    if device:
+        seg = jnp.asarray(seg)
+    if scales is not None:
+        scales = jnp.asarray(scales)
+    return SegmentPack(seg, origin_ab, inv_ab,
+                       (int(meta[0]), int(meta[1])), int(meta[2]),
+                       int(meta[3]), float(fmeta[0]), float(fmeta[1]),
+                       float(fmeta[2]), scales,
+                       int(meta[4]) or None)
+
+
+def cached_build_segment_pack(
+    domain: ScalarDomain,
+    cache_dir: str,
+    lwl: float = 1064e-9,
+    K: int = 64,
+    dtype=jnp.bfloat16,
+    plane_stride: int = 1,
+    dither=None,
+    device: bool = True,
+    verbose: bool = False,
+    **build_kwargs,
+) -> SegmentPack:
+    """Build-or-load a SegmentPack keyed by (field content, build config).
+
+    The key hashes the raw ne/Te/Z/B bytes plus every build parameter
+    (lwl, K, dtype, plane_stride, dither seed, physics switches, grid
+    coords), so a hit is exact: same field, same pack. Hashing 512^3 f32
+    is ~0.1 s (blake2b) against a 4-58 s build. Files live under
+    ``cache_dir/segpack-<digest>.npz``.
+    """
+    import hashlib
+
+    import numpy as _np
+
+    layout = layout_of(domain)
+    h = hashlib.blake2b(digest_size=20)
+    for vol in (domain.ne, domain.Te, domain.Z, domain.B):
+        if vol is not None:
+            h.update(_np.ascontiguousarray(_np.asarray(vol)).tobytes())
+        h.update(b"|")
+    for c in (domain.x, domain.y, domain.z):
+        h.update(_np.asarray(c).tobytes())
+    dname = dtype if isinstance(dtype, str) else _np.dtype(
+        jnp.zeros((), dtype).dtype).name
+    dseed = (None if dither is None
+             else _np.asarray(dither).tobytes()
+             if hasattr(dither, "dtype") else int(dither))
+    h.update(repr((lwl, K, dname, plane_stride, dseed,
+                   layout.inv_brems, layout.phaseshift, layout.B_on,
+                   domain.probing_direction)).encode())
+    path = os.path.join(cache_dir, f"segpack-{h.hexdigest()}.npz")
+    if os.path.exists(path):
+        if verbose:
+            print(f"segment pack cache HIT {path}", flush=True)
+        return load_segment_pack(path, device=device)
+    spack = build_segment_pack_device(
+        domain, lwl=lwl, K=K, dtype=dtype, plane_stride=plane_stride,
+        dither=dither, **build_kwargs)
+    os.makedirs(cache_dir, exist_ok=True)
+    save_segment_pack(path, spack)
+    if verbose:
+        print(f"segment pack cache MISS -> built + saved {path}",
+              flush=True)
+    if not device:
+        import numpy as _np2
+        spack = spack._replace(seg_planes=_np2.asarray(spack.seg_planes))
+    return spack

@@ -27,3 +27,61 @@ jax.config.update("jax_platforms", "cpu")
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _ROOT not in sys.path:
     sys.path.insert(0, _ROOT)
+
+import pytest  # noqa: E402
+
+# Long-running gates (>= ~9 s each on the 8-device CPU mesh, measured
+# round 4): marked `slow` centrally so the default suite (`-m 'not slow'`,
+# pyproject addopts) runs in minutes while CI / pre-merge runs everything
+# with `-m ''`. Durations: scratch/suite_durations_r4.log.
+_SLOW = {
+    "test_remat_gradients_match_plain_gradients",
+    "test_differentiable_faraday_rendering",
+    "test_dithered_quantisation_routes_and_accuracy",
+    "test_render_gradient_matches_finite_difference",
+    "test_coherent_renderer_produces_fringes_and_gradients",
+    "test_zscan_segments_blocked_matches_unblocked",
+    "test_phase_map_bench_linear_zeroed_and_differentiable",
+    "test_int8_pack_matches_float_pack",
+    "test_multihost_two_process_cpu",
+    "test_pipeline_run_pp_axis_matches_single_device",
+    "test_inverse_recovers_lens_amplitude",
+    "test_batched_coherent_exact_vs_single_program",
+    "test_sharded_pack_build_bit_identical_and_composes",
+    "test_graft_entry_surface",
+    "test_bench_json_contract",
+    "test_trace_cli_mesh_grid_and_rays",
+    "test_rk2s4_images_close",
+    "test_pp_tracer_rk2s2_sharded_chunks_bit_identical",
+    "test_gridsharded_segment_march_bit_identical",
+    "test_pipeline_images_via_composed_stages",
+    "test_multi_matches_single[zscan_seg]",
+    "test_streamed_march_bit_identical",
+    "test_pipeline_run_grid_axis_int8_and_nondivisible_dims",
+    "test_interferogram_to_density_loop",
+    "test_weights_slab_mode_image_equivalent",
+    "test_pipeline_run_grid_axis_matches_single_device",
+    "test_ray_sharded_segment_trace_matches",
+    "test_trace_cli_multi_diagnostic",
+    "test_lens_converges_to_gridded_march",
+    "test_wave_vs_ray_shadowgram_geometric_limit",
+    "test_int4_pack_decode_exact_and_images_close",
+    "test_turb_gen_fft_and_cos_methods",
+    "test_decimated_pack_rk2s2_equals_rk2s4",
+    "test_gridsharded_segment_tracer_int8_matches_single_device",
+    "test_trace_cli_no_diagnostic",
+    "test_radial_spectrum_1d_2d",
+    "test_rk2s2_matches_rk4_and_images",
+    "test_pipelined_segment_tracer_matches_single_device",
+    "test_pipeline_run_grid_axis_coherent_matches",
+    "test_weighted_stages_match_nan_filtered_histogram",
+    "test_campaign_cli_mesh_matches_single_device",
+    "test_shadowgraphy_exp_detL_reaches_the_bench",
+    "test_pipeline_run_auto_batches_oversized_packs",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in _SLOW:
+            item.add_marker(pytest.mark.slow)

@@ -4,6 +4,8 @@ The reparameterisation t -> p is exact, so exit states must agree with the
 general tracer and the scipy oracle within integrator resolution.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -1301,3 +1303,52 @@ def test_dithered_quantisation_routes_and_accuracy():
     det = rms(quantize_segment_pack(sp_f, 4))
     dit = rms(quantize_segment_pack(sp_f, 4, dither=7))
     assert dit < det
+
+
+def test_segment_pack_save_load_cache_roundtrip(tmp_path):
+    from synthpy_tpu.tracer.zscan import (
+        build_segment_pack_device, cached_build_segment_pack,
+        load_segment_pack, save_segment_pack)
+
+    d = ScalarDomain(1e-2, 17).test_lens(ne_0=1e25, LR=2e-3)
+    for dtype in (jnp.bfloat16, jnp.int8, "int4"):
+        sp = build_segment_pack_device(d, K=8, dtype=dtype)
+        p = str(tmp_path / f"pack_{dtype}.npz")
+        save_segment_pack(p, sp)
+        sp2 = load_segment_pack(p)
+        np.testing.assert_array_equal(np.asarray(sp.seg_planes),
+                                      np.asarray(sp2.seg_planes))
+        assert sp2.K == sp.K and sp2.n_slabs == sp.n_slabs
+        assert sp2.qbits == sp.qbits and sp2.dp == sp.dp
+        if sp.scales is not None:
+            np.testing.assert_array_equal(np.asarray(sp.scales),
+                                          np.asarray(sp2.scales))
+        else:
+            assert sp2.scales is None
+
+    # content-keyed cache: miss builds + saves, hit loads bit-identically;
+    # the marched image is identical either way
+    cache = str(tmp_path / "cache")
+    d1 = ScalarDomain(1e-2, 17).test_lens(ne_0=1e25, LR=2e-3)
+    spA = cached_build_segment_pack(d1, cache, K=8, dtype=jnp.int8)
+    assert len(os.listdir(cache)) == 1
+    d2 = ScalarDomain(1e-2, 17).test_lens(ne_0=1e25, LR=2e-3)
+    spB = cached_build_segment_pack(d2, cache, K=8, dtype=jnp.int8)
+    assert len(os.listdir(cache)) == 1  # hit, no second file
+    np.testing.assert_array_equal(np.asarray(spA.seg_planes),
+                                  np.asarray(spB.seg_planes))
+    # a different field or config misses
+    d3 = ScalarDomain(1e-2, 17).test_lens(ne_0=2e25, LR=2e-3)
+    cached_build_segment_pack(d3, cache, K=8, dtype=jnp.int8)
+    assert len(os.listdir(cache)) == 2
+    cached_build_segment_pack(d2, cache, K=8, dtype="int4")
+    assert len(os.listdir(cache)) == 3
+
+    s0 = init_beam(jax.random.PRNGKey(0), 500, 2e-3, 0.0, 5e-3,
+                   "circular", "z")
+    from synthpy_tpu import pipeline
+    imgA = pipeline.run(d1, s0, spack=spA, solver="zscan_seg",
+                        bins=(41, 31), critical_guard=None)
+    imgB = pipeline.run(d2, s0, spack=spB, solver="zscan_seg",
+                        bins=(41, 31), critical_guard=None)
+    np.testing.assert_array_equal(np.asarray(imgA), np.asarray(imgB))
