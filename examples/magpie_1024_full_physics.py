@@ -19,8 +19,18 @@ independent of the total pack size. The reference reaches big grids
 only through host auto-batching slab regeneration at CPU speed
 (domain.py:137-227).
 
-Usage: python examples/magpie_1024_full_physics.py [dim] [total_rays] [chunk_rays]
-(defaults 1024, 2e6, 1e6 — CPU smoke: 33 20000 10000)
+Round-4 route (default, `int4`): the ~26 GB of input volumes stream UP
+in plane batches (H2D is the fast tunnel direction, ~0.95 GB/s measured)
+and build_segment_pack_upload quantises + assembles the 8-channel pack
+ON DEVICE (int4 K=256: ~4.3 GB, HBM-resident) — no 17 GB pack download
+at the tunnel's ~20 MB/s D2H (what made the r3 streamed build take
+1246 s), no per-chunk re-upload, and the march runs the fast
+non-streamed segment path. `--tier streamed` keeps the r3 host-pack
+route for packs that exceed HBM even quantised.
+
+Usage: python examples/magpie_1024_full_physics.py [dim] [total_rays]
+           [chunk_rays] [--tier int4|int8|streamed]
+(defaults 1024, 1e8, 4e6 — CPU smoke: 33 20000 10000)
 """
 import json
 import os
@@ -43,9 +53,13 @@ from synthpy_tpu.tracer import init_beam
 from synthpy_tpu.tracer.zscan import (build_segment_pack_streaming,
                                       make_device_segment_cache)
 
-DIM = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-TOTAL = int(float(sys.argv[2])) if len(sys.argv) > 2 else 2_000_000
-CHUNK = int(float(sys.argv[3])) if len(sys.argv) > 3 else 1_000_000
+_args = [a for a in sys.argv[1:] if not a.startswith("--")]
+TIER = "int4"
+if "--tier" in sys.argv:
+    TIER = sys.argv[sys.argv.index("--tier") + 1]
+DIM = int(_args[0]) if len(_args) > 0 else 1024
+TOTAL = int(float(_args[1])) if len(_args) > 1 else 100_000_000
+CHUNK = int(float(_args[2])) if len(_args) > 2 else 4_000_000
 
 EXT = 5e-3
 BENCHES = ("shadowgraphy", "interferometry", "schlieren_df")
@@ -99,28 +113,44 @@ def main():
     t_scene = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    K = 32 if DIM >= 256 else 8
-    hpack = build_segment_pack_streaming(d, K=K, dtype=jnp.bfloat16,
-                                         device=False, verbose=True)
-    t_pack = time.perf_counter() - t0
-    pack_gb = hpack.seg_planes.nbytes / 2**30
+    cache = None
+    if TIER == "streamed":
+        K = 32 if DIM >= 256 else 8
+        hpack = build_segment_pack_streaming(d, K=K, dtype=jnp.bfloat16,
+                                             device=False, verbose=True)
+        # pin a prefix of the segment tables in HBM once: campaign chunks
+        # then upload only the non-resident tail instead of the full pack
+        # (~17 GB at 1024^3) every chunk
+        cache = make_device_segment_cache(hpack, budget_bytes=6 << 30)
+        integrator = "rk2s2"
+    else:
+        from synthpy_tpu.tracer.zscan import build_segment_pack_upload
 
-    # pin a prefix of the segment tables in HBM once: campaign chunks
-    # then upload only the non-resident tail instead of the full pack
-    # (~17 GB at 1024^3) every chunk
-    cache = make_device_segment_cache(hpack, budget_bytes=6 << 30)
+        K = 256 if DIM >= 256 else 8
+        dt = {"int4": "int4", "int8": jnp.int8}[TIER]
+        # dithered quantisation: zero-mean error walk on the smooth
+        # pinch profile (ROADMAP round-3e envelope)
+        hpack = build_segment_pack_upload(d, K=K, dtype=dt,
+                                          plane_batch=min(32, K),
+                                          dither=7, verbose=True)
+        jax.block_until_ready(hpack.seg_planes)
+        integrator = "rk2s2"
+    t_pack = time.perf_counter() - t0
+    pack_gb = (hpack.seg_planes.nbytes if hasattr(hpack.seg_planes,
+                                                  "nbytes") else 0) / 2**30
 
     key = jax.random.PRNGKey(7)
     root = os.path.dirname(os.path.dirname(
         os.path.abspath(synthpy_tpu.__file__)))
-    ckpt = os.path.join(root, "scratch", f"campaign_1024fp_{DIM}.npz")
+    ckpt = os.path.join(root, "scratch", f"campaign_1024fp_{DIM}_{TIER}.npz")
 
     def chunk_fn(chunk_key, k):
         s0 = init_beam(chunk_key, CHUNK, 2.5e-3, 0.0, EXT, "circular")
+        kw = {"seg_cache": cache} if cache is not None else {}
         imgs = pipeline.run(d, s0, solver="zscan_seg", spack=hpack,
                             diagnostic=BENCHES, bins=(431, 321),
                             critical_guard=None, coherent_raw=True,
-                            integrator="rk2s2", seg_cache=cache)
+                            integrator=integrator, **kw)
         return imgs
 
     def finalize(acc):
@@ -135,9 +165,11 @@ def main():
     t_campaign = time.perf_counter() - t0
 
     rec = {"dim": DIM, "total_rays": TOTAL, "chunk_rays": CHUNK,
+           "tier": TIER, "integrator": integrator, "K": K,
            "channels": 8, "pack_gb": round(pack_gb, 2),
            "scene_s": round(t_scene, 1), "pack_s": round(t_pack, 1),
            "campaign_s": round(t_campaign, 1),
+           "total_wall_s": round(t_scene + t_pack + t_campaign, 1),
            "rays_s": round(TOTAL / t_campaign, 1),
            "benches": {n: float(np.asarray(im).sum())
                        for n, im in images.items()},
@@ -146,6 +178,9 @@ def main():
     with open(os.path.join(root, "scratch",
                            "results_1024_full_physics.jsonl"), "a") as f:
         f.write(json.dumps(rec) + "\n")
+    np.savez_compressed(
+        os.path.join(root, "scratch", f"magpie_fp_{DIM}_{TIER}.npz"),
+        **{n: np.asarray(im) for n, im in images.items()})
 
 
 if __name__ == "__main__":

@@ -458,6 +458,43 @@ def run(
         raise ValueError("pp_axis requires solver='zscan_seg' and is "
                          "mutually exclusive with grid_axis (the PP "
                          "tracer shards segments by probing depth)")
+    if (solver == "zscan_seg" and spack is None and not grid_mode
+            and not pp_mode and "pack_dtype" in bench_kwargs):
+        # single-device tier selection (mesh modes resolve pack_dtype in
+        # their own branches below): build the segment pack directly at
+        # the requested tier; "auto" picks it from the field's measured
+        # caustic-ness envelope and warns what it chose
+        import warnings
+
+        from synthpy_tpu.tracer.zscan import (PACK_DTYPES, PackTierAdvice,
+                                              build_segment_pack_device,
+                                              suggest_pack_dtype)
+
+        pdt = bench_kwargs.pop("pack_dtype")
+        dith = bench_kwargs.pop("pack_dither", None)
+        if pdt == "auto":
+            adv = suggest_pack_dtype(domain, lwl)
+            integ = bench_kwargs.get("integrator", "rk4")
+            if adv["dtype"] == "int4" and integ not in ("rk2s2", "rk2s4"):
+                # int4 nibble packs need even-stride integrators; int8 is
+                # the accuracy-safe tier at any integrator
+                adv = dict(adv, dtype=jnp.int8, name="int8(int4 needs "
+                           f"rk2s2/rk2s4, integrator={integ})")
+            warnings.warn(
+                f"pack_dtype='auto': chose {adv['name']} tier "
+                f"(caustic metric chi={adv['chi']}, estimated raw image "
+                f"rel-L1 {adv['est_rel_err']}, dither={adv['dither']})",
+                PackTierAdvice, stacklevel=2)
+            pdt, dith = adv["dtype"], adv["dither"]
+        elif isinstance(pdt, str):
+            pdt = PACK_DTYPES[pdt]
+        n_p = (domain.x, domain.y, domain.z)[
+            _AXIS_OF[domain.probing_direction]].shape[0]
+        K_eff = min(bench_kwargs.get("seg_K", 64), n_p - 1)
+        if pdt == "int4" and K_eff % 2:
+            K_eff += 1  # nibble packs pair planes; pads one zero slab
+        spack = build_segment_pack_device(domain, lwl=lwl, K=K_eff,
+                                          dtype=pdt, dither=dith)
     if (pack is None and zpack is None and spack is None
             and solver != "analytic" and not grid_mode and not pp_mode):
         pack = build_pack(domain, lwl)

@@ -2036,3 +2036,305 @@ def cached_build_segment_pack(
         import numpy as _np2
         spack = spack._replace(seg_planes=_np2.asarray(spack.seg_planes))
     return spack
+
+
+def build_segment_pack_upload(
+    domain: ScalarDomain,
+    lwl: float = 1064e-9,
+    K: int = 256,
+    dtype="int4",
+    plane_batch: int = 32,
+    dither=None,
+    extras_dtype=jnp.float32,
+    verbose: bool = False,
+) -> SegmentPack:
+    """Stream HOST-resident volumes UP to a DEVICE-resident SegmentPack.
+
+    The full-physics 1024^3 problem (config[4] class): the input volumes
+    (ne + Te + Z + B ~ 26 GB f32) exceed HBM, but the quantised pack does
+    NOT (int4 8-channel K=256: ~4.3 GB). The round-3 route
+    (:func:`build_segment_pack_streaming`) computed channels on device
+    but assembled the pack on the HOST, paying a 17 GB bf16 download at
+    the tunnel's measured ~20 MB/s D2H (the 1246 s pack build of the r3
+    log; scratch/results_pack_overlap_r4.jsonl has the bandwidth probe:
+    H2D 0.95 GB/s, D2H 0.02 GB/s). This builder never downloads: plane
+    batches go UP (~26 GB total at 1024^3 full physics), channels are
+    computed and quantised on device, and each batch is written in place
+    (buffer donation) into the final (n_seg, na*nb, blocks*C) table —
+    which then feeds :func:`solve_zscan_segments` directly, no streamed
+    march needed.
+
+    Bit-parity: produces the SAME SegmentPack as
+    :func:`build_segment_pack_device` for every dtype and dither key
+    (same channel math, same boundary stencils, same absolute-plane
+    dither keys; test-gated), so all existing accuracy envelopes apply.
+
+    Args:
+        plane_batch: planes per upload/compute dispatch (must divide K;
+            even for int4). 32 planes = ~0.8 GB H2D per dispatch at
+            1024^3 full physics.
+        extras_dtype: upload dtype for the POINTWISE-channel volumes
+            (Te, Z, B). jnp.bfloat16 halves their upload bytes at ~0.4%
+            input error on kappa/Faraday channels — below the int4
+            envelope, but off by default (f32 keeps builder bit-parity).
+        dither: PRNG key / int seed for dithered quantisation (absolute-
+            plane-index keys, bit-identical across all build routes).
+    """
+    import numpy as _np
+
+    from synthpy_tpu import constants as _c
+
+    layout = layout_of(domain)
+    if layout.inv_brems and (domain.Te is None or domain.Z is None):
+        raise RuntimeError("inv_brems requires Te and Z grids")
+    if layout.B_on and domain.B is None:
+        raise RuntimeError("B_on requires a B grid")
+    p_ax = _AXIS_OF[domain.probing_direction]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+    coords = (domain.x, domain.y, domain.z)
+    ca, cb, cp = coords[a_ax], coords[b_ax], coords[p_ax]
+    na, nb, n_p = ca.shape[0], cb.shape[0], cp.shape[0]
+    da = float(ca[1] - ca[0])
+    db = float(cb[1] - cb[0])
+    dp = float(cp[1] - cp[0])
+
+    omega = float(_c.omega_from_lwl(lwl))
+    nc = float(_c.critical_density(omega))
+    pref = -0.5 * _c.C**2 / nc
+    verdet = _c.verdet_constant(lwl) if layout.B_on else 0.0
+    quantized4 = isinstance(dtype, str) and dtype == "int4"
+    quantized = quantized4 or dtype == jnp.int8
+    if dither is not None and not quantized:
+        raise ValueError("dither applies to quantised dtypes only")
+    if dither is not None and not hasattr(dither, "dtype"):
+        dither = jax.random.PRNGKey(int(dither))
+    PB = min(plane_batch, K)
+    if K % PB:
+        raise ValueError(f"plane_batch={PB} must divide K={K}")
+    if quantized4 and (PB % 2 or K % 2):
+        raise ValueError("int4 packs need even K and plane_batch")
+    qmax = 7.0 if quantized4 else 127.0
+    C = layout.n_channels
+    n_slabs = n_p - 1
+    n_seg = -(-n_slabs // K)
+    blocks = _plane_blocks(K, 4 if quantized4 else None)
+    np_dtype = _np.asarray(jnp.zeros((), jnp.int8 if quantized
+                                     else dtype)).dtype
+
+    # host probe-major contiguous copies (one strided pass per volume;
+    # per-batch strided fancy-slicing costs minutes at 1024^3 — the
+    # same lesson as build_segment_pack_streaming)
+    import time as _time
+
+    def _pm(vol, vdt=_np.float32):
+        t0 = _time.perf_counter()
+        out = _np.ascontiguousarray(
+            _np.moveaxis(_np.asarray(vol), p_ax, 0).astype(vdt, copy=False))
+        if verbose:
+            print(f"  probe-major copy {out.shape} {out.dtype} "
+                  f"{_time.perf_counter() - t0:.1f}s", flush=True)
+        return out
+
+    ex_np = _np.asarray(jnp.zeros((), extras_dtype)).dtype
+    ne_h = _pm(domain.ne)
+    extras_h = []
+    if layout.inv_brems:
+        extras_h += [_pm(domain.Te, ex_np), _pm(domain.Z, ex_np)]
+    if layout.B_on:
+        B_h = _np.asarray(domain.B)
+        extras_h += [_pm(B_h[..., a_ax], ex_np), _pm(B_h[..., b_ax], ex_np),
+                     _pm(B_h[..., p_ax], ex_np)]
+        del B_h
+    zero_plane = _np.zeros((na, nb), ne_h.dtype)
+    zero_ex = _np.zeros((na, nb), ex_np)
+
+    def ne_plane(i):
+        if i < 0:
+            return ne_h[0]          # duplicated front margin (one-sided)
+        if i >= n_p:
+            return zero_plane       # zero field outside the box
+        return ne_h[i]
+
+    n_extra = len(extras_h)
+
+    @partial(jax.jit, donate_argnums=(0,),
+             static_argnames=("pb", "lone"))
+    def fill(buf, slab, ex, g0, seg_i, col0, *, pb, lone):
+        """Compute channels for pb body planes and write their blocks.
+
+        slab: (pb+2, na, nb) f32 with stencil margins; ex: (n_extra, pb,
+        na, nb); g0: first body plane's ABSOLUTE index; col0: first
+        output column. ``lone``: the final odd plane of an int4 segment
+        (hi nibble zero).
+        """
+        body = slab[1:-1]
+        gidx = g0 + jnp.arange(pb)
+        Ga = pref * jnp.gradient(body, da, axis=1)
+        Gb = pref * jnp.gradient(body, db, axis=2)
+        Gp = pref * (slab[2:] - slab[:-2]) / (2.0 * dp)
+        first = gidx == 0
+        Gp = jnp.where(first[:, None, None], 2.0 * Gp, Gp)
+        last = gidx == n_p - 1
+        Gp = jnp.where(last[:, None, None], 2.0 * Gp + pref * body / dp, Gp)
+        chans = [Ga, Gb, Gp]
+        exf = ex.astype(jnp.float32)
+        if layout.inv_brems:
+            chans.append(_c.kappa(body, exf[0], exf[1], omega))
+        if layout.phaseshift:
+            chans.append(omega * (_c.n_refrac(body, omega) - 1.0))
+        if layout.B_on:
+            off = 2 if layout.inv_brems else 0
+            for i in range(3):
+                chans.append(verdet * body * exf[off + i])
+        out = jnp.stack(chans, axis=-1)              # (pb, na, nb, C)
+        out = jnp.where((gidx <= n_p - 1)[:, None, None, None], out, 0)
+        if quantized:
+            amax = jnp.max(jnp.abs(out), axis=(1, 2))
+            scale = jnp.where(amax > 0, amax / qmax, 1.0)
+            x = out / scale[:, None, None]
+            if dither is not None:
+                u = jax.vmap(lambda g: jax.random.uniform(
+                    jax.random.fold_in(dither, g), (na, nb, C),
+                    minval=-0.5, maxval=0.5))(gidx)
+                x = x + jnp.where(out != 0, u, 0.0)
+            q = jnp.clip(jnp.round(x), -qmax, qmax).astype(jnp.int8)
+            if quantized4:
+                if lone:
+                    q = jnp.concatenate(
+                        [q, jnp.zeros((1, na, nb, C), jnp.int8)], axis=0)
+                lo, hi = q[0::2], q[1::2]
+                q = (lo & 15) | ((hi & 15) << 4)
+            blk = jnp.transpose(q, (1, 2, 0, 3))
+        else:
+            scale = None
+            blk = jnp.transpose(out.astype(dtype), (1, 2, 0, 3))
+        nblk = blk.shape[2]
+        blk = blk.reshape(na * nb, nblk * C)
+        buf = jax.lax.dynamic_update_slice(
+            buf, blk[None], (seg_i, 0, col0))
+        return (buf, scale) if quantized else buf
+
+    buf = jnp.zeros((n_seg, na * nb, blocks * C),
+                    jnp.int8 if quantized else dtype)
+    scales_h = (_np.ones((n_seg, K + 1, C), _np.float32)
+                if quantized else None)
+    t0 = _time.perf_counter()
+    for s_i in range(n_seg):
+        for k0 in range(0, K, PB):
+            g0 = s_i * K + k0
+            slab = jnp.asarray(_np.stack(
+                [ne_plane(i) for i in range(g0 - 1, g0 + PB + 1)]))
+            ex = jnp.asarray(_np.stack(
+                [[e[i] if i < n_p else zero_ex for i in range(g0, g0 + PB)]
+                 for e in extras_h])
+                if extras_h else _np.zeros((0, PB, na, nb), ex_np))
+            col0 = (k0 // 2 if quantized4 else k0) * C
+            res = fill(buf, slab, ex, g0, s_i, col0, pb=PB, lone=False)
+            if quantized:
+                buf, sc = res
+                scales_h[s_i, k0:k0 + PB] = _np.asarray(sc)
+            else:
+                buf = res
+            if verbose:
+                print(f"  seg {s_i} planes {k0}..{k0 + PB} "
+                      f"({_time.perf_counter() - t0:.1f}s)", flush=True)
+        # the segment's final plane (local K == global (s_i+1)*K): its own
+        # block, hi nibble zero for int4 (duplicated as plane 0 of the
+        # next segment, same as the monolithic builders)
+        g0 = s_i * K + K
+        slab = jnp.asarray(_np.stack(
+            [ne_plane(i) for i in range(g0 - 1, g0 + 2)]))
+        ex = jnp.asarray(_np.stack(
+            [[e[i] if i < n_p else zero_ex for i in range(g0, g0 + 1)]
+             for e in extras_h])
+            if extras_h else _np.zeros((0, 1, na, nb), ex_np))
+        col0 = (K // 2 if quantized4 else K) * C
+        res = fill(buf, slab, ex, g0, s_i, col0, pb=1, lone=quantized4)
+        if quantized:
+            buf, sc = res
+            scales_h[s_i, K:K + 1] = _np.asarray(sc)[:1]
+        else:
+            buf = res
+
+    scales = jnp.asarray(scales_h) if quantized else None
+    origin_ab = jnp.stack([ca[0], cb[0]])
+    inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])
+    return SegmentPack(buf, origin_ab, inv_ab, (na, nb), K, n_slabs,
+                       float(cp[0]), dp, omega, scales,
+                       4 if quantized4 else None)
+
+
+class PackTierAdvice(UserWarning):
+    """Emitted when a pack tier is chosen automatically."""
+
+
+def suggest_pack_dtype(
+    domain: ScalarDomain,
+    lwl: float = 1064e-9,
+    target_rel_err: float = 0.05,
+):
+    """Choose a quantised pack tier from a cheap caustic-ness metric.
+
+    The quantised tiers' measured error envelopes (ROADMAP rounds 3b-3e,
+    scratch/int4_error_512.py + probe_int4_dither.py) split by how hard
+    the field FOCUSES the beam: turbulence-class fields take int4 at
+    sub-percent PSF image error, while the smooth lens caustic is the
+    worst case (dithered int4 raw rel-L1 14%, dithered int8 2.2%). The
+    metric chi estimates fold-focusing strength from the line-integrated
+    phase screen:
+
+        theta(a, b) = -(1/2) d/da  INT ne/nc dp     (exit deflection)
+        chi = max |grad_t theta| * L_box            (ray-crossing measure)
+
+    chi ~ 1 means rays cross inside one box length (a caustic forms).
+    Error estimates are linear-in-chi fits through the measured anchors
+    (lens chi=0.45: int4+dither 14%, int8+dither 2.2%; kolmogorov
+    chi=0.27: int4 5.1%), deliberately conservative:
+
+        est(int4+dither) ~ 0.30 * chi,  est(int8+dither) ~ 0.05 * chi,
+        est(bf16) ~ 0.005 * chi
+
+    Returns a dict with ``dtype`` (for build_segment_pack_device /
+    pipeline.run), ``dither`` (a seed — always recommended for quantised
+    tiers: zero march cost, 12x smaller caustic bias), ``chi``, and
+    ``est_rel_err`` for the chosen tier. The caller is expected to warn
+    (pipeline.run emits :class:`PackTierAdvice`).
+
+    The raw-image rel-L1 estimates are pre-PSF worst cases; at 1-pixel
+    detector PSF the measured errors are ~6x smaller.
+    """
+    import numpy as _np
+
+    from synthpy_tpu import constants as _c
+
+    p_ax = _AXIS_OF[domain.probing_direction]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+    coords = (domain.x, domain.y, domain.z)
+    xs = [_np.asarray(c, _np.float64) for c in coords]
+    dp = xs[p_ax][1] - xs[p_ax][0]
+    nc = float(_c.critical_density(float(_c.omega_from_lwl(lwl))))
+    ne = _np.asarray(domain.ne, _np.float64)
+    Phi = 0.5 * ne.sum(axis=p_ax) * dp / nc
+    da = xs[a_ax][1] - xs[a_ax][0]
+    db = xs[b_ax][1] - xs[b_ax][0]
+    curv = (_np.abs(_np.gradient(_np.gradient(Phi, da, axis=0), da,
+                                 axis=0))
+            + _np.abs(_np.gradient(_np.gradient(Phi, db, axis=1), db,
+                                   axis=1)))
+    L_box = xs[p_ax][-1] - xs[p_ax][0]
+    chi = float(curv.max() * L_box)
+
+    tiers = (("int4", 0.30), (jnp.int8, 0.05), (jnp.bfloat16, 0.005))
+    for dtype, slope in tiers:
+        est = slope * chi
+        if est <= target_rel_err:
+            break
+    quantised = dtype == "int4" or dtype == jnp.int8
+    return {
+        "dtype": dtype,
+        "dither": 7 if quantised else None,
+        "chi": round(chi, 4),
+        "est_rel_err": round(est, 4),
+        "name": {jnp.int8: "int8", jnp.bfloat16: "bf16"}.get(dtype,
+                                                             "int4"),
+    }

@@ -1352,3 +1352,101 @@ def test_segment_pack_save_load_cache_roundtrip(tmp_path):
     imgB = pipeline.run(d2, s0, spack=spB, solver="zscan_seg",
                         bins=(41, 31), critical_guard=None)
     np.testing.assert_array_equal(np.asarray(imgA), np.asarray(imgB))
+
+
+@pytest.mark.parametrize("dtype", ["f32", "bf16", "int8", "int4"])
+def test_upload_builder_bit_identical_to_device_builder(dtype):
+    # the 1024^3 full-physics route: host volumes stream UP, the pack
+    # stays device-resident — must be BIT-identical to the monolithic
+    # device builder for every dtype (same channel math, stencils,
+    # dither keys), including pad segments (n_slabs=20 over K=8 -> 3
+    # segments with 4 pad slabs)
+    from synthpy_tpu.tracer.zscan import (PACK_DTYPES,
+                                          build_segment_pack_device,
+                                          build_segment_pack_upload)
+
+    n = 21
+    rng = np.random.default_rng(5)
+    d = ScalarDomain(1e-2, n)
+    ne = (1e24 * (1.0 + 0.5 * rng.standard_normal((n, n, n)))
+          ).astype(np.float32)
+    d.external_ne(np.abs(ne), host=True)
+    d.external_Te(np.full((n,) * 3, 40.0, np.float32), host=True)
+    d.external_Z(np.full((n,) * 3, 3.0, np.float32), host=True)
+    B = rng.standard_normal((n, n, n, 3)).astype(np.float32) * 5.0
+    d.external_B(B, host=True)
+    d.inv_brems = True
+    d.phaseshift = True
+
+    def dev_domain():
+        d2 = ScalarDomain(1e-2, n)
+        d2.external_ne(np.asarray(d.ne))
+        d2.external_Te(np.asarray(d.Te))
+        d2.external_Z(np.asarray(d.Z))
+        d2.external_B(np.asarray(d.B))
+        d2.inv_brems = True
+        d2.phaseshift = True
+        return d2
+
+    dt = PACK_DTYPES[dtype]
+    dith = 11 if dtype in ("int8", "int4") else None
+    ref = build_segment_pack_device(dev_domain(), K=8, dtype=dt,
+                                    dither=dith)
+    up = build_segment_pack_upload(d, K=8, dtype=dt, plane_batch=4,
+                                   dither=dith)
+    np.testing.assert_array_equal(np.asarray(ref.seg_planes),
+                                  np.asarray(up.seg_planes))
+    assert up.K == ref.K and up.n_slabs == ref.n_slabs
+    assert up.qbits == ref.qbits
+    if ref.scales is not None:
+        np.testing.assert_array_equal(np.asarray(ref.scales),
+                                      np.asarray(up.scales))
+    np.testing.assert_allclose(np.asarray(up.origin_ab),
+                               np.asarray(ref.origin_ab))
+    assert up.dp == ref.dp and up.p0 == ref.p0
+
+
+def test_pack_dtype_auto_advisor_and_pipeline_mode():
+    from synthpy_tpu.tracer.zscan import PackTierAdvice, suggest_pack_dtype
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.fields.grf import grf_domain_fft, power_law
+
+    # regime split (calibration anchors measured round 3): the smooth
+    # focusing lens must advise a finer tier than weak turbulence
+    d_lens = ScalarDomain(1e-2, 65).test_lens(ne_0=5e24, LR=1.5e-3)
+    adv_lens = suggest_pack_dtype(d_lens)
+    _, f = grf_domain_fft(jax.random.PRNGKey(0), power_law(-11.0 / 3.0),
+                          l_max=2e-3, l_min=4e-4, extent=5e-3, res=32)
+    d_turb = ScalarDomain(1e-2, 64)
+    d_turb.external_ne(1e23 * (1.0 + 0.5 * jnp.asarray(f)))
+    adv_turb = suggest_pack_dtype(d_turb)
+    assert adv_turb["name"] == "int4" and adv_turb["dither"] is not None
+    assert adv_lens["chi"] > adv_turb["chi"]
+    assert adv_lens["name"] in ("int8", "bf16")
+
+    # pipeline.run(pack_dtype="auto") warns with the choice and its image
+    # stays close to the exact f32 pack (the existing int8/int4 envelope)
+    s0 = init_beam(jax.random.PRNGKey(1), 20000, 2e-3, 0.0, 5e-3,
+                   "circular", "z")
+    img_f32 = pipeline.run(d_lens, s0, solver="zscan_seg", bins=(41, 31),
+                           critical_guard=None, integrator="rk2s2",
+                           seg_K=16)
+    with pytest.warns(PackTierAdvice, match="chose"):
+        img_auto = pipeline.run(d_lens, s0, solver="zscan_seg",
+                                bins=(41, 31), critical_guard=None,
+                                integrator="rk2s2", seg_K=16,
+                                pack_dtype="auto")
+    rel = (np.abs(np.asarray(img_auto) - np.asarray(img_f32)).sum()
+           / np.asarray(img_f32).sum())
+    assert rel < 0.05, rel
+    # explicit tier spelling works too
+    img_int8 = pipeline.run(d_lens, s0, solver="zscan_seg", bins=(41, 31),
+                            critical_guard=None, integrator="rk2s2",
+                            seg_K=16, pack_dtype="int8")
+    rel8 = (np.abs(np.asarray(img_int8) - np.asarray(img_f32)).sum()
+            / np.asarray(img_f32).sum())
+    assert rel8 < 0.05, rel8
+    # int4 advice falls back to int8 when the integrator can't stride
+    with pytest.warns(PackTierAdvice, match="int4 needs"):
+        pipeline.run(d_turb, s0, solver="zscan_seg", bins=(41, 31),
+                     critical_guard=None, seg_K=16, pack_dtype="auto")
