@@ -1,6 +1,10 @@
 """Post-processing and image analysis."""
 
-from synthpy_tpu.analysis.imaging import Image  # noqa: F401
+from synthpy_tpu.analysis.imaging import (  # noqa: F401
+    Image,
+    register,
+    register_translation,
+)
 from synthpy_tpu.analysis.fringes import (  # noqa: F401
     carrier_frequency,
     extract_phase,

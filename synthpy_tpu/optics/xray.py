@@ -27,7 +27,7 @@ Te in eV; grid coordinates stay in meters like the rest of the package
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -291,3 +291,183 @@ def point_projection_radiograph(
         tuple(bins), float(Lx), float(Ly), int(n_steps),
         probing_direction)
     return jnp.exp(-tau)
+
+
+# -- >HBM (1024^3-class) streamed variants ----------------------------------
+#
+# The (rho, Te) stack is ~8.6 GB f32 at 1024^3 — more than half of HBM
+# before any detector buffers. Both transport geometries decompose along
+# the probing axis, so the volumes can stay HOST-resident and stream UP
+# in plane batches (H2D is the fast tunnel direction — the same regime
+# measurement that shaped tracer/zscan.build_segment_pack_upload): each
+# batch is one device program that folds its planes into detector-sized
+# accumulators, and device peak is one plane batch + the images,
+# independent of the volume size.
+
+
+def radiography_streamed(
+    rho,
+    Te,
+    kappa_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    spacing_m: float,
+    probing_direction: str = "z",
+    emiss_fn: Optional[Callable] = None,
+    plane_batch: int = 32,
+):
+    """Parallel-beam attenuation (+ optional self-emission) from host
+    volumes, streamed in probing-axis plane batches.
+
+    ``rho``/``Te`` may be numpy arrays of any size (1024^3 included) —
+    only ``plane_batch`` planes of each are ever resident on device.
+    Returns ``transmission`` (na, nb), or ``(transmission, emission)``
+    when ``emiss_fn`` is given (one pass computes both). Matches
+    :func:`attenuation_image` / :func:`self_emission_image` to f32
+    accumulation order (same trapezoid weights, test-gated).
+    """
+    import numpy as np
+
+    p_ax, _, _ = _transverse_axes(probing_direction)
+    rho_m = np.moveaxis(np.asarray(rho), p_ax, 0)
+    Te_m = np.moveaxis(np.asarray(Te), p_ax, 0)
+    n_p = rho_m.shape[0]
+    want_emiss = emiss_fn is not None
+
+    @partial(jax.jit, donate_argnums=(0, 1),
+             static_argnames=("w0", "wlast"))
+    def fold(tau, em, rho_b, Te_b, *, w0: bool, wlast: bool):
+        w = kappa_fn(Te_b, rho_b) * rho_b
+        nb = w.shape[0]
+        trap = jnp.ones((nb,), w.dtype)
+        if w0:
+            trap = trap.at[0].set(0.5)
+        if wlast:
+            trap = trap.at[nb - 1].set(0.5)
+        tau = tau + jnp.tensordot(trap, w, axes=(0, 0))
+        if want_emiss:
+            em = em + jnp.tensordot(trap, emiss_fn(Te_b, rho_b),
+                                    axes=(0, 0))
+        return tau, em
+
+    na, nb_t = rho_m.shape[1], rho_m.shape[2]
+    tau = jnp.zeros((na, nb_t), jnp.float32)
+    em = jnp.zeros((na, nb_t) if want_emiss else (1,), jnp.float32)
+    for i0 in range(0, n_p, plane_batch):
+        i1 = min(i0 + plane_batch, n_p)
+        tau, em = fold(tau, em,
+                       jnp.asarray(rho_m[i0:i1], jnp.float32),
+                       jnp.asarray(Te_m[i0:i1], jnp.float32),
+                       w0=(i0 == 0), wlast=(i1 == n_p))
+    scale = spacing_m * 100.0
+    trans = jnp.exp(-tau * scale)
+    return (trans, em * scale) if want_emiss else trans
+
+
+def point_projection_radiograph_streamed(
+    rho,
+    Te,
+    kappa_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    coords: Sequence,
+    source_distance: float,
+    detector_distance: float,
+    bins: Tuple[int, int] = (431, 321),
+    Lx: float = 18.0,
+    Ly: float = 13.5,
+    probing_direction: str = "z",
+    plane_batch: int = 32,
+) -> jnp.ndarray:
+    """Point-projection transmission radiograph from host volumes.
+
+    Plane-crossing quadrature: every detector chord is monotone along
+    the probing axis (source before the box, detector after), so it
+    crosses each of the n_p grid planes exactly once, and the optical
+    depth is the trapezoid sum of bilinear in-plane samples at those
+    crossings with the constant per-chord run length
+    ``|d| * dp / d_p``. That makes the integral decompose EXACTLY by
+    plane — each uploaded batch folds its planes' samples into the
+    per-pixel tau accumulator and is then discarded. Quadrature differs
+    from :func:`point_projection_radiograph`'s fixed ``n_steps``
+    chord sampling (here: one sample per grid plane — the resolution-
+    matched choice), so images agree to quadrature tolerance, not
+    bitwise (test-gated at small dims).
+
+    Transverse exits are handled by the bilinear fill: samples outside
+    the box contribute zero, exactly like the dense version's chord
+    clipping in the limit of matched quadrature.
+    """
+    import numpy as np
+
+    p_ax, a_ax, b_ax = _transverse_axes(probing_direction)
+    coords = [np.asarray(c, dtype=np.float32) for c in coords]
+    na_px, nb_px = bins
+    f32 = jnp.float32
+
+    rho_m = np.moveaxis(np.asarray(rho), p_ax, 0)
+    Te_m = np.moveaxis(np.asarray(Te), p_ax, 0)
+    n_p = rho_m.shape[0]
+    # in-plane geometry: after moveaxis the plane axes are (a_ax, b_ax)
+    # in their original relative order, which _transverse_axes preserves
+    pa = coords[a_ax]
+    pb = coords[b_ax]
+    pp = coords[p_ax]
+    dp = float(pp[1] - pp[0])
+
+    ca = 0.5 * (pa[0] + pa[-1])
+    cb = 0.5 * (pb[0] + pb[-1])
+    src_p = float(pp[0]) - float(source_distance)
+    det_p = float(pp[-1]) + float(detector_distance)
+
+    xa = (np.arange(na_px, dtype=np.float32) + 0.5) / na_px * (Lx * 1e-3) \
+        - Lx * 5e-4 + ca
+    xb = (np.arange(nb_px, dtype=np.float32) + 0.5) / nb_px * (Ly * 1e-3) \
+        - Ly * 5e-4 + cb
+    A, B = np.meshgrid(xa, xb, indexing="ij")
+    # chord from source (ca, cb, src_p) to detector pixel (A, B, det_p):
+    # at plane p the transverse position interpolates linearly in p
+    span_p = det_p - src_p
+    da = (A.ravel() - ca)
+    db = (B.ravel() - cb)
+    # per-chord run length between consecutive plane crossings
+    dl_cm = np.sqrt(da**2 + db**2 + span_p**2) / span_p * dp * 100.0
+
+    inv_sa = 1.0 / float(pa[1] - pa[0])
+    inv_sb = 1.0 / float(pb[1] - pb[0])
+
+    da_d = jnp.asarray(da, f32)
+    db_d = jnp.asarray(db, f32)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def fold(tau, rho_b, Te_b, fracs, wts):
+        # one vectorised bilinear gather over (planes-in-batch, pixels):
+        # plane j's samples index into the batch's stacked weight planes
+        w = kappa_fn(Te_b, rho_b) * rho_b  # (nbp, naa, nbb)
+        nbp, naa, nbb = w.shape
+        qa = (da_d[None, :] * fracs[:, None] + (ca - pa[0])) * inv_sa
+        qb = (db_d[None, :] * fracs[:, None] + (cb - pb[0])) * inv_sb
+        inside = ((qa >= 0) & (qa <= naa - 1)
+                  & (qb >= 0) & (qb <= nbb - 1))
+        ia = jnp.clip(jnp.floor(qa).astype(jnp.int32), 0, naa - 2)
+        ib = jnp.clip(jnp.floor(qb).astype(jnp.int32), 0, nbb - 2)
+        fa = jnp.clip(qa - ia, 0.0, 1.0)
+        fb = jnp.clip(qb - ib, 0.0, 1.0)
+        flat = w.reshape(-1)
+        base = (jnp.arange(nbp, dtype=jnp.int32)[:, None] * (naa * nbb)
+                + ia * nbb + ib)
+        v = ((1 - fa) * (1 - fb) * jnp.take(flat, base, mode="clip")
+             + (1 - fa) * fb * jnp.take(flat, base + 1, mode="clip")
+             + fa * (1 - fb) * jnp.take(flat, base + nbb, mode="clip")
+             + fa * fb * jnp.take(flat, base + nbb + 1, mode="clip"))
+        v = jnp.where(inside, v, 0.0)
+        return tau + (wts[:, None] * v).sum(axis=0)
+
+    trap = np.ones((n_p,), np.float32)
+    trap[0] = trap[-1] = 0.5
+    fracs_all = (pp.astype(np.float64) - src_p) / span_p
+    tau = jnp.zeros((na_px * nb_px,), f32)
+    for i0 in range(0, n_p, plane_batch):
+        i1 = min(i0 + plane_batch, n_p)
+        tau = fold(tau, jnp.asarray(rho_m[i0:i1], f32),
+                   jnp.asarray(Te_m[i0:i1], f32),
+                   jnp.asarray(fracs_all[i0:i1], f32),
+                   jnp.asarray(trap[i0:i1]))
+    tau = tau * jnp.asarray(dl_cm, f32)
+    return jnp.exp(-tau).reshape(na_px, nb_px)

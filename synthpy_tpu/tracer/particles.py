@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,85 @@ from synthpy_tpu import constants
 from synthpy_tpu.ops.interp import grid_geometry, trilinear
 
 _AXIS_OF = {"x": 0, "y": 1, "z": 2}
+
+
+class BTable(NamedTuple):
+    """A (possibly quantised) device-resident B grid for the pusher.
+
+    ``grid``: (nx, ny, nz, 3) field table in ``grid.dtype`` (f32, bf16,
+    or int8). ``scale``: (3,) per-component dequantisation factors for
+    int8 (B = q * scale), or None for float dtypes.
+    """
+    grid: jnp.ndarray
+    scale: Optional[jnp.ndarray]
+
+
+def build_B_table(
+    domain,
+    dtype=jnp.bfloat16,
+    plane_batch: int = 32,
+    dither: Optional[int] = None,
+    verbose: bool = False,
+) -> BTable:
+    """Upload a HOST-resident B grid into a reduced-dtype device table.
+
+    The 1024^3 proton problem: the 3-channel f32 B grid is ~12.9 GB —
+    82% of HBM before ray state. Deflection is LINEAR in B, so reduced
+    precision trades smoothly: bf16 (6.4 GB, ~0.4% relative) is the
+    pixel-faithful tier; int8 with per-component global scales (3.2 GB)
+    adds <1% RMS deflection noise on MAGPIE-class fields when dithered
+    (the zscan round-3e argument: dither turns coherent rounding bias
+    into a zero-mean walk). Plane batches stream UP (H2D is the fast
+    tunnel direction) and are written in place into the donated table —
+    host volumes of any size, device peak = table + one batch.
+
+    Accepts a ScalarDomain with ``external_B(host=True)`` (or device) B.
+    For f32/bf16 inputs already on device, this is just a cast.
+    """
+    import numpy as np
+
+    if getattr(domain, "B", None) is None:
+        raise RuntimeError("build_B_table needs domain.external_B")
+    B = domain.B  # (nx, ny, nz, 3), host numpy or device array
+    nx, ny, nz, _ = B.shape
+    is_int8 = dtype in (jnp.int8, "int8")
+    if is_int8:
+        # per-component max over the volume, plane-chunked (no 13 GB
+        # |B| temporary on the host)
+        m = np.zeros((3,), np.float64)
+        for i0 in range(0, nx, plane_batch):
+            m = np.maximum(m, np.abs(np.asarray(
+                B[i0:i0 + plane_batch])).max(axis=(0, 1, 2)))
+        scale = jnp.asarray(np.maximum(m, 1e-30) / 127.0, jnp.float32)
+        out_dtype = jnp.int8
+    else:
+        scale = None
+        out_dtype = dtype
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("i0",))
+    def write(tab, batch, *, i0: int):
+        if is_int8:
+            q = batch / scale
+            if dither is not None:
+                key = jax.random.fold_in(jax.random.PRNGKey(dither), i0)
+                q = q + jax.random.uniform(key, q.shape, q.dtype,
+                                           -0.5, 0.5)
+            b = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
+        else:
+            b = batch.astype(out_dtype)
+        return jax.lax.dynamic_update_slice(tab, b, (i0, 0, 0, 0))
+
+    tab = jnp.zeros((nx, ny, nz, 3), out_dtype)
+    import time as _t
+    for i0 in range(0, nx, plane_batch):
+        t0 = _t.perf_counter()
+        batch = jnp.asarray(np.asarray(B[i0:i0 + plane_batch]),
+                            jnp.float32)
+        tab = write(tab, batch, i0=i0)
+        if verbose:
+            print(f"  B planes {i0}..{min(i0 + plane_batch, nx)} "
+                  f"({_t.perf_counter() - t0:.1f}s)", flush=True)
+    return BTable(tab, scale)
 
 
 def proton_speed(energy_MeV: float) -> Tuple[float, float]:
@@ -97,7 +176,8 @@ def init_proton_beam(
                                    "ray_chunk"))
 def _push_boris(s_rows, B_grid, origin, inv_spacing, dt, *,
                 n_steps: int, gamma: float, charge_sign: float = 1.0,
-                ray_chunk: Optional[int] = None):
+                ray_chunk: Optional[int] = None,
+                B_scale: Optional[jnp.ndarray] = None):
     """Fixed-step relativistic Boris push through a gridded B field.
 
     Drift-kick-drift (2nd order, time-reversible): half position drift,
@@ -105,12 +185,19 @@ def _push_boris(s_rows, B_grid, origin, inv_spacing, dt, *,
     precision), half drift. Outside the grid the trilinear fill value is
     zero field = straight flight, so the pre/post-object legs of the
     point-projection geometry cost nothing extra.
+
+    ``B_grid`` may be f32, bf16, or int8 (with ``B_scale`` dequant
+    factors): corners gather at the stored width and blend in f32 — the
+    bytes-through-the-gather-engine lever that makes 1024^3 fit
+    (:func:`build_B_table`).
     """
     w = charge_sign * constants.E_CHARGE / (gamma * constants.M_PROTON)
 
     def step(s, _):
         pos = s[:, :3] + 0.5 * dt * s[:, 3:]
         B = trilinear(B_grid, pos, origin, inv_spacing)
+        if B_scale is not None:
+            B = B * B_scale
         t = (0.5 * w * dt) * B
         t2 = jnp.sum(t * t, axis=1, keepdims=True)
         sfac = 2.0 / (1.0 + t2)
@@ -141,6 +228,7 @@ def trace_protons(
     steps_per_cell: float = 2.0,
     ray_chunk: Optional[int] = None,
     charge_sign: float = 1.0,
+    B_table: Optional[BTable] = None,
 ):
     """March a proton bundle through ``domain``'s B grid to the exit side.
 
@@ -159,10 +247,13 @@ def trace_protons(
     transposed = s0.shape[0] in (6, 9) and s0.shape[1] not in (6, 9)
     rows = s0.T[:, :6] if transposed else s0[:, :6]
 
-    if getattr(domain, "B", None) is None:
-        raise RuntimeError("proton radiography needs domain.external_B "
-                           "(or test_B) — the deflection IS the signal")
-    B_grid = jnp.asarray(domain.B)
+    if B_table is not None:
+        B_grid, B_scale = B_table.grid, B_table.scale
+    else:
+        if getattr(domain, "B", None) is None:
+            raise RuntimeError("proton radiography needs domain.external_B "
+                               "(or test_B) — the deflection IS the signal")
+        B_grid, B_scale = jnp.asarray(domain.B), None
     origin, inv_spacing = grid_geometry((domain.x, domain.y, domain.z))
 
     v, gamma = proton_speed(energy_MeV)
@@ -184,7 +275,8 @@ def trace_protons(
 
     out = _push_boris(rows, B_grid, origin, inv_spacing, dt,
                       n_steps=n_steps, gamma=gamma,
-                      charge_sign=charge_sign, ray_chunk=ray_chunk)
+                      charge_sign=charge_sign, ray_chunk=ray_chunk,
+                      B_scale=B_scale)
     return out.T if transposed else out
 
 

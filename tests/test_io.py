@@ -166,6 +166,59 @@ def test_image_analysis():
     assert img.rotate90().data.shape == (96, 64)
 
 
+def test_image_rotate_shift_roundtrip():
+    # arbitrary-angle rotation + sub-pixel shift, both bilinear; a smooth
+    # blob survives rotate(a).rotate(-a) and shift(d).shift(-d) to ~1e-2
+    rng = np.random.default_rng(3)
+    ny = nx = 96
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    data = np.exp(-((xx - 52) ** 2 + (yy - 40) ** 2) / 180.0)
+    img = Image(data)
+    back = img.rotate(7.3).rotate(-7.3)
+    inner = np.s_[8:-8, 8:-8]
+    assert np.abs(back.data - data)[inner].max() < 2e-2
+    back2 = img.shift(3.4, -2.6).shift(-3.4, 2.6)
+    assert np.abs(back2.data - data)[inner].max() < 2e-2
+    # pure 90-degree special case agrees with rot90 on a centred square
+    sq = Image(np.exp(-((xx - 47.5) ** 2 + (yy - 47.5) ** 2) / 300.0))
+    np.testing.assert_allclose(sq.rotate(90.0).data[inner],
+                               np.rot90(sq.data)[inner], atol=2e-2)
+
+
+def test_rigid_registration_recovers_pose():
+    # a synthetic "shot": known mount rotation + beam walk-off applied to
+    # a structured frame; register() must recover both to sub-pixel /
+    # sub-tenth-degree so mov.rotate(-a).shift(-dx,-dy) aligns with ref
+    from synthpy_tpu.analysis import register, register_translation
+
+    rng = np.random.default_rng(11)
+    n = 128
+    base = rng.standard_normal((n, n))
+    # smooth it (structured, band-limited like fringe/shadow frames)
+    k = np.fft.fftfreq(n)
+    lp = np.exp(-(k[:, None] ** 2 + k[None, :] ** 2) / (2 * 0.06**2))
+    ref = np.real(np.fft.ifft2(np.fft.fft2(base) * lp))
+    ref_im = Image(ref)
+
+    dx_t, dy_t, ang_t = 4.7, -3.2, 2.4
+    shot = ref_im.rotate(ang_t).shift(dx_t, dy_t)
+
+    dx, dy, peak = register_translation(ref_im, ref_im.shift(2.5, -1.25))
+    assert abs(dx - 2.5) < 0.25 and abs(dy + 1.25) < 0.25
+
+    ang, (sx, sy), pk = register(ref_im, shot, angle_range=(-6, 6))
+    assert abs(ang - ang_t) < 0.3
+    # the recovered shift lives in the de-rotated frame: R(-ang) @ d
+    c, s = np.cos(np.deg2rad(-ang)), np.sin(np.deg2rad(-ang))
+    ex, ey = c * dx_t + s * dy_t, -s * dx_t + c * dy_t
+    assert abs(sx - ex) < 0.6 and abs(sy - ey) < 0.6
+    assert pk > 0.9
+    aligned = shot.rotate(-ang).shift(-sx, -sy)
+    inner = np.s_[16:-16, 16:-16]
+    res = np.linalg.norm((aligned.data - ref)[inner])
+    assert res / np.linalg.norm(ref[inner]) < 0.12
+
+
 def test_fringe_phase_extraction():
     """Synthesize fringes with a known phase bump; recover it."""
     from synthpy_tpu.analysis.fringes import (

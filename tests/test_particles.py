@@ -127,3 +127,46 @@ def test_point_projection_radiograph_conservation_and_structure():
     # the field restructures the fluence measurably
     diff = np.abs(HB - H0).sum() / H0.sum()
     assert diff > 0.05, diff
+
+
+def test_b_table_tiers_accuracy_and_host_build():
+    """Quantised B tables (the 1024^3-fit lever): bf16 within ~0.6% and
+    dithered int8 within ~2% RMS exit-velocity deflection of the f32
+    trace on a turbulent field, built from a HOST-resident grid."""
+    from synthpy_tpu.fields.grf import grf_vector_solenoidal, power_law
+    from synthpy_tpu.tracer.particles import build_B_table
+
+    n = 32
+    Np = 4000
+    d = ScalarDomain(2 * EXT, n)
+    _, Bf = grf_vector_solenoidal(jax.random.PRNGKey(5), power_law(3.667),
+                                  l_max=2e-3, l_min=0.5e-3, extent=EXT,
+                                  res=n // 2, rms=5.0)
+    d.external_B(np.asarray(Bf, np.float32), host=True)
+
+    s0 = init_proton_beam(jax.random.PRNGKey(1), Np, 14.7,
+                          source_distance=10e-3, extent=EXT,
+                          cone_radius=0.5 * EXT)
+    v, _ = proton_speed(14.7)
+    # f32 table from the host grid == direct device-array trace
+    t32 = build_B_table(d, dtype=jnp.float32, plane_batch=7)
+    sf_ref = np.asarray(trace_protons(s0, d, 14.7, B_table=t32))
+    d_dev = ScalarDomain(2 * EXT, n)
+    d_dev.external_B(np.asarray(Bf, np.float32))
+    np.testing.assert_allclose(
+        sf_ref, np.asarray(trace_protons(s0, d_dev, 14.7)), rtol=1e-6)
+
+    # deflection signal scale: RMS transverse exit velocity
+    sig = np.sqrt(np.mean(sf_ref[:, 3] ** 2 + sf_ref[:, 4] ** 2))
+    for dtype, dither, tol in ((jnp.bfloat16, None, 0.006),
+                               (jnp.int8, 11, 0.02)):
+        tab = build_B_table(d, dtype=dtype, plane_batch=7, dither=dither)
+        assert tab.grid.dtype == (jnp.int8 if dtype == jnp.int8
+                                  else dtype)
+        sf = np.asarray(trace_protons(s0, d, 14.7, B_table=tab))
+        err = np.sqrt(np.mean((sf[:, 3] - sf_ref[:, 3]) ** 2
+                              + (sf[:, 4] - sf_ref[:, 4]) ** 2))
+        assert err / sig < tol, (dtype, err / sig)
+        # |v| invariance survives quantisation (Boris property)
+        np.testing.assert_allclose(
+            np.sqrt((sf[:, 3:] ** 2).sum(axis=1)), v, rtol=1e-6)

@@ -192,3 +192,69 @@ def test_opacity_lookup_rejects_nonpositive_grids():
     with np.testing.assert_raises(ValueError):
         make_opacity_lookup(np.array([0.0, 1.0, 10.0]),
                             np.array([1e-3, 1e-2]), np.ones((3, 2)))
+
+
+def test_radiography_streamed_matches_dense():
+    # the >HBM streamed variant must reproduce the dense plane reduction
+    # (same trapezoid weights; uneven plane batches exercise the
+    # edge-weight routing) from host numpy volumes
+    from synthpy_tpu.optics.xray import radiography_streamed
+
+    T, rho_g, table, _ = _power_law_table()
+    kfn = make_opacity_lookup(T, rho_g, table)
+    jfn = grey_emissivity(kfn)
+    rng = np.random.default_rng(7)
+    n = 23
+    rho = (1e-3 * (1.0 + 0.5 * rng.random((n, n, n)))).astype(np.float32)
+    Te = (50.0 * (1.0 + rng.random((n, n, n)))).astype(np.float32)
+    sp = 1e-4
+    for pd in ("z", "x"):
+        dense_t = np.asarray(attenuation_image(
+            jnp.asarray(rho), jnp.asarray(Te), kfn, sp, pd))
+        dense_e = np.asarray(self_emission_image(
+            jnp.asarray(rho), jnp.asarray(Te), jfn, sp, pd))
+        st_t, st_e = radiography_streamed(rho, Te, kfn, sp, pd,
+                                          emiss_fn=jfn, plane_batch=5)
+        np.testing.assert_allclose(np.asarray(st_t), dense_t, rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(st_e), dense_e, rtol=2e-5)
+    # attenuation-only return shape
+    only = radiography_streamed(rho, Te, kfn, sp, plane_batch=23)
+    np.testing.assert_allclose(np.asarray(only),
+                               np.asarray(attenuation_image(
+                                   jnp.asarray(rho), jnp.asarray(Te),
+                                   kfn, sp, "z")), rtol=2e-5)
+
+
+def test_point_projection_streamed_matches_dense_quadrature():
+    # plane-crossing quadrature vs dense chord sampling: one sample per
+    # grid plane is the resolution-matched rule, so with n_steps at the
+    # plane count the two integrals agree to quadrature tolerance
+    from synthpy_tpu.optics.xray import point_projection_radiograph_streamed
+
+    T, rho_g, table, _ = _power_law_table()
+    kfn = make_opacity_lookup(T, rho_g, table)
+    rng = np.random.default_rng(3)
+    n = 33
+    ext = 2e-3
+    x = np.linspace(-ext, ext, n, dtype=np.float32)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    rho = (2e-2 * np.exp(-(X**2 + Y**2 + Z**2) / (1e-3) ** 2)
+           + 1e-4).astype(np.float32)
+    Te = np.full((n,) * 3, 80.0, np.float32)
+    coords = (x, x, x)
+    kw = dict(source_distance=0.1, detector_distance=0.3,
+              bins=(41, 31), Lx=6.0, Ly=4.5)
+    for pd in ("z", "y"):
+        dense = np.asarray(point_projection_radiograph(
+            jnp.asarray(rho), jnp.asarray(Te), kfn, coords,
+            n_steps=4 * n, probing_direction=pd, **kw))
+        streamed = np.asarray(point_projection_radiograph_streamed(
+            rho, Te, kfn, coords, probing_direction=pd,
+            plane_batch=9, **kw))
+        assert np.abs(np.log(streamed) - np.log(dense)).max() < 0.02
+        # uneven batch split must not change the answer (bit-exact in
+        # accumulation order is not required; allclose is)
+        streamed2 = np.asarray(point_projection_radiograph_streamed(
+            rho, Te, kfn, coords, probing_direction=pd,
+            plane_batch=33, **kw))
+        np.testing.assert_allclose(streamed2, streamed, rtol=2e-5)
