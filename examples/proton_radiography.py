@@ -14,7 +14,15 @@ Also renders the 3 MeV (DD) image from the SAME field: the two-energy
 pair separates deflection magnitude from source structure, exactly as in
 experiment.
 
-Usage: python examples/proton_radiography.py [res] [Np]
+At 1024^3 the 3-channel f32 B grid is ~12.9 GB — bigger than HBM with
+ray state. `--tier bf16|int8` routes the field through
+tracer.particles.build_B_table: the grid stays HOST-resident
+(external_B(host=True)), streams UP in plane batches, and the pusher
+gathers bf16 (6.4 GB, ~0.4%) or dithered int8 (3.2 GB, <2% RMS
+deflection) corners — accuracy envelopes test-gated in
+tests/test_particles.py. Default f32 below 512.
+
+Usage: python examples/proton_radiography.py [res] [Np] [--tier f32|bf16|int8]
 (defaults 64, 2_000_000 — CPU smoke: 16 20000)
 """
 import json
@@ -35,28 +43,60 @@ from synthpy_tpu.fields.grf import (  # noqa: E402
     power_law,
 )
 from synthpy_tpu.tracer.particles import (  # noqa: E402
+    build_B_table,
     init_proton_beam,
     proton_radiograph,
     trace_protons,
 )
 
 
-def main(res: int = 64, Np: int = 2_000_000) -> dict:
+def main(res: int = 64, Np: int = 2_000_000, tier: str = "f32") -> dict:
     ext = 5e-3
     t0 = time.perf_counter()
-    # 10 T RMS Kolmogorov-like solenoidal turbulence over a 1 cm cube
-    _, B = grf_vector_solenoidal(jax.random.PRNGKey(7), power_law(3.667),
-                                 l_max=3e-3, l_min=0.4e-3, extent=ext,
-                                 res=res, rms=10.0)
-    domain = ScalarDomain(2 * ext, 2 * res)
-    domain.external_B(B)
+    dim = 2 * res
+    if tier == "f32":
+        # 10 T RMS Kolmogorov-like solenoidal turbulence over a 1 cm cube
+        _, B = grf_vector_solenoidal(jax.random.PRNGKey(7),
+                                     power_law(3.667), l_max=3e-3,
+                                     l_min=0.4e-3, extent=ext,
+                                     res=res, rms=10.0)
+        domain = ScalarDomain(2 * ext, dim)
+        domain.external_B(B)
+        B_tab = None
+    else:
+        # >HBM route: synthesise the turbulence at a device-friendly
+        # base res, download ONCE (the D2H direction is slow — keep the
+        # base grid small), upsample host-side, and stream the big grid
+        # back up through build_B_table at the reduced dtype
+        import jax.numpy as jnp
+
+        synth_res = min(res, 128)
+        _, B = grf_vector_solenoidal(jax.random.PRNGKey(7),
+                                     power_law(3.667), l_max=3e-3,
+                                     l_min=0.4e-3, extent=ext,
+                                     res=synth_res, rms=10.0)
+        Bh = np.asarray(B, np.float32)
+        f = dim // Bh.shape[0]
+        if f > 1:
+            Bh = Bh.repeat(f, 0).repeat(f, 1).repeat(f, 2)
+        print(json.dumps({"host_B_gb": round(Bh.nbytes / 2**30, 2),
+                          "upsample": f, "tier": tier}), flush=True)
+        domain = ScalarDomain(2 * ext, dim)
+        domain.external_B(Bh, host=True)
+        B_tab = build_B_table(
+            domain, dtype=jnp.bfloat16 if tier == "bf16" else jnp.int8,
+            plane_batch=32, dither=5 if tier == "int8" else None)
+        print(json.dumps({"table_gb": round(
+            B_tab.grid.nbytes / 2**30, 2),
+            "build_s": round(time.perf_counter() - t0, 1)}), flush=True)
 
     out = {}
     for tag, E_MeV in (("D3He_14p7MeV", 14.7), ("DD_3MeV", 3.0)):
         s0 = init_proton_beam(jax.random.PRNGKey(11), Np, E_MeV,
                               source_distance=10e-3, extent=ext,
                               cone_radius=0.6 * ext)
-        sf = trace_protons(s0, domain, E_MeV, ray_chunk=262_144)
+        sf = trace_protons(s0, domain, E_MeV, ray_chunk=262_144,
+                           B_table=B_tab)
         H = np.asarray(proton_radiograph(
             sf, detector_distance=100e-3, extent=ext, bins=(431, 321),
             Lx=100.0, Ly=75.0))
@@ -74,6 +114,11 @@ def main(res: int = 64, Np: int = 2_000_000) -> dict:
 
 
 if __name__ == "__main__":
+    tier = "f32"
+    if "--tier" in sys.argv:
+        i = sys.argv.index("--tier")
+        tier = sys.argv[i + 1]
+        del sys.argv[i:i + 2]
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     Np = int(float(sys.argv[2])) if len(sys.argv) > 2 else 2_000_000
-    main(res, Np)
+    main(res, Np, tier)

@@ -15,7 +15,16 @@ onto a PROPACEOS-convention (T, rho) log-log table first, so the example
 exercises the exact table->lookup->transport chain an experimental table
 would.
 
-Usage: python examples/xray_radiography.py [res] (default 96)
+At >HBM scale the same images come from the streamed plane-batch
+variants (optics.xray.radiography_streamed /
+point_projection_radiograph_streamed): host-resident volumes, one plane
+batch on device at a time. `--streamed` forces that path; it turns on
+automatically at res >= 512 (the (rho, Te) stack is ~8.6 GB f32 at
+1024^3). The streamed scene keeps memory host-side and uses a 2-D
+(x, z) shell-radius ripple (4 MB to download instead of a 4 GB volume
+through the slow D2H tunnel direction).
+
+Usage: python examples/xray_radiography.py [res] [--streamed] (default 96)
 """
 import json
 import os
@@ -37,29 +46,48 @@ from synthpy_tpu.optics.xray import (  # noqa: E402
     grey_emissivity,
     make_opacity_lookup,
     point_projection_radiograph,
+    point_projection_radiograph_streamed,
+    radiography_streamed,
     self_emission_image,
 )
 
-res = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+res = int(sys.argv[1]) if len(sys.argv) > 1 and not sys.argv[1].startswith(
+    "--") else 96
 res -= res % 2  # grf_domain_fft(res=res//2) yields 2*(res//2) ripple points
+STREAMED = "--streamed" in sys.argv or res >= 512
 half = 2.5e-3  # box half-size [m]
 ax = np.linspace(-half, half, res).astype(np.float32)
-X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
-r = np.sqrt(X ** 2 + Y ** 2)  # cylinder radius about z... probing is y
 
 # liner: dense shell at r0 with GRF ripple (the instability seed),
-# hot low-density core inside
-r_cyl = np.sqrt(X ** 2 + Z ** 2)
-# grf_domain_fft yields 2*res points per axis over [-extent, extent)
-_, ripple = grf_domain_fft(jax.random.PRNGKey(7), power_law(-11.0 / 3.0),
-                           l_max=2e-3, l_min=3e-4, extent=half,
-                           res=res // 2)
-ripple = np.asarray(ripple)[:res, :res, :res]
-r0 = 1.4e-3 * (1.0 + 0.12 * ripple)
-shell = np.exp(-((r_cyl - r0) / 2.5e-4) ** 2)
-core = np.exp(-(r_cyl / 8e-4) ** 2)
-rho = (0.5 * shell + 1e-2 * core).astype(np.float32)       # g/cm^3
-Te = (15.0 + 485.0 * core).astype(np.float32)              # eV
+# hot low-density core inside. The ripple perturbs the shell radius as
+# a function of (x, z) — a 2-D field regardless of scale (at 1024^3 a
+# 3-D ripple volume would cost a 4 GB D2H download; the 2-D slice is
+# 4 MB and physically it is the shell SURFACE that ripples).
+_, ripple3 = grf_domain_fft(jax.random.PRNGKey(7), power_law(-11.0 / 3.0),
+                            l_max=2e-3, l_min=3e-4, extent=half,
+                            res=min(res, 256) // 2)
+ripple_xz = np.asarray(ripple3[:, 0, :])  # (2R, 2R) slice at y ~ -half
+if ripple_xz.shape[0] != res:
+    # resample the (x, z) ripple onto the res grid (nearest is fine for
+    # a shell-seed perturbation)
+    idx = np.clip((np.arange(res) * ripple_xz.shape[0]) // res, 0,
+                  ripple_xz.shape[0] - 1)
+    ripple_xz = ripple_xz[np.ix_(idx, idx)]
+
+X2, Z2 = np.meshgrid(ax, ax, indexing="ij")
+r_cyl2 = np.sqrt(X2 ** 2 + Z2 ** 2)
+r0_2 = 1.4e-3 * (1.0 + 0.12 * ripple_xz)
+shell2 = np.exp(-((r_cyl2 - r0_2) / 2.5e-4) ** 2)
+core2 = np.exp(-(r_cyl2 / 8e-4) ** 2)
+# the cylinder axis is z, probing is y: rho/Te are constant along y, so
+# the 3-D volumes are a broadcast of the (x, z) maps — materialised
+# host-side only (numpy), never on device as full volumes
+rho = np.ascontiguousarray(np.broadcast_to(
+    (0.5 * shell2 + 1e-2 * core2).astype(np.float32)[:, None, :],
+    (res, res, res)))                                       # g/cm^3
+Te = np.ascontiguousarray(np.broadcast_to(
+    (15.0 + 485.0 * core2).astype(np.float32)[:, None, :],
+    (res, res, res)))                                       # eV
 
 # Kramers-like opacity sampled onto a PROPACEOS-style log-log table:
 # the cold dense shell is optically thick (tau ~ 1-3), the hot dilute
@@ -71,19 +99,27 @@ kfn = make_opacity_lookup(T_grid, rho_grid, table)
 
 ds = float(ax[1] - ax[0])
 t0 = time.time()
-trans = attenuation_image(rho, Te, kfn, ds, probing_direction="y")
-emiss = self_emission_image(rho, Te, grey_emissivity(kfn), ds, "y")
-pp = point_projection_radiograph(
-    rho, Te, kfn, [jnp.asarray(ax)] * 3,
-    source_distance=8e-3, detector_distance=80e-3,
-    bins=(431, 321), Lx=90.0, Ly=67.0, n_steps=160,
-    probing_direction="y")
+pp_kw = dict(source_distance=8e-3, detector_distance=80e-3,
+             bins=(431, 321), Lx=90.0, Ly=67.0, probing_direction="y")
+if STREAMED:
+    trans, emiss = radiography_streamed(
+        rho, Te, kfn, ds, "y", emiss_fn=grey_emissivity(kfn),
+        plane_batch=32)
+    pp = point_projection_radiograph_streamed(
+        rho, Te, kfn, [ax] * 3, plane_batch=32, **pp_kw)
+else:
+    trans = attenuation_image(rho, Te, kfn, ds, probing_direction="y")
+    emiss = self_emission_image(rho, Te, grey_emissivity(kfn), ds, "y")
+    pp = point_projection_radiograph(
+        rho, Te, kfn, [jnp.asarray(ax)] * 3, n_steps=160, **pp_kw)
 trans, emiss, pp = (np.asarray(a) for a in (trans, emiss, pp))
 elapsed = time.time() - t0
 
 M = (8e-3 + 2 * half + 80e-3) / (8e-3 + half)
 print(json.dumps({
     "res": res,
+    "streamed": STREAMED,
+    "backend": jax.default_backend(),
     "elapsed_s": round(elapsed, 3),
     "magnification": round(M, 2),
     "min_transmission_parallel": float(trans.min()),
