@@ -2157,15 +2157,19 @@ def build_segment_pack_upload(
 
     n_extra = len(extras_h)
 
-    @partial(jax.jit, donate_argnums=(0,),
+    @partial(jax.jit, donate_argnums=(0, 1),
              static_argnames=("pb", "lone"))
-    def fill(buf, slab, ex, g0, seg_i, col0, *, pb, lone):
+    def fill(buf, scl, slab, ex, g0, seg_i, col0, k0, *, pb, lone):
         """Compute channels for pb body planes and write their blocks.
 
         slab: (pb+2, na, nb) f32 with stencil margins; ex: (n_extra, pb,
         na, nb); g0: first body plane's ABSOLUTE index; col0: first
-        output column. ``lone``: the final odd plane of an int4 segment
-        (hi nibble zero).
+        output column; k0: first SEGMENT-LOCAL plane index (scale row).
+        ``lone``: the final odd plane of an int4 segment (hi nibble
+        zero). ``scl`` is the device-resident (n_seg, K+1, C) scale
+        table — kept on device so the batch loop never syncs (a
+        per-batch host fetch of the scales serialised upload against
+        device compute).
         """
         body = slab[1:-1]
         gidx = g0 + jnp.arange(pb)
@@ -2212,12 +2216,15 @@ def build_segment_pack_upload(
         blk = blk.reshape(na * nb, nblk * C)
         buf = jax.lax.dynamic_update_slice(
             buf, blk[None], (seg_i, 0, col0))
-        return (buf, scale) if quantized else buf
+        if quantized:
+            scl = jax.lax.dynamic_update_slice(
+                scl, scale[None, :1] if lone else scale[None],
+                (seg_i, k0, 0))
+        return buf, scl
 
     buf = jnp.zeros((n_seg, na * nb, blocks * C),
                     jnp.int8 if quantized else dtype)
-    scales_h = (_np.ones((n_seg, K + 1, C), _np.float32)
-                if quantized else None)
+    scl = jnp.ones((n_seg, K + 1, C) if quantized else (1,), jnp.float32)
     t0 = _time.perf_counter()
     for s_i in range(n_seg):
         for k0 in range(0, K, PB):
@@ -2229,12 +2236,8 @@ def build_segment_pack_upload(
                  for e in extras_h])
                 if extras_h else _np.zeros((0, PB, na, nb), ex_np))
             col0 = (k0 // 2 if quantized4 else k0) * C
-            res = fill(buf, slab, ex, g0, s_i, col0, pb=PB, lone=False)
-            if quantized:
-                buf, sc = res
-                scales_h[s_i, k0:k0 + PB] = _np.asarray(sc)
-            else:
-                buf = res
+            buf, scl = fill(buf, scl, slab, ex, g0, s_i, col0, k0,
+                            pb=PB, lone=False)
             if verbose:
                 print(f"  seg {s_i} planes {k0}..{k0 + PB} "
                       f"({_time.perf_counter() - t0:.1f}s)", flush=True)
@@ -2249,14 +2252,10 @@ def build_segment_pack_upload(
              for e in extras_h])
             if extras_h else _np.zeros((0, 1, na, nb), ex_np))
         col0 = (K // 2 if quantized4 else K) * C
-        res = fill(buf, slab, ex, g0, s_i, col0, pb=1, lone=quantized4)
-        if quantized:
-            buf, sc = res
-            scales_h[s_i, K:K + 1] = _np.asarray(sc)[:1]
-        else:
-            buf = res
+        buf, scl = fill(buf, scl, slab, ex, g0, s_i, col0, K,
+                        pb=1, lone=quantized4)
 
-    scales = jnp.asarray(scales_h) if quantized else None
+    scales = scl if quantized else None
     origin_ab = jnp.stack([ca[0], cb[0]])
     inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])
     return SegmentPack(buf, origin_ab, inv_ab, (na, nb), K, n_slabs,
