@@ -51,7 +51,7 @@ from synthpy_tpu.tracer.zscan import (make_segment_pack, make_zscan_pack,
                                       trace_zscan_segments)
 
 __all__ = ["apply_stages_weighted", "cic_image", "cic_intensity_image",
-           "make_renderer"]
+           "make_renderer", "make_multiview_renderers"]
 
 
 def apply_stages_weighted(r: jnp.ndarray, stages: Sequence[Tuple],
@@ -294,6 +294,7 @@ def make_renderer(
         return make_segment_pack(zp, K=K).seg_planes
 
     def render(ne: jnp.ndarray):
+        """Differentiable forward model: ne volume -> detector image(s)."""
         sp = sp0._replace(seg_planes=_seg_planes(ne))
         uf = trace_zscan_segments(
             u0, sp.seg_planes, sp.origin_ab, sp.inv_spacing_ab,
@@ -354,3 +355,42 @@ def make_renderer(
         return tuple(images) if multi else images[0]
 
     return render
+
+
+def make_multiview_renderers(
+    domain: ScalarDomain,
+    beams: dict,
+    **renderer_kwargs,
+) -> dict:
+    """Renderers for several probing directions of the SAME volume.
+
+    The tomographic forward model: each entry of ``beams`` maps a
+    probing direction ('x'/'y'/'z') to its ray bundle s0 (built with
+    :func:`tracer.init_beam(probing_direction=...)`); the returned dict
+    maps each direction to a :func:`make_renderer` closure over a copy
+    of ``domain`` probing along that axis. All closures consume the
+    same ``ne`` argument, so a joint loss over every view's images is
+    differentiable with respect to one shared volume.
+
+    Why this matters: a single parallel view's data is (to first order)
+    a projection along its probing axis — a Fourier mode with a nonzero
+    wavenumber component along that axis integrates to zero, so
+    single-view inversion recovers only the beam-integrated 2.5-D field
+    (measured: rel_l2_full 0.87-0.89 at 512^3 while rel_l2_beam reaches
+    0.385, scratch/results_inverse_joint_r3.json). Orthogonal views see
+    complementary mode sets; jointly fitted they localise structure in
+    all three coordinates. The reference has no differentiable trace at
+    all (its solve_ivp/diffrax + histogram2d chain propagates no
+    derivatives; reference full_solver.py:376-403, diagnostics.py:
+    323-353), let alone a multi-view inversion surface.
+
+    ``renderer_kwargs`` are forwarded to every :func:`make_renderer`
+    call (same benches, bins, optics for each arm — the usual
+    experimental layout; build arms individually for per-view optics).
+    """
+    renders = {}
+    for view, s0 in beams.items():
+        g = copy.copy(domain)
+        g.probing_direction = view
+        renders[view] = make_renderer(g, s0, **renderer_kwargs)
+    return renders

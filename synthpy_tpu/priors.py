@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from typing import Callable, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from synthpy_tpu.fields.grf import _safe_spectrum
@@ -177,6 +178,12 @@ def make_grf_whitener(
     # unit white theta is sum(amp^2)/n_tot^2 * n_tot = mean(amp^2)
     amp = amp / jnp.sqrt(jnp.mean(amp**2))
 
+    # jitted so the complex DFT intermediates stay INSIDE one program:
+    # eager op-by-op execution would round-trip complex arrays through
+    # the runtime between ops, which remote-attached TPU services
+    # reject (see ops.dft module docstring) — measured failing on the
+    # axon backend when colorize was called eagerly for a final render.
+    @jax.jit
     def colorize(theta: jnp.ndarray) -> jnp.ndarray:
         F = dft.fftn(theta.astype(jnp.float32))
         return jnp.real(dft.ifftn(F * amp))
