@@ -2038,6 +2038,74 @@ def cached_build_segment_pack(
     return spack
 
 
+def _channel_batch_writer(layout, *, pref, da, db, dp, n_p, omega, verdet,
+                          quantized, quantized4, qmax, dither, dtype,
+                          na, nb, C):
+    """Shared channel-compute + quantise + write body for the plane-batch
+    pack builders (:func:`build_segment_pack_upload`,
+    :func:`build_segment_pack_synth`).
+
+    One implementation guarantees the two routes are bit-identical: the
+    same gradient stencils, boundary handling, channel math, per-plane
+    scales and absolute-plane dither keys, whatever produced the slab
+    (an H2D upload or on-device synthesis).
+    """
+    from synthpy_tpu import constants as _constants
+
+    def write(buf, scl, slab, exf, g0, seg_i, col0, k0, pb, lone):
+        body = slab[1:-1]
+        gidx = g0 + jnp.arange(pb)
+        Ga = pref * jnp.gradient(body, da, axis=1)
+        Gb = pref * jnp.gradient(body, db, axis=2)
+        Gp = pref * (slab[2:] - slab[:-2]) / (2.0 * dp)
+        first = gidx == 0
+        Gp = jnp.where(first[:, None, None], 2.0 * Gp, Gp)
+        last = gidx == n_p - 1
+        Gp = jnp.where(last[:, None, None], 2.0 * Gp + pref * body / dp, Gp)
+        chans = [Ga, Gb, Gp]
+        if layout.inv_brems:
+            chans.append(_constants.kappa(body, exf[0], exf[1], omega))
+        if layout.phaseshift:
+            chans.append(omega * (_constants.n_refrac(body, omega) - 1.0))
+        if layout.B_on:
+            off = 2 if layout.inv_brems else 0
+            for i in range(3):
+                chans.append(verdet * body * exf[off + i])
+        out = jnp.stack(chans, axis=-1)              # (pb, na, nb, C)
+        out = jnp.where((gidx <= n_p - 1)[:, None, None, None], out, 0)
+        if quantized:
+            amax = jnp.max(jnp.abs(out), axis=(1, 2))
+            scale = jnp.where(amax > 0, amax / qmax, 1.0)
+            x = out / scale[:, None, None]
+            if dither is not None:
+                u = jax.vmap(lambda g: jax.random.uniform(
+                    jax.random.fold_in(dither, g), (na, nb, C),
+                    minval=-0.5, maxval=0.5))(gidx)
+                x = x + jnp.where(out != 0, u, 0.0)
+            q = jnp.clip(jnp.round(x), -qmax, qmax).astype(jnp.int8)
+            if quantized4:
+                if lone:
+                    q = jnp.concatenate(
+                        [q, jnp.zeros((1, na, nb, C), jnp.int8)], axis=0)
+                lo, hi = q[0::2], q[1::2]
+                q = (lo & 15) | ((hi & 15) << 4)
+            blk = jnp.transpose(q, (1, 2, 0, 3))
+        else:
+            scale = None
+            blk = jnp.transpose(out.astype(dtype), (1, 2, 0, 3))
+        nblk = blk.shape[2]
+        blk = blk.reshape(na * nb, nblk * C)
+        buf = jax.lax.dynamic_update_slice(
+            buf, blk[None], (seg_i, 0, col0))
+        if quantized:
+            scl = jax.lax.dynamic_update_slice(
+                scl, scale[None, :1] if lone else scale[None],
+                (seg_i, k0, 0))
+        return buf, scl
+
+    return write
+
+
 def build_segment_pack_upload(
     domain: ScalarDomain,
     lwl: float = 1064e-9,
@@ -2157,6 +2225,11 @@ def build_segment_pack_upload(
 
     n_extra = len(extras_h)
 
+    write = _channel_batch_writer(
+        layout, pref=pref, da=da, db=db, dp=dp, n_p=n_p, omega=omega,
+        verdet=verdet, quantized=quantized, quantized4=quantized4,
+        qmax=qmax, dither=dither, dtype=dtype, na=na, nb=nb, C=C)
+
     @partial(jax.jit, donate_argnums=(0, 1),
              static_argnames=("pb", "lone"))
     def fill(buf, scl, slab, ex, g0, seg_i, col0, k0, *, pb, lone):
@@ -2169,58 +2242,11 @@ def build_segment_pack_upload(
         zero). ``scl`` is the device-resident (n_seg, K+1, C) scale
         table — kept on device so the batch loop never syncs (a
         per-batch host fetch of the scales serialised upload against
-        device compute).
+        device compute). Channel math lives in
+        :func:`_channel_batch_writer` (shared with the synth builder).
         """
-        body = slab[1:-1]
-        gidx = g0 + jnp.arange(pb)
-        Ga = pref * jnp.gradient(body, da, axis=1)
-        Gb = pref * jnp.gradient(body, db, axis=2)
-        Gp = pref * (slab[2:] - slab[:-2]) / (2.0 * dp)
-        first = gidx == 0
-        Gp = jnp.where(first[:, None, None], 2.0 * Gp, Gp)
-        last = gidx == n_p - 1
-        Gp = jnp.where(last[:, None, None], 2.0 * Gp + pref * body / dp, Gp)
-        chans = [Ga, Gb, Gp]
-        exf = ex.astype(jnp.float32)
-        if layout.inv_brems:
-            chans.append(_c.kappa(body, exf[0], exf[1], omega))
-        if layout.phaseshift:
-            chans.append(omega * (_c.n_refrac(body, omega) - 1.0))
-        if layout.B_on:
-            off = 2 if layout.inv_brems else 0
-            for i in range(3):
-                chans.append(verdet * body * exf[off + i])
-        out = jnp.stack(chans, axis=-1)              # (pb, na, nb, C)
-        out = jnp.where((gidx <= n_p - 1)[:, None, None, None], out, 0)
-        if quantized:
-            amax = jnp.max(jnp.abs(out), axis=(1, 2))
-            scale = jnp.where(amax > 0, amax / qmax, 1.0)
-            x = out / scale[:, None, None]
-            if dither is not None:
-                u = jax.vmap(lambda g: jax.random.uniform(
-                    jax.random.fold_in(dither, g), (na, nb, C),
-                    minval=-0.5, maxval=0.5))(gidx)
-                x = x + jnp.where(out != 0, u, 0.0)
-            q = jnp.clip(jnp.round(x), -qmax, qmax).astype(jnp.int8)
-            if quantized4:
-                if lone:
-                    q = jnp.concatenate(
-                        [q, jnp.zeros((1, na, nb, C), jnp.int8)], axis=0)
-                lo, hi = q[0::2], q[1::2]
-                q = (lo & 15) | ((hi & 15) << 4)
-            blk = jnp.transpose(q, (1, 2, 0, 3))
-        else:
-            scale = None
-            blk = jnp.transpose(out.astype(dtype), (1, 2, 0, 3))
-        nblk = blk.shape[2]
-        blk = blk.reshape(na * nb, nblk * C)
-        buf = jax.lax.dynamic_update_slice(
-            buf, blk[None], (seg_i, 0, col0))
-        if quantized:
-            scl = jax.lax.dynamic_update_slice(
-                scl, scale[None, :1] if lone else scale[None],
-                (seg_i, k0, 0))
-        return buf, scl
+        return write(buf, scl, slab, ex.astype(jnp.float32), g0, seg_i,
+                     col0, k0, pb, lone)
 
     buf = jnp.zeros((n_seg, na * nb, blocks * C),
                     jnp.int8 if quantized else dtype)
@@ -2254,6 +2280,174 @@ def build_segment_pack_upload(
         col0 = (K // 2 if quantized4 else K) * C
         buf, scl = fill(buf, scl, slab, ex, g0, s_i, col0, K,
                         pb=1, lone=quantized4)
+
+    scales = scl if quantized else None
+    origin_ab = jnp.stack([ca[0], cb[0]])
+    inv_ab = jnp.stack([1.0 / (ca[1] - ca[0]), 1.0 / (cb[1] - cb[0])])
+    return SegmentPack(buf, origin_ab, inv_ab, (na, nb), K, n_slabs,
+                       float(cp[0]), dp, omega, scales,
+                       4 if quantized4 else None)
+
+
+def build_segment_pack_synth(
+    domain: ScalarDomain,
+    fields=None,
+    lwl: float = 1064e-9,
+    K: int = 256,
+    dtype="int4",
+    plane_batch: int = 32,
+    dither=None,
+    verbose: bool = False,
+) -> SegmentPack:
+    """Build a SegmentPack by SYNTHESISING the fields ON DEVICE.
+
+    The config[4]-class campaign's scene is analytic (a z-pinch profile +
+    closed-form B; BASELINE.json configs[4]) — yet the round-4 measured
+    run still paid 515 s of single-core host numpy to materialise 26 GB
+    of volumes and 1115 s to stream them up
+    (scratch/results_1024_full_physics.jsonl). When the fields have
+    closed forms there is no reason for either: this builder evaluates
+    jittable field closures plane-batch by plane-batch on the TPU and
+    feeds them straight into the shared channel/quantise/write body
+    (:func:`_channel_batch_writer`), so the ONLY materialised array is
+    the final pack (int4 K=256 8-channel at 1024^3: ~4 GB, HBM-resident).
+    No host volumes, no H2D streaming, compute-bound build.
+
+    Parity: the channel/quantise/write body is shared verbatim with
+    :func:`build_segment_pack_upload` (same stencils, same boundary
+    handling, same absolute-plane dither keys), so the pack matches one
+    built from materialised volumes to f32 rounding — not bit-identical,
+    because XLA fuses the user closure into the batch program with fma
+    contraction (measured 2e-7 relative on the synthesised planes), so
+    quantised codes can differ by 1 LSB at rounding ties (test-gated
+    envelope: <1% of codes, never more than one step).
+
+    The reference's closest path regenerates field slabs on the host
+    CPU per auto-batch (/root/reference/src/simulator/domain.py:137-227);
+    it has no notion of device-side scene synthesis.
+
+    Args:
+        fields: dict of jittable closures over broadcastable (x, y, z)
+            coordinate arrays — ``'ne'`` (required), ``'Te'``/``'Z'``
+            (required when ``domain.inv_brems``), and ``'B'`` returning
+            an (Bx, By, Bz) tuple (required when ``domain.B_on``; the
+            convention of ``ScalarDomain.analytic``, e.g. test_B).
+            Defaults to ``domain.analytic``. Closures may capture small
+            device arrays (e.g. a 2-D ripple map) — they are traced into
+            the per-batch program.
+        plane_batch: planes per compute dispatch (must divide K; even
+            for int4).
+    """
+    from synthpy_tpu import constants as _c
+
+    layout = layout_of(domain)
+    if fields is None:
+        fields = domain.analytic
+    if not fields or "ne" not in fields:
+        raise ValueError(
+            "build_segment_pack_synth needs a fields dict with 'ne' "
+            "(or a domain with analytic closures)")
+    if layout.inv_brems and not ("Te" in fields and "Z" in fields):
+        raise RuntimeError("inv_brems requires 'Te' and 'Z' closures")
+    if layout.B_on and "B" not in fields:
+        raise RuntimeError("B_on requires a 'B' closure")
+    p_ax = _AXIS_OF[domain.probing_direction]
+    a_ax, b_ax = [a for a in range(3) if a != p_ax]
+    coords = (domain.x, domain.y, domain.z)
+    ca, cb, cp = coords[a_ax], coords[b_ax], coords[p_ax]
+    na, nb, n_p = ca.shape[0], cb.shape[0], cp.shape[0]
+    da = float(ca[1] - ca[0])
+    db = float(cb[1] - cb[0])
+    dp = float(cp[1] - cp[0])
+
+    omega = float(_c.omega_from_lwl(lwl))
+    nc = float(_c.critical_density(omega))
+    pref = -0.5 * _c.C**2 / nc
+    verdet = _c.verdet_constant(lwl) if layout.B_on else 0.0
+    quantized4 = isinstance(dtype, str) and dtype == "int4"
+    quantized = quantized4 or dtype == jnp.int8
+    if dither is not None and not quantized:
+        raise ValueError("dither applies to quantised dtypes only")
+    if dither is not None and not hasattr(dither, "dtype"):
+        dither = jax.random.PRNGKey(int(dither))
+    PB = min(plane_batch, K)
+    if K % PB:
+        raise ValueError(f"plane_batch={PB} must divide K={K}")
+    if quantized4 and (PB % 2 or K % 2):
+        raise ValueError("int4 packs need even K and plane_batch")
+    qmax = 7.0 if quantized4 else 127.0
+    C = layout.n_channels
+    n_slabs = n_p - 1
+    n_seg = -(-n_slabs // K)
+    blocks = _plane_blocks(K, 4 if quantized4 else None)
+
+    write = _channel_batch_writer(
+        layout, pref=pref, da=da, db=db, dp=dp, n_p=n_p, omega=omega,
+        verdet=verdet, quantized=quantized, quantized4=quantized4,
+        qmax=qmax, dither=dither, dtype=dtype, na=na, nb=nb, C=C)
+
+    ca_d = jnp.asarray(ca, jnp.float32)
+    cb_d = jnp.asarray(cb, jnp.float32)
+    cp_d = jnp.asarray(cp, jnp.float32)
+
+    def _xyz(p_idx):
+        """Broadcastable (x, y, z) for a batch of probing-plane indices."""
+        out = [None, None, None]
+        out[p_ax] = cp_d[p_idx][:, None, None]
+        out[a_ax] = ca_d[None, :, None]
+        out[b_ax] = cb_d[None, None, :]
+        return out
+
+    def _eval(fn, gs):
+        """fn on planes gs, probe-major (n, na, nb) f32; zero beyond box.
+
+        gs < 0 clamps to plane 0 (duplicated front stencil margin) and
+        gs >= n_p evaluates to zero — the exact boundary semantics of
+        build_segment_pack_upload's ne_plane/zero_ex.
+        """
+        n = gs.shape[0]
+        x, y, z = _xyz(jnp.clip(gs, 0, n_p - 1))
+        v = jnp.broadcast_to(fn(x, y, z), (n, na, nb)).astype(jnp.float32)
+        return jnp.where((gs >= n_p)[:, None, None], 0.0, v)
+
+    ex_fns = []
+    if layout.inv_brems:
+        ex_fns += [fields["Te"], fields["Z"]]
+    if layout.B_on:
+        for comp in (a_ax, b_ax, p_ax):
+            ex_fns.append(
+                lambda x, y, z, _i=comp: fields["B"](x, y, z)[_i])
+    ne_fn = fields["ne"]
+
+    @partial(jax.jit, donate_argnums=(0, 1),
+             static_argnames=("pb", "lone"))
+    def fill(buf, scl, g0, seg_i, col0, k0, *, pb, lone):
+        gs = g0 - 1 + jnp.arange(pb + 2)
+        slab = _eval(ne_fn, gs)
+        gbody = g0 + jnp.arange(pb)
+        exf = (jnp.stack([_eval(f, gbody) for f in ex_fns])
+               if ex_fns else jnp.zeros((0, pb, na, nb), jnp.float32))
+        return write(buf, scl, slab, exf, g0, seg_i, col0, k0, pb, lone)
+
+    import time as _time
+
+    buf = jnp.zeros((n_seg, na * nb, blocks * C),
+                    jnp.int8 if quantized else dtype)
+    scl = jnp.ones((n_seg, K + 1, C) if quantized else (1,), jnp.float32)
+    t0 = _time.perf_counter()
+    for s_i in range(n_seg):
+        for k0 in range(0, K, PB):
+            g0 = s_i * K + k0
+            col0 = (k0 // 2 if quantized4 else k0) * C
+            buf, scl = fill(buf, scl, g0, s_i, col0, k0, pb=PB, lone=False)
+            if verbose:
+                print(f"  seg {s_i} planes {k0}..{k0 + PB} "
+                      f"({_time.perf_counter() - t0:.1f}s)", flush=True)
+        # the segment's final plane (duplicated as plane 0 of the next
+        # segment; hi nibble zero for int4) — same as the other builders
+        g0 = s_i * K + K
+        col0 = (K // 2 if quantized4 else K) * C
+        buf, scl = fill(buf, scl, g0, s_i, col0, K, pb=1, lone=quantized4)
 
     scales = scl if quantized else None
     origin_ab = jnp.stack([ca[0], cb[0]])

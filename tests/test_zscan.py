@@ -1406,6 +1406,161 @@ def test_upload_builder_bit_identical_to_device_builder(dtype):
     assert up.dp == ref.dp and up.p0 == ref.p0
 
 
+@pytest.mark.parametrize("dtype", ["f32", "int8", "int4"])
+def test_synth_builder_matches_upload_builder(dtype):
+    # device-native scene synthesis (the config[4] analytic-scene route):
+    # jittable field closures evaluated plane-batch by plane-batch on
+    # device must produce the same pack as materialising the closures
+    # into volumes and streaming them up — same channel math, stencils,
+    # boundary margins and dither keys via the shared
+    # _channel_batch_writer (incl. pad segments: n_slabs=20 over K=8).
+    # NOT bit-identical: XLA fuses the closure into the batch program
+    # with fma contraction, so the synthesised planes differ from the
+    # eagerly materialised volume at the ulp level (measured 2e-7
+    # relative) — f32 channels match to rounding, quantised codes to
+    # 1 LSB at rounding ties.
+    from synthpy_tpu.tracer.zscan import (PACK_DTYPES,
+                                          build_segment_pack_synth,
+                                          build_segment_pack_upload)
+
+    n = 21
+    ext = 5e-3
+
+    def ne_fn(x, y, z):
+        return (8e23 * jnp.exp(-(x**2 + y**2) / (2e-3) ** 2)
+                * (1.0 + 0.3 * jnp.cos(2 * jnp.pi * z / 3e-3)))
+
+    def te_fn(x, y, z):
+        return 40.0 + 5.0 * jnp.exp(-(x**2 + y**2 + z**2) / (3e-3) ** 2)
+
+    def z_fn(x, y, z):
+        return 3.0 + 0.0 * (x + y + z)
+
+    def b_fn(x, y, z):
+        r = jnp.sqrt(x**2 + y**2) + 1e-12
+        bmag = 5.0 * (r / 1.5e-3) / (1.0 + (r / 1.5e-3) ** 2)
+        return (-y / r * bmag + 0.0 * z, x / r * bmag, 0.0 * x + 0.0 * z)
+
+    fields = {"ne": ne_fn, "Te": te_fn, "Z": z_fn, "B": b_fn}
+
+    d_syn = ScalarDomain(2 * ext, n)
+    d_syn.inv_brems = True
+    d_syn.phaseshift = True
+    d_syn.B_on = True
+
+    # materialise the SAME closures on the full grid for the upload route
+    X = d_syn.x[:, None, None]
+    Y = d_syn.y[None, :, None]
+    Z_ = d_syn.z[None, None, :]
+    full = (n, n, n)
+    d_up = ScalarDomain(2 * ext, n)
+    d_up.external_ne(np.asarray(jnp.broadcast_to(ne_fn(X, Y, Z_), full)),
+                     host=True)
+    d_up.external_Te(np.asarray(jnp.broadcast_to(te_fn(X, Y, Z_), full)),
+                     host=True)
+    d_up.external_Z(np.asarray(jnp.broadcast_to(z_fn(X, Y, Z_), full)),
+                    host=True)
+    B = np.stack([np.asarray(jnp.broadcast_to(c, full))
+                  for c in b_fn(X, Y, Z_)], axis=-1)
+    d_up.external_B(B, host=True)
+    d_up.inv_brems = True
+    d_up.phaseshift = True
+
+    dt = PACK_DTYPES[dtype]
+    dith = 11 if dtype in ("int8", "int4") else None
+    up = build_segment_pack_upload(d_up, K=8, dtype=dt, plane_batch=4,
+                                   dither=dith)
+    syn = build_segment_pack_synth(d_syn, fields, K=8, dtype=dt,
+                                   plane_batch=4, dither=dith)
+    assert syn.K == up.K and syn.n_slabs == up.n_slabs
+    assert syn.qbits == up.qbits
+    a_up = np.asarray(up.seg_planes)
+    a_syn = np.asarray(syn.seg_planes)
+    if dtype == "f32":
+        # per-column (plane*channel) scale: gradient channels sit at
+        # ~1e12 while near-zero entries carry the ulp noise
+        colmax = np.abs(a_up).max(axis=(0, 1))
+        np.testing.assert_array_less(
+            np.abs(a_up - a_syn),
+            2e-5 * np.abs(a_up) + 1e-5 * colmax + 1e-30)
+    else:
+        su = np.asarray(up.scales)   # (n_seg, K+1, C); 1.0 = amax==0
+        ss = np.asarray(syn.scales)
+        su0 = np.where(su == 1.0, 0.0, su)
+        ss0 = np.where(ss == 1.0, 0.0, ss)
+        ok = np.isclose(su, ss, rtol=1e-5)
+        assert ok.mean() > 0.9
+        # mismatching planes must be ulp-noise planes: an analytically
+        # zero gradient where the two routes' rounding residue differs —
+        # physically negligible vs the channel's real scale
+        chmax = su0.max(axis=(0, 1), keepdims=True) + 1e-30
+        assert (np.maximum(su0, ss0)[~ok]
+                < 1e-3 * np.broadcast_to(chmax, su.shape)[~ok]).all()
+        if dtype == "int4":  # sign-extend nibble codes before comparing
+            def _nib(a):
+                raw = np.stack([a & 15, (a >> 4) & 15]).astype(np.int16)
+                return (raw ^ 8) - 8
+            a_up, a_syn = _nib(a_up), _nib(a_syn)
+        # codes compared where the plane scales agree (noise planes
+        # quantise different residue with different scales)
+        n_seg_, K1, C = su.shape
+        plane_ok = ok.all(axis=2)              # (n_seg, K+1)
+        na_nb = a_up.shape[-2]
+        if dtype == "int4":                    # (2, n_seg, rows, bytes*C)
+            byte_of = np.repeat(np.arange((K1 + 1) // 2), C)
+            m = np.stack([plane_ok[:, 2 * byte_of],
+                          plane_ok[:, np.minimum(2 * byte_of + 1, K1 - 1)]])
+            m = np.broadcast_to(m[:, :, None, :], a_up.shape)
+        else:
+            col_of = np.repeat(np.arange(K1), C)
+            m = np.broadcast_to(plane_ok[:, col_of][:, None, :],
+                                a_up.shape)
+        mism = (a_up != a_syn) & m
+        assert mism.mean() < 0.01, f"{mism.mean():.4f} of codes differ"
+        # ties flip by exactly one code
+        d16 = (a_up.astype(np.int16) - a_syn.astype(np.int16))[mism]
+        if d16.size:
+            assert np.abs(d16).max() <= 1
+    np.testing.assert_allclose(np.asarray(syn.origin_ab),
+                               np.asarray(up.origin_ab))
+    assert syn.dp == up.dp and syn.p0 == up.p0
+
+
+def test_synth_builder_requires_closures_and_traces_arrayless_domain():
+    # a synth-built pack must trace through pipeline.run on a domain that
+    # carries ONLY flags (no volumes anywhere — the whole point)
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.tracer.zscan import build_segment_pack_synth
+
+    n = 17
+    d = ScalarDomain(1e-2, n, phaseshift=True)
+    with pytest.raises(ValueError):
+        build_segment_pack_synth(d)  # no closures anywhere
+    d.inv_brems = True
+    with pytest.raises(RuntimeError):
+        build_segment_pack_synth(
+            d, {"ne": lambda x, y, z: 1e23 + 0.0 * (x + y + z)})
+    d.inv_brems = False
+
+    sp = build_segment_pack_synth(
+        d, {"ne": lambda x, y, z:
+            1e24 * jnp.exp(-(x**2 + y**2) / (2e-3) ** 2) + 0.0 * z},
+        K=8, dtype=jnp.float32)
+    s0 = init_beam(jax.random.PRNGKey(0), 400, 2e-3, 0.0, 5e-3,
+                   "circular", "z")
+    img = pipeline.run(d, s0, spack=sp, solver="zscan_seg",
+                       bins=(31, 23), critical_guard=None)
+    assert np.isfinite(np.asarray(img)).all()
+    assert np.asarray(img).sum() > 0
+
+    # analytic test fields are the default closure source
+    d2 = ScalarDomain(1e-2, n).test_lens()
+    sp2 = build_segment_pack_synth(d2, K=8, dtype=jnp.float32)
+    img2 = pipeline.run(d2, s0, spack=sp2, solver="zscan_seg",
+                        bins=(31, 23), critical_guard=None)
+    assert np.isfinite(np.asarray(img2)).all()
+
+
 def test_pack_dtype_auto_advisor_and_pipeline_mode():
     from synthpy_tpu.tracer.zscan import PackTierAdvice, suggest_pack_dtype
     from synthpy_tpu import pipeline
