@@ -28,8 +28,18 @@ at the tunnel's ~20 MB/s D2H (what made the r3 streamed build take
 non-streamed segment path. `--tier streamed` keeps the r3 host-pack
 route for packs that exceed HBM even quantised.
 
+Round-4b route (`--tier synth`, now the default): the scene is analytic,
+so there is no reason to materialise it at all — build_segment_pack_synth
+evaluates the SAME closed forms plane-batch by plane-batch ON the TPU and
+assembles the int4 pack in place. No 26 GB of host volumes (515 s of
+single-core numpy), no H2D streaming (1115 s): the only materialised
+array is the ~4 GB pack itself. `--tier int4|int8` keeps the upload
+route (the path data-driven scenes, e.g. FLASH dumps, must take);
+`--tier streamed` keeps the r3 host-pack route for packs that exceed
+HBM even quantised.
+
 Usage: python examples/magpie_1024_full_physics.py [dim] [total_rays]
-           [chunk_rays] [--tier int4|int8|streamed]
+           [chunk_rays] [--tier synth|int4|int8|streamed]
 (defaults 1024, 1e8, 4e6 — CPU smoke: 33 20000 10000)
 """
 import json
@@ -54,7 +64,7 @@ from synthpy_tpu.tracer.zscan import (build_segment_pack_streaming,
                                       make_device_segment_cache)
 
 _args = [a for a in sys.argv[1:] if not a.startswith("--")]
-TIER = "int4"
+TIER = "synth"
 if "--tier" in sys.argv:
     TIER = sys.argv[sys.argv.index("--tier") + 1]
 DIM = int(_args[0]) if len(_args) > 0 else 1024
@@ -107,14 +117,63 @@ def build_scene(dim):
     return d
 
 
+def scene_closures(dim):
+    """The SAME z-pinch scene as jittable closures + a flag-only domain.
+
+    Each closure receives broadcastable (x, y, z) coordinate blocks and
+    is evaluated plane-batch by plane-batch on device by
+    build_segment_pack_synth — no volume is ever materialised anywhere.
+    """
+    R0 = 1.2e-3
+    wob = 0.25e-3
+    Rb = 1.5e-3
+
+    def ne_fn(x, y, z):
+        xc = wob * jnp.cos(2 * jnp.pi * z / (4e-3))
+        yc = wob * jnp.sin(2 * jnp.pi * z / (4e-3))
+        rp2 = (x - xc) ** 2 + (y - yc) ** 2
+        return (2e25 * jnp.exp(-rp2 / R0**2)
+                + 1e24 * jnp.exp(-(x**2 + y**2) / (3e-3) ** 2))
+
+    def b_fn(x, y, z):
+        r = jnp.sqrt(x**2 + y**2) + 1e-12
+        bmag = 30.0 * (r / Rb) / (1.0 + (r / Rb) ** 2)
+        return (-y / r * bmag + 0.0 * z, x / r * bmag + 0.0 * z,
+                0.0 * (x + y + z))
+
+    def te_fn(x, y, z):
+        return 50.0 + 0.0 * (x + y + z)
+
+    def z_fn(x, y, z):
+        return 4.0 + 0.0 * (x + y + z)
+
+    d = ScalarDomain(2 * EXT, dim)
+    d.inv_brems = True
+    d.phaseshift = True
+    d.B_on = True
+    return d, {"ne": ne_fn, "Te": te_fn, "Z": z_fn, "B": b_fn}
+
+
 def main():
     t0 = time.perf_counter()
-    d = build_scene(DIM)
+    if TIER == "synth":
+        d, fields = scene_closures(DIM)
+    else:
+        d = build_scene(DIM)
     t_scene = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     cache = None
-    if TIER == "streamed":
+    if TIER == "synth":
+        from synthpy_tpu.tracer.zscan import build_segment_pack_synth
+
+        K = 256 if DIM >= 256 else 8
+        hpack = build_segment_pack_synth(d, fields, K=K, dtype="int4",
+                                         plane_batch=min(32, K),
+                                         dither=7, verbose=True)
+        jax.block_until_ready(hpack.seg_planes)
+        integrator = "rk2s2"
+    elif TIER == "streamed":
         K = 32 if DIM >= 256 else 8
         hpack = build_segment_pack_streaming(d, K=K, dtype=jnp.bfloat16,
                                              device=False, verbose=True)
