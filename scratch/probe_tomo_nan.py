@@ -1,0 +1,142 @@
+"""Reproduce the 128^3 multi-view NaN at probe scale; find the first bad iter.
+
+Instrument: per-iter loss, max softplus field g, max ne/nc, grad norm.
+"""
+import sys
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from synthpy_tpu import constants as C
+from synthpy_tpu.analysis.fringes import (phase_difference,
+                                          rectify_phase_offset, unwrap_2d)
+from synthpy_tpu.fields import ScalarDomain
+from synthpy_tpu.inverse import make_multiview_renderers
+from synthpy_tpu.priors import make_grf_whitener, white_l2
+from synthpy_tpu.tracer import init_beam
+
+DIM, RAYS, ITERS = 65, 100_000, 60
+EXT, NE_SCALE, BEAM_R = 5e-3, 5e23, 3.2e-3
+BINS, LXY, N_FRINGES = (96, 96), 8.0, 16.0
+VIEWS = ("z", "x", "y")
+SIG, C0, W_WHITE, LR = 4.0, -4.0, 1e-2, 3e-2
+
+key = jax.random.PRNGKey(0)
+dom = ScalarDomain(2 * EXT, DIM, phaseshift=True)
+x = np.asarray(dom.x)[:, None, None]
+y = np.asarray(dom.y)[None, :, None]
+z = np.asarray(dom.z)[None, None, :]
+w2 = (0.8e-3) ** 2
+g_true = (0.8 * np.exp(-((x - 0.9e-3) ** 2 + y**2 + (z - 0.7e-3) ** 2) / w2)
+          + 0.65 * np.exp(-((x + 0.7e-3) ** 2 + (y - 0.8e-3) ** 2
+                            + (z + 0.9e-3) ** 2) / w2)
+          + 0.5 * np.exp(-(x**2 + (y + 1.0e-3) ** 2
+                           + (z - 0.2e-3) ** 2) / w2)
+          + 0.15 * np.exp(-(x**2 + y**2 + z**2) / (1.6e-3) ** 2))
+g_true_j = jnp.asarray(g_true, jnp.float32)
+
+beams = {v: init_beam(jax.random.fold_in(key, i), RAYS, BEAM_R, 0.0, EXT,
+                      "circular", probing_direction=v)
+         for i, v in enumerate(VIEWS)}
+common = dict(bins=BINS, K=max(DIM // 8, 8), Lx=LXY, Ly=LXY,
+              n_fringes=N_FRINGES)
+rend_meas = make_multiview_renderers(
+    dom, beams, diagnostic=("shadowgraphy", "interferometry"), **common)
+rend_model = make_multiview_renderers(
+    dom, beams, diagnostic=("shadowgraphy", "phase_map"), **common)
+
+ny, nx = BINS[1], BINS[0]
+yy = (np.arange(ny) - ny / 2 + 0.5) / ny * LXY
+xx = (np.arange(nx) - nx / 2 + 0.5) / nx * LXY
+rr = np.hypot(yy[:, None], xx[None, :])
+beam_px = rr < BEAM_R * 1e3 * 0.94
+edge_px = (rr > BEAM_R * 1e3 * 0.81) & (rr < BEAM_R * 1e3 * 0.97)
+
+
+@jax.jit
+def meas_all(g):
+    return {v: rend_meas[v](NE_SCALE * g) for v in VIEWS}
+
+
+shot = {v: [np.asarray(t) for t in im] for v, im in meas_all(g_true_j).items()}
+vac = {v: [np.asarray(t) for t in im]
+       for v, im in meas_all(jnp.zeros_like(g_true_j)).items()}
+
+tgt_shadow, tgt_phase = {}, {}
+for v in VIEWS:
+    sh, H_shot = shot[v]
+    pw = phase_difference(jnp.asarray(H_shot), jnp.asarray(vac[v][1]))
+    pu = unwrap_2d(pw, anchor=(ny // 2, nx // 2))
+    pu = rectify_phase_offset(pu, edge_px)
+    if np.median(pu[beam_px]) > 0:
+        pu = -pu
+    tgt_shadow[v] = jnp.asarray(sh)
+    tgt_phase[v] = jnp.asarray(pu)
+phase_mask = jnp.asarray(beam_px)
+
+colorize, n_modes = make_grf_whitener(
+    (DIM, DIM, DIM), 2 * EXT / (DIM - 1), lambda k: k ** (-4.0),
+    l_max=2 * EXT, l_min=0.5e-3)
+print(f"modes {n_modes}", flush=True)
+
+NC = C.critical_density(C.omega_from_lwl(1064e-9))
+
+
+def field(theta):
+    return jax.nn.softplus(C0 + SIG * colorize(theta))
+
+
+sc_sh = {v: float(np.abs(tgt_shadow[v]).max()) + 1e-30 for v in VIEWS}
+sc_ph = {v: float(np.abs(np.asarray(tgt_phase[v])[beam_px]).max()) + 1e-30
+         for v in VIEWS}
+
+t0_ = {}
+for v in VIEWS:
+    l_sh0 = float(np.mean(((vac[v][0] - np.asarray(tgt_shadow[v]))
+                           / sc_sh[v]) ** 2))
+    tp = np.asarray(tgt_phase[v])
+    l_ph0 = float((beam_px * (tp / sc_ph[v]) ** 2).sum() / beam_px.sum())
+    t0_[v] = (l_sh0, l_ph0)
+floor = 1e-2 * max(t0_[v][i] for v in VIEWS for i in (0, 1))
+wts = {v: (1.0 / max(t0_[v][0], floor), 1.0 / max(t0_[v][1], floor))
+       for v in VIEWS}
+
+
+def loss_fn(params):
+    g = field(params)
+    ne = NE_SCALE * g
+    data = 0.0
+    for v in VIEWS:
+        im_sh, im_ph = rend_model[v](ne)
+        l_sh = jnp.mean(((im_sh - tgt_shadow[v]) / sc_sh[v]) ** 2)
+        l_ph = (jnp.sum(phase_mask * ((im_ph - tgt_phase[v]) / sc_ph[v]) ** 2)
+                / phase_mask.sum())
+        data = data + wts[v][0] * l_sh + wts[v][1] * l_ph
+    data = data / (2 * len(VIEWS))
+    return data + W_WHITE * white_l2(params)
+
+
+opt = optax.adam(optax.cosine_decay_schedule(LR, ITERS))
+params = jnp.zeros((DIM, DIM, DIM), jnp.float32)
+state = opt.init(params)
+
+
+@jax.jit
+def step(p, st):
+    l, grads = jax.value_and_grad(loss_fn)(p)
+    gmax = jnp.max(jnp.abs(grads))
+    upd, st = opt.update(grads, st)
+    p2 = optax.apply_updates(p, upd)
+    g = field(p2)
+    return p2, st, l, gmax, jnp.max(g), jnp.max(jnp.abs(p2))
+
+
+for i in range(ITERS):
+    params, state, l, gmax, fmax, pmax = step(params, state)
+    print(f"it {i:3d} loss {float(l):.5f} |grad|max {float(gmax):.3e} "
+          f"gmax {float(fmax):.3e} ne/nc {float(fmax)*NE_SCALE/NC:.2e} "
+          f"|p|max {float(pmax):.3f}", flush=True)
+    if not np.isfinite(float(l)):
+        break

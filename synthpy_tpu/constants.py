@@ -77,9 +77,20 @@ def n_refrac(ne, omega):
     Clamped at zero under the square root so that overdense cells produce
     n = 0 rather than NaN (the reference would NaN here; rays never enter
     overdense regions in its use cases, so the clamp is behaviour-neutral).
+
+    Gradient-safe at and beyond critical: the clamp alone leaves
+    ``d sqrt(max(x, 0))`` as ``inf * 0 = NaN`` for x <= 0, which poisons
+    every jax.grad through the phase channel the moment an optimiser
+    iterate crosses n_c anywhere in the volume (observed: the multi-view
+    tomography fit at 128^3 NaN'd within 20 Adam steps). The double-where
+    makes the overdense branch a true constant (gradient 0).
     """
-    ratio = omega_pe(ne * 1e-6) / omega
-    return jnp.sqrt(jnp.maximum(1.0 - ratio**2, 0.0))
+    # ratio^2 is LINEAR in ne — compute it without omega_pe's sqrt(ne),
+    # whose AD at ne == 0 is another 0 * inf = NaN (exact-vacuum voxels
+    # are common optimiser iterates)
+    arg = 1.0 - (OMEGA_PE_COEFF**2 * 1e-6 / omega**2) * ne
+    safe = jnp.where(arg > 0.0, arg, 1.0)
+    return jnp.where(arg > 0.0, jnp.sqrt(safe), 0.0)
 
 
 def coulomb_log(ne_cc, Te, Z, omega):

@@ -5,6 +5,7 @@ separable analytic fields vs scipy (evaluation/interpolator_testing/
 interpolations_benchmarking.py:8-14) — as real pytest assertions.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -146,6 +147,24 @@ def test_plasma_constants():
     n_half = float(constants.n_refrac(jnp.array(nc / 2), omega))
     np.testing.assert_allclose(n_half, np.sqrt(0.5), rtol=1e-3)
     assert float(constants.n_refrac(jnp.array(nc * 2), omega)) == 0.0
+
+
+def test_n_refrac_gradient_finite_through_critical():
+    # inverse fits differentiate the phase channel through n_refrac; a
+    # plain sqrt(max(x, 0)) NaNs the whole gradient the moment one voxel
+    # crosses critical (inf * 0), and sqrt(ne) inside omega_pe does the
+    # same at exact vacuum. Both must be true constants on their flat
+    # branch (observed: the 128^3 multi-view tomography fit NaN'd in 20
+    # Adam steps before the double-where fix).
+    omega = float(constants.omega_from_lwl(1064e-9))
+    nc = float(constants.critical_density(omega))
+    ne = jnp.array([0.0, 1e23, 0.5 * nc, nc, 1.5 * nc, 10 * nc])
+    g = jax.grad(lambda n: jnp.sum(constants.n_refrac(n, omega)))(ne)
+    assert np.isfinite(np.asarray(g)).all()
+    # overdense branch is constant; underdense slope is -1/(2 n nc)
+    assert float(g[4]) == 0.0 and float(g[5]) == 0.0
+    np.testing.assert_allclose(
+        float(g[2]), -1.0 / (2.0 * np.sqrt(0.5) * nc), rtol=2e-3)
 
 
 def test_kappa_positive_and_scales():
