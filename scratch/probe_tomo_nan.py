@@ -17,11 +17,21 @@ from synthpy_tpu.inverse import make_multiview_renderers
 from synthpy_tpu.priors import make_grf_whitener, white_l2
 from synthpy_tpu.tracer import init_beam
 
-DIM, RAYS, ITERS = 65, 100_000, 60
-EXT, NE_SCALE, BEAM_R = 5e-3, 5e23, 3.2e-3
-BINS, LXY, N_FRINGES = (96, 96), 8.0, 16.0
+import os
+DIM = int(os.environ.get("DIM", 65))
+RAYS = int(float(os.environ.get("RAYS", 100_000)))
+ITERS = int(os.environ.get("IT", 120))
+EXT, BEAM_R = 5e-3, 3.2e-3
+NE_SCALE = float(os.environ.get("NE", 5e23))
+NB = int(os.environ.get("NB", 96))
+BINS = (NB, NB)
+LXY = 8.0
+N_FRINGES = float(os.environ.get("NF", 16.0))
 VIEWS = ("z", "x", "y")
-SIG, C0, W_WHITE, LR = 4.0, -4.0, 1e-2, 3e-2
+SIG, C0 = 4.0, -4.0
+W_WHITE = float(os.environ.get("WW", 1e-2))
+LR = float(os.environ.get("LR", 3e-2))
+WARM = int(os.environ.get("WARM", 0))
 
 key = jax.random.PRNGKey(0)
 dom = ScalarDomain(2 * EXT, DIM, phaseshift=True)
@@ -40,10 +50,19 @@ g_true_j = jnp.asarray(g_true, jnp.float32)
 beams = {v: init_beam(jax.random.fold_in(key, i), RAYS, BEAM_R, 0.0, EXT,
                       "circular", probing_direction=v)
          for i, v in enumerate(VIEWS)}
+# measurement beams: INDEPENDENT ray sample (an experiment's photons are
+# not the model's quadrature points — avoids the trivial inverse crime)
+beams_m = {v: init_beam(jax.random.fold_in(key, 100 + i), RAYS, BEAM_R,
+                        0.0, EXT, "circular", probing_direction=v)
+           for i, v in enumerate(VIEWS)}
 common = dict(bins=BINS, K=max(DIM // 8, 8), Lx=LXY, Ly=LXY,
               n_fringes=N_FRINGES)
+TGT = os.environ.get("TGT", "demod")
 rend_meas = make_multiview_renderers(
-    dom, beams, diagnostic=("shadowgraphy", "interferometry"), **common)
+    dom, beams_m,
+    diagnostic=("shadowgraphy",
+                "interferometry" if TGT == "demod" else "phase_map"),
+    **common)
 rend_model = make_multiview_renderers(
     dom, beams, diagnostic=("shadowgraphy", "phase_map"), **common)
 
@@ -67,25 +86,71 @@ vac = {v: [np.asarray(t) for t in im]
 tgt_shadow, tgt_phase = {}, {}
 for v in VIEWS:
     sh, H_shot = shot[v]
-    pw = phase_difference(jnp.asarray(H_shot), jnp.asarray(vac[v][1]))
-    pu = unwrap_2d(pw, anchor=(ny // 2, nx // 2))
-    pu = rectify_phase_offset(pu, edge_px)
-    if np.median(pu[beam_px]) > 0:
-        pu = -pu
+    if TGT == "demod":
+        pw = phase_difference(jnp.asarray(H_shot), jnp.asarray(vac[v][1]))
+        pu = unwrap_2d(pw, anchor=(ny // 2, nx // 2))
+        pu = rectify_phase_offset(pu, edge_px)
+        if np.median(pu[beam_px]) > 0:
+            pu = -pu
+    else:
+        pu = np.asarray(H_shot)
     tgt_shadow[v] = jnp.asarray(sh)
     tgt_phase[v] = jnp.asarray(pu)
 phase_mask = jnp.asarray(beam_px)
 
+if int(os.environ.get("CHECK", 0)):
+    # forward consistency: model phase_map(truth) vs demodulated target
+    @jax.jit
+    def model_all(g):
+        return {v: rend_model[v](NE_SCALE * g) for v in VIEWS}
+    mt = {v: [np.asarray(t) for t in im]
+          for v, im in model_all(g_true_j).items()}
+    for v in VIEWS:
+        mp = mt[v][1]
+        tp = np.asarray(tgt_phase[v])
+        m = beam_px
+        num = np.linalg.norm((mp - tp)[m])
+        den = np.linalg.norm(tp[m]) + 1e-30
+        print(f"view {v}: phase tgt rel err {num/den:.4f} "
+              f"model[min,max]=({mp[m].min():.2f},{mp[m].max():.2f}) "
+              f"tgt=({tp[m].min():.2f},{tp[m].max():.2f})", flush=True)
+        sh_m = mt[v][0]; sh_t = np.asarray(tgt_shadow[v])
+        print(f"view {v}: shadow rel err "
+              f"{np.linalg.norm(sh_m-sh_t)/np.linalg.norm(sh_t):.4f}",
+              flush=True)
+    sys.exit(0)
+
+import os as _os
+LMAX = float(_os.environ.get("LMAX", 2 * EXT))
+LMIN = float(_os.environ.get("LMIN", 0.5e-3))
 colorize, n_modes = make_grf_whitener(
     (DIM, DIM, DIM), 2 * EXT / (DIM - 1), lambda k: k ** (-4.0),
-    l_max=2 * EXT, l_min=0.5e-3)
+    l_max=LMAX, l_min=LMIN)
 print(f"modes {n_modes}", flush=True)
 
 NC = C.critical_density(C.omega_from_lwl(1064e-9))
 
 
+MASK = int(os.environ.get("MASK", 0))
+if MASK:
+    # support prior: the object lies inside the probed aperture (every
+    # view's beam cylinder) — reconstruct there, zero elsewhere.
+    xs = [jnp.asarray(c, jnp.float32) for c in (x, y, z)]
+    _r = 0.94 * BEAM_R
+    _w = 2 * (2 * EXT / (DIM - 1))
+    import functools
+    cyls = [jnp.sqrt(xs[0]**2 + xs[1]**2),   # z view
+            jnp.sqrt(xs[1]**2 + xs[2]**2),   # x view
+            jnp.sqrt(xs[0]**2 + xs[2]**2)]   # y view
+    m = functools.reduce(jnp.minimum,
+                         [jax.nn.sigmoid((_r - r) / _w) for r in cyls])
+    support = m
+else:
+    support = 1.0
+
+
 def field(theta):
-    return jax.nn.softplus(C0 + SIG * colorize(theta))
+    return support * jax.nn.softplus(C0 + SIG * colorize(theta))
 
 
 sc_sh = {v: float(np.abs(tgt_shadow[v]).max()) + 1e-30 for v in VIEWS}
@@ -115,28 +180,42 @@ def loss_fn(params):
                 / phase_mask.sum())
         data = data + wts[v][0] * l_sh + wts[v][1] * l_ph
     data = data / (2 * len(VIEWS))
-    return data + W_WHITE * white_l2(params)
+    return data + W_WHITE * white_l2(params), data
 
 
-opt = optax.adam(optax.cosine_decay_schedule(LR, ITERS))
+sched = (optax.warmup_cosine_decay_schedule(0.0, LR, WARM, ITERS)
+         if WARM else optax.cosine_decay_schedule(LR, ITERS))
+opt = optax.adam(sched)
 params = jnp.zeros((DIM, DIM, DIM), jnp.float32)
 state = opt.init(params)
 
 
 @jax.jit
 def step(p, st):
-    l, grads = jax.value_and_grad(loss_fn)(p)
+    (l, data), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
     gmax = jnp.max(jnp.abs(grads))
     upd, st = opt.update(grads, st)
     p2 = optax.apply_updates(p, upd)
     g = field(p2)
-    return p2, st, l, gmax, jnp.max(g), jnp.max(jnp.abs(p2))
+    return p2, st, l, data, gmax, jnp.max(g), jnp.max(jnp.abs(p2))
 
 
 for i in range(ITERS):
-    params, state, l, gmax, fmax, pmax = step(params, state)
-    print(f"it {i:3d} loss {float(l):.5f} |grad|max {float(gmax):.3e} "
-          f"gmax {float(fmax):.3e} ne/nc {float(fmax)*NE_SCALE/NC:.2e} "
-          f"|p|max {float(pmax):.3f}", flush=True)
+    params, state, l, data, gmax, fmax, pmax = step(params, state)
+    if i % 10 == 0 or i == ITERS - 1:
+        print(f"it {i:3d} loss {float(l):.5f} data {float(data):.5f} "
+              f"gmax {float(fmax):.3e} |p|max {float(pmax):.3f}",
+              flush=True)
     if not np.isfinite(float(l)):
         break
+g_rec = np.asarray(field(params))
+rel_full = np.linalg.norm(g_rec - g_true) / np.linalg.norm(g_true)
+core = (x**2 + y**2 + z**2) < (0.8 * BEAM_R) ** 2
+c3 = np.broadcast_to(core, (DIM,) * 3)
+rel_core = np.linalg.norm((g_rec - g_true)[c3]) / np.linalg.norm(g_true[c3])
+import json
+print(json.dumps({"WW": W_WHITE, "LR": LR, "WARM": WARM, "iters": ITERS,
+                  "LMAX": LMAX, "LMIN": LMIN,
+                  "rel_l2_full": round(float(rel_full), 4),
+                  "rel_l2_core": round(float(rel_core), 4),
+                  "gmax": round(float(g_rec.max()), 3)}), flush=True)
