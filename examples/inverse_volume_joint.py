@@ -223,26 +223,28 @@ def main():
     rel_beam = (np.linalg.norm((g_rec - g_true)[mask])
                 / np.linalg.norm(g_true[mask]))
 
-    try:
-        stats = jax.local_devices()[0].memory_stats() or {}
-        peak_hbm = stats.get("peak_bytes_in_use", 0)
-    except Exception:
-        peak_hbm = 0
+    from synthpy_tpu.utils import live_hbm_gb, peak_hbm_gb
+    peak = peak_hbm_gb()   # None (-> JSON null) where stats are absent
+
+    def _fin(v, nd=4):
+        v = float(v)
+        return round(v, nd) if np.isfinite(v) else None
 
     rec = {"dim": DIM, "rays": RAYS, "iters": ITERS,
            "benches": ["shadowgraphy", "schlieren_df",
                        "interferogram->phase_map"],
            "wall_s": round(wall, 1),
            "s_per_iter": round(wall / ITERS, 3),
-           "rel_l2_full": round(float(rel_all), 4),
-           "rel_l2_beam": round(float(rel_beam), 4),
-           "peak_hbm_gb": round(peak_hbm / 2**30, 2),
+           "rel_l2_full": _fin(rel_all),
+           "rel_l2_beam": _fin(rel_beam),
+           "peak_hbm_gb": None if peak is None else round(peak, 2),
+           "live_hbm_gb": round(live_hbm_gb(), 2),
            "backend": jax.default_backend()}
-    print(json.dumps(rec))
+    print(json.dumps(rec, allow_nan=False))
     out = os.path.join(_ROOT, "scratch",
                        "results_inverse_joint_r3.json")
     with open(out, "a") as f:
-        f.write(json.dumps(rec) + "\n")
+        f.write(json.dumps(rec, allow_nan=False) + "\n")
     np.save(os.path.join(_ROOT, "scratch",
                          "inverse_joint_recovered.npy"), g_rec)
 

@@ -71,6 +71,41 @@ def hbm_bytes_per_device() -> int | None:
         return None
 
 
+def peak_hbm_gb(device=None) -> float | None:
+    """True peak device HBM usage in GiB, or ``None`` when unmeasurable.
+
+    Reads ``memory_stats()['peak_bytes_in_use']``. On backends that
+    expose no memory stats (remote-attached TPU runtimes return None —
+    and ``jax.profiler.save_device_memory_profile`` is an uncatchable
+    PJRT FATAL there, measured round 5, so it is NOT a usable fallback)
+    this returns ``None``: callers must serialise that as JSON null,
+    never 0.0, and may log :func:`live_hbm_gb` alongside as an honest
+    lower bound.
+    """
+    try:
+        dev = device or jax.local_devices()[0]
+        stats = dev.memory_stats() or {}
+    except Exception:
+        stats = {}
+    peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+    return float(peak) / 2**30 if peak else None
+
+
+def live_hbm_gb() -> float:
+    """GiB of Python-visible live device arrays right now.
+
+    Sum of ``a.nbytes`` over ``jax.live_arrays()`` — counts persistent
+    buffers (packs, params, optimiser state) but NOT transients inside a
+    running jitted program, so it is a lower bound on the true peak.
+    Works on every backend, including ones where ``memory_stats()`` and
+    the heap profiler are unavailable (see :func:`peak_hbm_gb`).
+    """
+    try:
+        return sum(a.nbytes for a in jax.live_arrays()) / 2**30
+    except Exception:
+        return 0.0
+
+
 # ---------------------------------------------------------------------------
 # Number formatting
 # ---------------------------------------------------------------------------
