@@ -123,10 +123,17 @@ if int(os.environ.get("CHECK", 0)):
 import os as _os
 LMAX = float(_os.environ.get("LMAX", 2 * EXT))
 LMIN = float(_os.environ.get("LMIN", 0.5e-3))
-colorize, n_modes = make_grf_whitener(
-    (DIM, DIM, DIM), 2 * EXT / (DIM - 1), lambda k: k ** (-4.0),
-    l_max=LMAX, l_min=LMIN)
-print(f"modes {n_modes}", flush=True)
+MODAL = int(_os.environ.get("MODAL", 0))
+if MODAL:
+    from synthpy_tpu.priors import make_grf_modal
+    colorize, n_modes = make_grf_modal(
+        (DIM, DIM, DIM), 2 * EXT / (DIM - 1), lambda k: k ** (-4.0),
+        l_max=LMAX, l_min=LMIN)
+else:
+    colorize, n_modes = make_grf_whitener(
+        (DIM, DIM, DIM), 2 * EXT / (DIM - 1), lambda k: k ** (-4.0),
+        l_max=LMAX, l_min=LMIN)
+print(f"modes {n_modes} modal={MODAL}", flush=True)
 
 NC = C.critical_density(C.omega_from_lwl(1064e-9))
 
@@ -186,7 +193,7 @@ def loss_fn(params):
 sched = (optax.warmup_cosine_decay_schedule(0.0, LR, WARM, ITERS)
          if WARM else optax.cosine_decay_schedule(LR, ITERS))
 opt = optax.adam(sched)
-params = jnp.zeros((DIM, DIM, DIM), jnp.float32)
+params = jnp.zeros((n_modes, 2) if MODAL else (DIM, DIM, DIM), jnp.float32)
 state = opt.init(params)
 
 
@@ -214,8 +221,15 @@ core = (x**2 + y**2 + z**2) < (0.8 * BEAM_R) ** 2
 c3 = np.broadcast_to(core, (DIM,) * 3)
 rel_core = np.linalg.norm((g_rec - g_true)[c3]) / np.linalg.norm(g_true[c3])
 import json
-print(json.dumps({"WW": W_WHITE, "LR": LR, "WARM": WARM, "iters": ITERS,
-                  "LMAX": LMAX, "LMIN": LMIN,
-                  "rel_l2_full": round(float(rel_full), 4),
-                  "rel_l2_core": round(float(rel_core), 4),
-                  "gmax": round(float(g_rec.max()), 3)}), flush=True)
+def _fin(v, nd=4):
+    v = float(v)
+    return round(v, nd) if np.isfinite(v) else None
+rec = {"DIM": DIM, "MODAL": MODAL, "MASK": MASK, "WW": W_WHITE, "LR": LR,
+       "WARM": WARM, "iters": ITERS, "LMAX": LMAX, "LMIN": LMIN,
+       "rays": RAYS,
+       "rel_l2_full": _fin(rel_full),
+       "rel_l2_core": _fin(rel_core),
+       "gmax": _fin(g_rec.max(), 3)}
+print(json.dumps(rec, allow_nan=False, default=str), flush=True)
+with open("/root/repo/scratch/results_tomo_probe_r5.jsonl", "a") as f:
+    f.write(json.dumps(rec, allow_nan=False, default=str) + "\n")

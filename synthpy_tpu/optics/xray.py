@@ -362,6 +362,137 @@ def radiography_streamed(
     return (trans, em * scale) if want_emiss else trans
 
 
+def xray_survey_streamed(
+    rho,
+    Te,
+    kappa_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    coords: Sequence,
+    source_distance: float,
+    detector_distance: float,
+    bins: Tuple[int, int] = (431, 321),
+    Lx: float = 18.0,
+    Ly: float = 13.5,
+    probing_direction: str = "z",
+    emiss_fn: Optional[Callable] = None,
+    plane_batch: int = 32,
+) -> dict:
+    """Every streamed X-ray diagnostic in ONE pass over (rho, Te).
+
+    :func:`radiography_streamed` and
+    :func:`point_projection_radiograph_streamed` each stream the full
+    host stack (8.6 GB f32 at 1024^3) — running both re-uploads it
+    (measured 610.7 s total at 1024^3, ROADMAP "X-ray at 1024^3").
+    All three integrals decompose by probing-axis plane, so one upload
+    can feed every accumulator: each plane batch computes kappa*rho
+    once and folds (a) the parallel-beam optical depth, (b) the
+    optional self-emission integral, and (c) the point-projection
+    per-pixel optical depth, then is discarded.
+
+    Accumulation order matches the single-diagnostic functions exactly
+    (same trapezoid weights and fold sequence — parity test-gated at
+    small dims), so results are bitwise-identical to running them
+    separately at roughly half the wall time.
+
+    Returns ``{"transmission": (na, nb), "point_projection":
+    (bins[0], bins[1])}`` plus ``"emission"`` when ``emiss_fn`` is
+    given.
+    """
+    import numpy as np
+
+    p_ax, a_ax, b_ax = _transverse_axes(probing_direction)
+    coords = [np.asarray(c, dtype=np.float32) for c in coords]
+    na_px, nb_px = bins
+    f32 = jnp.float32
+
+    rho_m = np.moveaxis(np.asarray(rho), p_ax, 0)
+    Te_m = np.moveaxis(np.asarray(Te), p_ax, 0)
+    n_p = rho_m.shape[0]
+    want_emiss = emiss_fn is not None
+
+    pa, pb, pp = coords[a_ax], coords[b_ax], coords[p_ax]
+    dp = float(pp[1] - pp[0])
+    ca = 0.5 * (pa[0] + pa[-1])
+    cb = 0.5 * (pb[0] + pb[-1])
+    src_p = float(pp[0]) - float(source_distance)
+    det_p = float(pp[-1]) + float(detector_distance)
+    xa = (np.arange(na_px, dtype=np.float32) + 0.5) / na_px * (Lx * 1e-3) \
+        - Lx * 5e-4 + ca
+    xb = (np.arange(nb_px, dtype=np.float32) + 0.5) / nb_px * (Ly * 1e-3) \
+        - Ly * 5e-4 + cb
+    A, B = np.meshgrid(xa, xb, indexing="ij")
+    span_p = det_p - src_p
+    da = (A.ravel() - ca)
+    db = (B.ravel() - cb)
+    dl_cm = np.sqrt(da**2 + db**2 + span_p**2) / span_p * dp * 100.0
+    inv_sa = 1.0 / float(pa[1] - pa[0])
+    inv_sb = 1.0 / float(pb[1] - pb[0])
+    da_d = jnp.asarray(da, f32)
+    db_d = jnp.asarray(db, f32)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2),
+             static_argnames=("w0", "wlast"))
+    def fold(tau_par, em, tau_pp, rho_b, Te_b, fracs, wts, *,
+             w0: bool, wlast: bool):
+        w = kappa_fn(Te_b, rho_b) * rho_b   # computed ONCE per batch
+        nbp, naa, nbb = w.shape
+        # (a) parallel-beam: same static-trap tensordot as
+        # radiography_streamed.fold (bitwise parity)
+        trap = jnp.ones((nbp,), w.dtype)
+        if w0:
+            trap = trap.at[0].set(0.5)
+        if wlast:
+            trap = trap.at[nbp - 1].set(0.5)
+        tau_par = tau_par + jnp.tensordot(trap, w, axes=(0, 0))
+        # (b) self-emission rides the same trapezoid
+        if want_emiss:
+            em = em + jnp.tensordot(trap, emiss_fn(Te_b, rho_b),
+                                    axes=(0, 0))
+        # (c) point-projection: plane-crossing bilinear samples of the
+        # SAME w planes (point_projection_radiograph_streamed.fold)
+        qa = (da_d[None, :] * fracs[:, None] + (ca - pa[0])) * inv_sa
+        qb = (db_d[None, :] * fracs[:, None] + (cb - pb[0])) * inv_sb
+        inside = ((qa >= 0) & (qa <= naa - 1)
+                  & (qb >= 0) & (qb <= nbb - 1))
+        ia = jnp.clip(jnp.floor(qa).astype(jnp.int32), 0, naa - 2)
+        ib = jnp.clip(jnp.floor(qb).astype(jnp.int32), 0, nbb - 2)
+        fa = jnp.clip(qa - ia, 0.0, 1.0)
+        fb = jnp.clip(qb - ib, 0.0, 1.0)
+        flat = w.reshape(-1)
+        base = (jnp.arange(nbp, dtype=jnp.int32)[:, None] * (naa * nbb)
+                + ia * nbb + ib)
+        v = ((1 - fa) * (1 - fb) * jnp.take(flat, base, mode="clip")
+             + (1 - fa) * fb * jnp.take(flat, base + 1, mode="clip")
+             + fa * (1 - fb) * jnp.take(flat, base + nbb, mode="clip")
+             + fa * fb * jnp.take(flat, base + nbb + 1, mode="clip"))
+        v = jnp.where(inside, v, 0.0)
+        tau_pp = tau_pp + (wts[:, None] * v).sum(axis=0)
+        return tau_par, em, tau_pp
+
+    naa, nbb = rho_m.shape[1], rho_m.shape[2]
+    tau_par = jnp.zeros((naa, nbb), f32)
+    em = jnp.zeros((naa, nbb) if want_emiss else (1,), f32)
+    tau_pp = jnp.zeros((na_px * nb_px,), f32)
+    trap_pp = np.ones((n_p,), np.float32)
+    trap_pp[0] = trap_pp[-1] = 0.5
+    fracs_all = (pp.astype(np.float64) - src_p) / span_p
+    for i0 in range(0, n_p, plane_batch):
+        i1 = min(i0 + plane_batch, n_p)
+        tau_par, em, tau_pp = fold(
+            tau_par, em, tau_pp,
+            jnp.asarray(rho_m[i0:i1], f32),
+            jnp.asarray(Te_m[i0:i1], f32),
+            jnp.asarray(fracs_all[i0:i1], f32),
+            jnp.asarray(trap_pp[i0:i1]),
+            w0=(i0 == 0), wlast=(i1 == n_p))
+    scale = dp * 100.0
+    out = {"transmission": jnp.exp(-tau_par * scale),
+           "point_projection": jnp.exp(
+               -tau_pp * jnp.asarray(dl_cm, f32)).reshape(na_px, nb_px)}
+    if want_emiss:
+        out["emission"] = em * scale
+    return out
+
+
 def point_projection_radiograph_streamed(
     rho,
     Te,

@@ -43,7 +43,7 @@ from synthpy_tpu.fields.grf import _safe_spectrum
 from synthpy_tpu.ops import dft
 
 __all__ = ["tv", "haar_l1", "haar2d", "ihaar2d", "make_grf_whitener",
-           "white_l2"]
+           "make_grf_modal", "white_l2"]
 
 
 def tv(g: jnp.ndarray, axes: Sequence[int] | None = None) -> jnp.ndarray:
@@ -189,6 +189,85 @@ def make_grf_whitener(
         return jnp.real(dft.ifftn(F * amp))
 
     return colorize, n_active
+
+
+def make_grf_modal(
+    shape: Tuple[int, ...],
+    spacing: float | Sequence[float],
+    k_func: Callable,
+    l_max: float | None = None,
+    l_min: float | None = None,
+) -> Tuple[Callable[[jnp.ndarray], jnp.ndarray], int]:
+    """GP prior parameterised IN MODE SPACE: ``synth(u) -> g``.
+
+    ``u`` is a real ``(n_modes, 2)`` array — (cos, -sin) coefficients of
+    the canonical half of the band-limited active modes, in PRIOR-scaled
+    units: ``g(x) = sum_k tau_k [u_k0 cos(kx) - u_k1 sin(kx)]`` with
+    ``tau_k ~ sqrt(E(|k|))`` normalised so standard-normal ``u`` yields
+    a unit-variance field. :func:`white_l2`(u) is then exactly the
+    Gaussian log-prior, identically to :func:`make_grf_whitener`.
+
+    Why this exists (round-5 fix for the 128^3 tomography divergence):
+    the real-space whitened parameterisation composes badly with Adam.
+    Adam's per-element normalisation moves theta by ~lr per iteration
+    REGARDLESS of the gradient magnitude, and the whitening gain of the
+    lowest-k modes GROWS with resolution (measured: max per-mode gain
+    30 at 33^3 -> 230 at 128^3 for a k^-4 band, because the
+    unit-variance normalisation averages over the full grid while the
+    active-band fraction shrinks) — so one Adam step at 128^3 swings
+    the field by SIG * 230 * lr ~ +-27 and the fit diverges (the
+    recorded rel_l2_full 581, scratch/results_tomography_r4.jsonl).
+    Here a step of lr moves field mode k by tau_k * lr <= lr (since
+    sum tau^2 = 1): bounded, resolution-independent — per-mode learning
+    rates proportioned to the prior, for free. The parameter count also
+    drops from prod(shape) to n_modes (~34k for the tomography band at
+    128^3 vs 2.1M), matching the information the band can carry.
+
+    Returns ``(synth, n_modes)``. Everything runs through
+    :mod:`ops.dft` (works on TPU runtimes without a native FFT op);
+    ``synth`` is jitted with the scatter indices and tau closed over.
+    """
+    ndim = len(shape)
+    if jnp.ndim(spacing) == 0:
+        spacing = (float(spacing),) * ndim
+    import numpy as np
+
+    ks = [2 * np.pi * np.fft.fftfreq(n, d=s) for n, s in zip(shape, spacing)]
+    kgrids = np.meshgrid(*ks, indexing="ij")
+    k = np.sqrt(sum(g**2 for g in kgrids))
+    S = np.asarray(_safe_spectrum(k_func, jnp.asarray(k)))
+    if l_max is not None:
+        S = np.where(k >= 2 * np.pi / l_max, S, 0.0)
+    if l_min is not None:
+        S = np.where(k <= 2 * np.pi / l_min, S, 0.0)
+    S[(0,) * ndim] = 0.0
+    # canonical half-spectrum: first nonzero signed frequency positive —
+    # each retained k represents its conjugate pair, so (cos, sin)
+    # coefficients span exactly the real fields the full band spans
+    half = np.zeros(shape, bool)
+    cond = np.ones(shape, bool)
+    for g in kgrids:
+        half |= cond & (g > 1e-12)
+        cond &= np.abs(g) <= 1e-12
+    sel = (S > 0) & half
+    n_modes = int(sel.sum())
+    if n_modes == 0:
+        raise ValueError("GRF modal band contains no modes: check "
+                         "l_max/l_min against the grid Nyquist range")
+    idx = np.flatnonzero(sel.ravel())
+    tau = np.sqrt(S.ravel()[idx])
+    tau = tau / np.sqrt((tau**2).sum())   # var(g) = sum tau^2 = 1
+    n_tot = int(np.prod(shape))
+    idx_j = jnp.asarray(idx, jnp.int32)
+    tau_j = jnp.asarray(tau, jnp.float32)
+
+    @jax.jit
+    def synth(u: jnp.ndarray) -> jnp.ndarray:
+        coef = tau_j * (u[:, 0] + 1j * u[:, 1]) * n_tot
+        C = jnp.zeros((n_tot,), jnp.complex64).at[idx_j].set(coef)
+        return jnp.real(dft.ifftn(C.reshape(shape)))
+
+    return synth, n_modes
 
 
 def white_l2(theta: jnp.ndarray) -> jnp.ndarray:

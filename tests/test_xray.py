@@ -258,3 +258,47 @@ def test_point_projection_streamed_matches_dense_quadrature():
             rho, Te, kfn, coords, probing_direction=pd,
             plane_batch=33, **kw))
         np.testing.assert_allclose(streamed2, streamed, rtol=2e-5)
+
+
+def test_xray_survey_single_pass_matches_individual_streams():
+    # one-pass survey (VERDICT r4 #6): parallel transmission, emission,
+    # and point-projection folded over ONE stream of the (rho, Te)
+    # stack must be BITWISE what the single-diagnostic streamed
+    # functions produce (identical fold order and trapezoid weights)
+    from synthpy_tpu.optics.xray import (point_projection_radiograph_streamed,
+                                         radiography_streamed,
+                                         xray_survey_streamed)
+
+    T, rho_g, table, _ = _power_law_table()
+    kfn = make_opacity_lookup(T, rho_g, table)
+    jfn = grey_emissivity(kfn)
+    rng = np.random.default_rng(11)
+    n = 25
+    ext = 2e-3
+    x = np.linspace(-ext, ext, n, dtype=np.float32)
+    rho = (1e-3 * (1.0 + 0.5 * rng.random((n, n, n)))).astype(np.float32)
+    Te = (50.0 * (1.0 + rng.random((n, n, n)))).astype(np.float32)
+    coords = (x, x, x)
+    sp = float(x[1] - x[0])
+    kw = dict(source_distance=0.1, detector_distance=0.3,
+              bins=(41, 31), Lx=6.0, Ly=4.5)
+    for pd in ("z", "x"):
+        out = xray_survey_streamed(rho, Te, kfn, coords,
+                                   probing_direction=pd, emiss_fn=jfn,
+                                   plane_batch=7, **kw)
+        st_t, st_e = radiography_streamed(rho, Te, kfn, sp, pd,
+                                          emiss_fn=jfn, plane_batch=7)
+        pp = point_projection_radiograph_streamed(
+            rho, Te, kfn, coords, probing_direction=pd, plane_batch=7,
+            **kw)
+        np.testing.assert_array_equal(np.asarray(out["transmission"]),
+                                      np.asarray(st_t))
+        np.testing.assert_array_equal(np.asarray(out["emission"]),
+                                      np.asarray(st_e))
+        np.testing.assert_array_equal(np.asarray(out["point_projection"]),
+                                      np.asarray(pp))
+    # no-emission variant drops the key
+    out2 = xray_survey_streamed(rho, Te, kfn, coords,
+                                probing_direction="z", plane_batch=25,
+                                **kw)
+    assert set(out2) == {"transmission", "point_projection"}
