@@ -75,83 +75,98 @@ EXT = 5e-3
 BENCHES = ("shadowgraphy", "interferometry", "schlieren_df")
 COHERENT = {"interferometry"}
 
+# ONE definition of the z-pinch scene (advisor r4: build_scene previously
+# re-stated every constant and formula by hand, so the synth-vs-upload
+# parity claim could silently drift): constants at module scope, formulas
+# written once against an array-module argument, consumed by BOTH the
+# numpy host build and the jnp on-device synthesis.
+R0 = 1.2e-3          # pinch column radius
+WOB = 0.25e-3        # helical m=1 wobble amplitude
+HELIX_L = 4e-3       # helical wavelength
+NE_PEAK = 2e25       # column density
+NE_BG = 1e24         # broad background pedestal
+BG_R = 3e-3
+RB = 1.5e-3          # current-sheath radius (B peak)
+B0 = 30.0
+TE0 = 50.0
+Z0 = 4.0
+
+
+def scene_fns(xp):
+    """The scene's closed forms over array module ``xp`` (numpy or jnp).
+
+    Each closure receives broadcastable (x, y, z) coordinate blocks;
+    with ``xp=jnp`` they are evaluated plane-batch by plane-batch on
+    device by build_segment_pack_synth (no volume materialised); with
+    ``xp=np`` :func:`build_scene` materialises the host volumes the
+    upload/streamed tiers consume — the SAME formulas by construction.
+    """
+    def ne_fn(x, y, z):
+        xc = WOB * xp.cos(2 * xp.pi * z / HELIX_L)
+        yc = WOB * xp.sin(2 * xp.pi * z / HELIX_L)
+        rp2 = (x - xc) ** 2 + (y - yc) ** 2
+        return (NE_PEAK * xp.exp(-rp2 / R0**2)
+                + NE_BG * xp.exp(-(x**2 + y**2) / BG_R**2))
+
+    def b_fn(x, y, z):
+        # azimuthal: theta-hat * B0 * (r/Rb) / (1 + (r/Rb)^2), peak at Rb
+        r = xp.sqrt(x**2 + y**2) + 1e-12
+        bmag = B0 * (r / RB) / (1.0 + (r / RB) ** 2)
+        return (-y / r * bmag + 0.0 * z, x / r * bmag + 0.0 * z,
+                0.0 * (x + y + z))
+
+    def te_fn(x, y, z):
+        return TE0 + 0.0 * (x + y + z)
+
+    def z_fn(x, y, z):
+        return Z0 + 0.0 * (x + y + z)
+
+    return {"ne": ne_fn, "Te": te_fn, "Z": z_fn, "B": b_fn}
+
 
 def build_scene(dim):
-    """z-pinch-like scene, built host-side in numpy (no device memory).
+    """z-pinch scene materialised host-side in numpy (no device memory).
 
     ne: a dense column along z with a helical perturbation (the classic
     MHD-unstable liner look); B: azimuthal around the pinch axis,
     peaking at the current-sheath radius; Te, Z: warm uniform plasma.
+    All values come from :func:`scene_fns`(numpy) — shared with the
+    synth tier, so the tiers cannot drift apart.
     """
+    fns = scene_fns(np)
     d = ScalarDomain(2 * EXT, dim)
     x = np.linspace(-EXT, EXT, dim, dtype=np.float32)
     X = x[:, None, None]
     Y = x[None, :, None]
     Z_ = x[None, None, :]
-    r2 = X**2 + Y**2
-    R0 = 1.2e-3
-    # helical m=1 perturbation of the column radius
-    wob = 0.25e-3
-    xc = wob * np.cos(2 * np.pi * Z_ / (4e-3))
-    yc = wob * np.sin(2 * np.pi * Z_ / (4e-3))
-    rp2 = (X - xc) ** 2 + (Y - yc) ** 2
-    ne = (2e25 * np.exp(-rp2 / R0**2)
-          + 1e24 * np.exp(-r2 / (3e-3) ** 2)).astype(np.float32)
-    d.external_ne(ne, host=True)
-    del rp2
+    d.external_ne(np.asarray(fns["ne"](X, Y, Z_), np.float32), host=True)
 
-    # azimuthal B ~ theta-hat * B0 * (r/Rb) / (1 + (r/Rb)^2) (peak at Rb)
-    r = np.sqrt(r2) + 1e-12
-    Rb = 1.5e-3
-    Bmag = 30.0 * (r / Rb) / (1.0 + (r / Rb) ** 2)
+    bx, by, bz = fns["B"](X, Y, Z_)
     B = np.zeros((dim, dim, dim, 3), np.float32)
-    B[..., 0] = np.broadcast_to(-Y / r * Bmag, (dim, dim, dim))
-    B[..., 1] = np.broadcast_to(X / r * Bmag, (dim, dim, dim))
+    B[..., 0] = np.broadcast_to(bx, (dim, dim, dim))
+    B[..., 1] = np.broadcast_to(by, (dim, dim, dim))
+    B[..., 2] = np.broadcast_to(bz, (dim, dim, dim))
     d.external_B(B, host=True)
-    del B, Bmag, r
+    del B, bx, by, bz
 
-    d.external_Te(np.full((dim,) * 3, 50.0, np.float32), host=True)
-    d.external_Z(np.full((dim,) * 3, 4.0, np.float32), host=True)
+    d.external_Te(np.broadcast_to(
+        np.asarray(fns["Te"](X, Y, Z_), np.float32),
+        (dim,) * 3).copy(), host=True)
+    d.external_Z(np.broadcast_to(
+        np.asarray(fns["Z"](X, Y, Z_), np.float32),
+        (dim,) * 3).copy(), host=True)
     d.inv_brems = True
     d.phaseshift = True
     return d
 
 
 def scene_closures(dim):
-    """The SAME z-pinch scene as jittable closures + a flag-only domain.
-
-    Each closure receives broadcastable (x, y, z) coordinate blocks and
-    is evaluated plane-batch by plane-batch on device by
-    build_segment_pack_synth — no volume is ever materialised anywhere.
-    """
-    R0 = 1.2e-3
-    wob = 0.25e-3
-    Rb = 1.5e-3
-
-    def ne_fn(x, y, z):
-        xc = wob * jnp.cos(2 * jnp.pi * z / (4e-3))
-        yc = wob * jnp.sin(2 * jnp.pi * z / (4e-3))
-        rp2 = (x - xc) ** 2 + (y - yc) ** 2
-        return (2e25 * jnp.exp(-rp2 / R0**2)
-                + 1e24 * jnp.exp(-(x**2 + y**2) / (3e-3) ** 2))
-
-    def b_fn(x, y, z):
-        r = jnp.sqrt(x**2 + y**2) + 1e-12
-        bmag = 30.0 * (r / Rb) / (1.0 + (r / Rb) ** 2)
-        return (-y / r * bmag + 0.0 * z, x / r * bmag + 0.0 * z,
-                0.0 * (x + y + z))
-
-    def te_fn(x, y, z):
-        return 50.0 + 0.0 * (x + y + z)
-
-    def z_fn(x, y, z):
-        return 4.0 + 0.0 * (x + y + z)
-
+    """The SAME z-pinch scene as jittable closures + a flag-only domain."""
     d = ScalarDomain(2 * EXT, dim)
     d.inv_brems = True
     d.phaseshift = True
     d.B_on = True
-    return d, {"ne": ne_fn, "Te": te_fn, "Z": z_fn, "B": b_fn}
+    return d, scene_fns(jnp)
 
 
 def main():
