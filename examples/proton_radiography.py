@@ -91,25 +91,58 @@ def main(res: int = 64, Np: int = 2_000_000, tier: str = "f32") -> dict:
             "build_s": round(time.perf_counter() - t0, 1)}), flush=True)
 
     out = {}
+    stats = []
     for tag, E_MeV in (("D3He_14p7MeV", 14.7), ("DD_3MeV", 3.0)):
         s0 = init_proton_beam(jax.random.PRNGKey(11), Np, E_MeV,
                               source_distance=10e-3, extent=ext,
                               cone_radius=0.6 * ext)
         sf = trace_protons(s0, domain, E_MeV, ray_chunk=262_144,
                            B_table=B_tab)
+        sf_np = np.asarray(sf)
+        # deflection angle [mrad] off each proton's straight-line cone
+        # direction: compare exit transverse velocity with the initial
+        v0 = np.asarray(s0[:, 3:6])
+        vf = sf_np[:, 3:6]
+        cosang = np.clip((v0 * vf).sum(1)
+                         / (np.linalg.norm(v0, axis=1)
+                            * np.linalg.norm(vf, axis=1) + 1e-30), -1, 1)
+        ang_mrad = np.degrees(np.arccos(cosang)) * np.pi / 180 * 1e3
         H = np.asarray(proton_radiograph(
             sf, detector_distance=100e-3, extent=ext, bins=(431, 321),
             Lx=100.0, Ly=75.0))
         out[tag] = H
-        print(json.dumps({"energy_MeV": E_MeV, "protons": Np,
-                          "on_detector": float(H.sum()),
-                          "fluence_contrast_rms": float(
-                              H.std() / max(H.mean(), 1e-30))}))
+        rec = {"energy_MeV": E_MeV, "protons": Np,
+               "on_detector": float(H.sum()),
+               "fluence_contrast_rms": float(
+                   H.std() / max(H.mean(), 1e-30)),
+               "deflection_mrad_rms": round(
+                   float(np.sqrt((ang_mrad**2).mean())), 4),
+               "deflection_mrad_p99": round(
+                   float(np.percentile(ang_mrad, 99)), 4)}
+        stats.append(rec)
+        print(json.dumps(rec))
 
     np.savez(os.path.join(_HERE, "proton_radiographs.npz"), **out)
     dt = time.perf_counter() - t0
     print(json.dumps({"total_seconds": round(dt, 2),
                       "output": "examples/proton_radiographs.npz"}))
+    if dim >= 1024:
+        # the measurement the r4 ROADMAP entry promised (VERDICT r4 #3)
+        from synthpy_tpu.utils import live_hbm_gb, peak_hbm_gb
+        peak = peak_hbm_gb()
+        row = {"res": dim, "diagnostic": "proton", "tier": tier,
+               "protons_per_energy": Np,
+               "table_gb": round(B_tab.grid.nbytes / 2**30, 2)
+               if B_tab is not None else None,
+               "elapsed_s": round(dt, 1),
+               "backend": jax.default_backend(),
+               "energies": stats,
+               "peak_hbm_gb": None if peak is None else round(peak, 2),
+               "live_hbm_gb": round(live_hbm_gb(), 2)}
+        with open(os.path.join(os.path.dirname(_HERE), "scratch",
+                               "results_xray_proton_1024.jsonl"),
+                  "a") as f:
+            f.write(json.dumps(row, allow_nan=False) + "\n")
     return out
 
 

@@ -27,8 +27,10 @@ NB = int(os.environ.get("NB", 96))
 BINS = (NB, NB)
 LXY = 8.0
 N_FRINGES = float(os.environ.get("NF", 16.0))
-VIEWS = ("z", "x", "y")
-SIG, C0 = 4.0, -4.0
+VIEWS = ("z", "x", "y")[:int(os.environ.get("NV", 3))]
+SIG = float(os.environ.get("SIG", 4.0))
+C0 = float(os.environ.get("C0", -4.0))
+WMODE = os.environ.get("WMODE", "meas")   # meas | model
 W_WHITE = float(os.environ.get("WW", 1e-2))
 LR = float(os.environ.get("LR", 3e-2))
 WARM = int(os.environ.get("WARM", 0))
@@ -176,18 +178,21 @@ wts = {v: (1.0 / max(t0_[v][0], floor), 1.0 / max(t0_[v][1], floor))
        for v in VIEWS}
 
 
-def loss_fn(params):
+def loss_fn(params, wv):
+    # wv: (n_views, 2) runtime weight array -> no recompile on rebalance
     g = field(params)
     ne = NE_SCALE * g
     data = 0.0
-    for v in VIEWS:
+    terms = []
+    for j, v in enumerate(VIEWS):
         im_sh, im_ph = rend_model[v](ne)
         l_sh = jnp.mean(((im_sh - tgt_shadow[v]) / sc_sh[v]) ** 2)
         l_ph = (jnp.sum(phase_mask * ((im_ph - tgt_phase[v]) / sc_ph[v]) ** 2)
                 / phase_mask.sum())
-        data = data + wts[v][0] * l_sh + wts[v][1] * l_ph
+        data = data + wv[j, 0] * l_sh + wv[j, 1] * l_ph
+        terms.append(jnp.stack([l_sh, l_ph]))
     data = data / (2 * len(VIEWS))
-    return data + W_WHITE * white_l2(params), data
+    return data + W_WHITE * white_l2(params), (data, jnp.stack(terms))
 
 
 sched = (optax.warmup_cosine_decay_schedule(0.0, LR, WARM, ITERS)
@@ -198,17 +203,34 @@ state = opt.init(params)
 
 
 @jax.jit
-def step(p, st):
-    (l, data), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
+def step(p, st, wv):
+    (l, (data, terms)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(p, wv)
     gmax = jnp.max(jnp.abs(grads))
     upd, st = opt.update(grads, st)
     p2 = optax.apply_updates(p, upd)
     g = field(p2)
-    return p2, st, l, data, gmax, jnp.max(g), jnp.max(jnp.abs(p2))
+    return p2, st, l, data, terms, gmax, jnp.max(g), jnp.max(jnp.abs(p2))
 
+
+wv = jnp.asarray([[wts[v][0], wts[v][1]] for v in VIEWS], jnp.float32)
+if WMODE == "model":
+    # cold-start balance against the MODEL's own misfit at theta=0: with
+    # independent measurement beams the model terms carry an irreducible
+    # CIC shot-noise floor the meas-side vacuum estimate misses (measured
+    # 12x on the shadow term, /tmp/tomo_loss33.log r5) — meas-side
+    # weights then spend the whole gradient on unfittable noise.
+    _, _, _, _, t0m, _, _, _ = step(params, state, jnp.ones_like(wv))
+    t0m = np.asarray(t0m)
+    floor = 1e-2 * float(t0m.max())
+    wv = jnp.asarray(1.0 / np.maximum(t0m, floor), jnp.float32)
+    print("model-side t0:", np.round(t0m, 5).tolist(),
+          "weights:", np.round(np.asarray(wv), 2).tolist(), flush=True)
+    params = jnp.zeros_like(params)
+    state = opt.init(params)
 
 for i in range(ITERS):
-    params, state, l, data, gmax, fmax, pmax = step(params, state)
+    params, state, l, data, terms, gmax, fmax, pmax = step(params, state, wv)
     if i % 10 == 0 or i == ITERS - 1:
         print(f"it {i:3d} loss {float(l):.5f} data {float(data):.5f} "
               f"gmax {float(fmax):.3e} |p|max {float(pmax):.3f}",
@@ -226,7 +248,8 @@ def _fin(v, nd=4):
     return round(v, nd) if np.isfinite(v) else None
 rec = {"DIM": DIM, "MODAL": MODAL, "MASK": MASK, "WW": W_WHITE, "LR": LR,
        "WARM": WARM, "iters": ITERS, "LMAX": LMAX, "LMIN": LMIN,
-       "rays": RAYS,
+       "rays": RAYS, "SIG": SIG, "C0": C0, "WMODE": WMODE,
+       "n_views": len(VIEWS),
        "rel_l2_full": _fin(rel_full),
        "rel_l2_core": _fin(rel_core),
        "gmax": _fin(g_rec.max(), 3)}

@@ -78,6 +78,30 @@ _SLOW = {
     "test_campaign_cli_mesh_matches_single_device",
     "test_shadowgraphy_exp_detL_reaches_the_bench",
     "test_pipeline_run_auto_batches_oversized_packs",
+    # round-5 widening (VERDICT r4 #7): the 5.7-7.7 s band — parity/
+    # equivalence gates whose dims don't affect what they gate, plus the
+    # streamed x-ray gates. The default lane keeps at least one fast
+    # gate per subsystem (e.g. test_zscan_segments_rk2_matches_rk4_and_
+    # oracle stays default); the full suite (`-m ''`) runs everything.
+    "test_turb_gen_and_trace_pipeline",
+    "test_pipeline_run_mesh_equals_single_device",
+    "test_trace_cli_analytic_interferometry",
+    "test_legacy_solve_zscan_seg",
+    "test_pipeline_run_mesh_coherent_and_time",
+    "test_multichip_marches_int4_match_single_device",
+    "test_pipeline_zscan_seg_equivalence",
+    "test_rk2_non_cubic_grid",
+    "test_pipeline_run_host_pack_streams",
+    "test_grf_spectrum_slope_recovery",
+    "test_zscan_segments_all_switches",
+    "test_campaign_cli_end_to_end",
+    "test_multi_matches_single[zscan]",
+    "test_pipelined_segment_tracer_int8_matches_single_device",
+    "test_streamed_int8_pack_matches_device_and_march",
+    "test_rk2_matches_rk4_all_probing_directions[x]",
+    "test_radiography_streamed_matches_dense",
+    "test_point_projection_streamed_matches_dense_quadrature",
+    "test_xray_survey_single_pass_matches_individual_streams",
 }
 
 
