@@ -63,7 +63,8 @@ TGT = os.environ.get("TGT", "demod")
 rend_meas = make_multiview_renderers(
     dom, beams_m,
     diagnostic=("shadowgraphy",
-                "interferometry" if TGT == "demod" else "phase_map"),
+                "interferometry" if TGT in ("demod", "wrap")
+                else "phase_map"),
     **common)
 rend_model = make_multiview_renderers(
     dom, beams, diagnostic=("shadowgraphy", "phase_map"), **common)
@@ -85,7 +86,7 @@ shot = {v: [np.asarray(t) for t in im] for v, im in meas_all(g_true_j).items()}
 vac = {v: [np.asarray(t) for t in im]
        for v, im in meas_all(jnp.zeros_like(g_true_j)).items()}
 
-tgt_shadow, tgt_phase = {}, {}
+tgt_shadow, tgt_phase, tgt_vis = {}, {}, {}
 for v in VIEWS:
     sh, H_shot = shot[v]
     if TGT == "demod":
@@ -94,10 +95,28 @@ for v in VIEWS:
         pu = rectify_phase_offset(pu, edge_px)
         if np.median(pu[beam_px]) > 0:
             pu = -pu
+        vis = np.ones_like(pu)
+    elif TGT == "wrap":
+        # fit the WRAPPED phase difference directly (circular loss) —
+        # no unwrap step, so low-visibility pixels cannot corrupt
+        # unwrap paths; their own noise is handled by the visibility
+        # weight instead.
+        pu, vis = phase_difference(jnp.asarray(H_shot),
+                                   jnp.asarray(vac[v][1]),
+                                   return_visibility=True)
+        vis = np.clip(vis, 0.0, 1.0)
+        # demodulation sideband sign is carrier-convention ambiguous;
+        # plasma phase is negative — flip if the confident pixels vote
+        # positive (same heuristic as the demod path, wrap-safe because
+        # the voting median sits well under pi)
+        if np.median(pu[beam_px & (vis > 0.5)]) > 0:
+            pu = -pu
     else:
         pu = np.asarray(H_shot)
+        vis = np.ones_like(pu)
     tgt_shadow[v] = jnp.asarray(sh)
     tgt_phase[v] = jnp.asarray(pu)
+    tgt_vis[v] = jnp.asarray(vis * beam_px)
 phase_mask = jnp.asarray(beam_px)
 
 if int(os.environ.get("CHECK", 0)):
@@ -158,8 +177,28 @@ else:
     support = 1.0
 
 
-def field(theta):
-    return support * jax.nn.softplus(C0 + SIG * colorize(theta))
+PARAM = os.environ.get("PARAM", "softplus")   # softplus | linear
+W_NEG = float(os.environ.get("WNEG", 10.0))
+
+if PARAM == "linear":
+    # Phase tomography is LINEAR in ne; a linear field parameterisation
+    # makes (quadratic loss + Gaussian prior) convex with a unique
+    # minimum. Positivity becomes a one-sided penalty instead of a
+    # softplus warp — the warp is what forced 2x-overshooting compact
+    # blobs through the 3-view null space (DC-less zero-mean preimage
+    # cannot hold a vacuum plateau AND wide blobs; measured rel_l2 0.84
+    # at 33^3 on PERFECT phase targets with data residual 4e-4).
+    def field(theta):
+        return support * (SIG * colorize(theta))
+
+    def neg_penalty(g):
+        return W_NEG * jnp.mean(jax.nn.relu(-g) ** 2)
+else:
+    def field(theta):
+        return support * jax.nn.softplus(C0 + SIG * colorize(theta))
+
+    def neg_penalty(g):
+        return 0.0
 
 
 sc_sh = {v: float(np.abs(tgt_shadow[v]).max()) + 1e-30 for v in VIEWS}
@@ -187,12 +226,20 @@ def loss_fn(params, wv):
     for j, v in enumerate(VIEWS):
         im_sh, im_ph = rend_model[v](ne)
         l_sh = jnp.mean(((im_sh - tgt_shadow[v]) / sc_sh[v]) ** 2)
-        l_ph = (jnp.sum(phase_mask * ((im_ph - tgt_phase[v]) / sc_ph[v]) ** 2)
-                / phase_mask.sum())
+        if TGT == "wrap":
+            d = im_ph - tgt_phase[v]
+            r = jnp.mod(d + jnp.pi, 2 * jnp.pi) - jnp.pi
+            w = tgt_vis[v]
+            l_ph = jnp.sum(w * (r / sc_ph[v]) ** 2) / w.sum()
+        else:
+            l_ph = (jnp.sum(phase_mask
+                            * ((im_ph - tgt_phase[v]) / sc_ph[v]) ** 2)
+                    / phase_mask.sum())
         data = data + wv[j, 0] * l_sh + wv[j, 1] * l_ph
         terms.append(jnp.stack([l_sh, l_ph]))
     data = data / (2 * len(VIEWS))
-    return data + W_WHITE * white_l2(params), (data, jnp.stack(terms))
+    return (data + W_WHITE * white_l2(params) + neg_penalty(g),
+            (data, jnp.stack(terms)))
 
 
 sched = (optax.warmup_cosine_decay_schedule(0.0, LR, WARM, ITERS)
@@ -228,6 +275,12 @@ if WMODE == "model":
           "weights:", np.round(np.asarray(wv), 2).tolist(), flush=True)
     params = jnp.zeros_like(params)
     state = opt.init(params)
+# WSH: shadow-channel weight multiplier (0 = phase-only fit). The shadow
+# term's cold-start value is ~96% irreducible CIC shot noise at probe ray
+# counts (scratch/probe_tomo_lossscape.py r5), so normalising it to 1
+# hands most of the gradient budget to noise-fitting.
+WSH = float(os.environ.get("WSH", 1.0))
+wv = wv * jnp.asarray([[WSH, 1.0]], jnp.float32)
 
 for i in range(ITERS):
     params, state, l, data, terms, gmax, fmax, pmax = step(params, state, wv)
@@ -248,7 +301,8 @@ def _fin(v, nd=4):
     return round(v, nd) if np.isfinite(v) else None
 rec = {"DIM": DIM, "MODAL": MODAL, "MASK": MASK, "WW": W_WHITE, "LR": LR,
        "WARM": WARM, "iters": ITERS, "LMAX": LMAX, "LMIN": LMIN,
-       "rays": RAYS, "SIG": SIG, "C0": C0, "WMODE": WMODE,
+       "rays": RAYS, "SIG": SIG, "C0": C0, "WMODE": WMODE, "WSH": WSH,
+       "TGT": TGT, "PARAM": PARAM,
        "n_views": len(VIEWS),
        "rel_l2_full": _fin(rel_full),
        "rel_l2_core": _fin(rel_core),

@@ -41,6 +41,7 @@ def extract_phase(
     H: jnp.ndarray,
     carrier: Optional[Tuple[int, int]] = None,
     filter_radius: float = 0.5,
+    return_amplitude: bool = False,
 ) -> np.ndarray:
     """Wrapped phase map from a fringe image (Takeda et al. 1982).
 
@@ -49,9 +50,16 @@ def extract_phase(
         carrier: integer carrier frequency indices; auto-detected if None.
         filter_radius: sideband filter half-width as a fraction of the
             carrier frequency magnitude.
+        return_amplitude: also return |analytic| — the local fringe
+            (half-)modulation amplitude. Pixels where refraction has
+            depleted the rays or folded fringes past Nyquist demodulate
+            to garbage phase BUT near-zero amplitude, so this is the
+            natural confidence weight for downstream fits (used by the
+            tomography example's visibility-masked circular loss).
 
     Returns:
-        (ny, nx) wrapped phase in (-pi, pi].
+        (ny, nx) wrapped phase in (-pi, pi]; with ``return_amplitude``,
+        the tuple ``(phase, amplitude)``.
     """
     H = np.asarray(H, np.float64)
     ny, nx = H.shape
@@ -72,6 +80,8 @@ def extract_phase(
     # shift carrier to DC by rolling the spectrum
     side = np.roll(np.roll(side, -fi, axis=0), -fj, axis=1)
     analytic = np.fft.ifft2(side)
+    if return_amplitude:
+        return np.angle(analytic), np.abs(analytic)
     return np.angle(analytic)
 
 
@@ -132,16 +142,25 @@ def rectify_phase_offset(unwrapped: np.ndarray,
 
 
 def phase_difference(H_shot: jnp.ndarray, H_bkg: jnp.ndarray,
-                     carrier: Optional[Tuple[int, int]] = None
+                     carrier: Optional[Tuple[int, int]] = None,
+                     return_visibility: bool = False,
                      ) -> np.ndarray:
     """Background-subtracted wrapped phase: the plasma-only contribution.
 
     Uses the background interferogram's carrier for both extractions so
     the reference tilt cancels exactly (the standard shot/bkg workflow the
     reference's Interferometry.bkg supports).
+
+    ``return_visibility``: also return the shot's sideband amplitude
+    normalised by the background's (a per-pixel fringe-visibility ratio
+    in [0, ~1]); low values mark pixels whose phase is demodulation
+    noise (refraction-depleted or Nyquist-folded fringes).
     """
     if carrier is None:
         carrier = carrier_frequency(H_bkg)
-    p_shot = extract_phase(H_shot, carrier)
-    p_bkg = extract_phase(H_bkg, carrier)
-    return np.angle(np.exp(1j * (p_shot - p_bkg)))
+    p_shot, a_shot = extract_phase(H_shot, carrier, return_amplitude=True)
+    p_bkg, a_bkg = extract_phase(H_bkg, carrier, return_amplitude=True)
+    dphi = np.angle(np.exp(1j * (p_shot - p_bkg)))
+    if return_visibility:
+        return dphi, a_shot / (a_bkg + 1e-30 * a_bkg.max() + 1e-300)
+    return dphi

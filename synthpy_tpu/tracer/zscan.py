@@ -2194,36 +2194,55 @@ def build_segment_pack_upload(
     # same lesson as build_segment_pack_streaming)
     import time as _time
 
-    def _pm(vol, vdt=_np.float32):
-        t0 = _time.perf_counter()
-        out = _np.ascontiguousarray(
-            _np.moveaxis(_np.asarray(vol), p_ax, 0).astype(vdt, copy=False))
-        if verbose:
-            print(f"  probe-major copy {out.shape} {out.dtype} "
-                  f"{_time.perf_counter() - t0:.1f}s", flush=True)
-        return out
-
+    # PRE-PADDED probe-major host arrays: every batch is then a
+    # CONTIGUOUS zero-copy view, so the loop never np.stack's (measured
+    # ~1 s/batch at 512^3, 4-6 s at 1024^3 — comparable to the transfer
+    # itself against the tunnel's ~160 MB/s sustained H2D; r5
+    # scratch/probe_upload_512.py / probe_h2d_decompose.py).
+    # Layout: ne_pad[1 + i] = plane i; ne_pad[0] duplicates plane 0
+    # (one-sided front margin); indices past n_p stay zero (field ends
+    # at the box). ex_pad is PLANE-MAJOR interleaved (n_planes, n_extra,
+    # na, nb) so its batch slice is contiguous too; ``fill`` swaps the
+    # axes back on device (free relayout inside the fused program).
     ex_np = _np.asarray(jnp.zeros((), extras_dtype)).dtype
-    ne_h = _pm(domain.ne)
-    extras_h = []
+    n_hi = n_seg * K            # highest global plane index touched
+    ne_pad = _np.zeros((n_hi + 3, na, nb), _np.float32)
+
+    def _pm_into(dst, vol):
+        # torch's strided copy kernel runs ~2.3x faster than numpy's
+        # nditer on this machine's single core (0.36 vs 0.15 GB/s,
+        # scratch/probe_upload_512.py r5) and fuses the f32->bf16 cast;
+        # numpy fallback keeps the path dependency-free.
+        t0 = _time.perf_counter()
+        src = _np.asarray(vol)
+        try:
+            import torch
+            td = (torch.from_numpy(dst.view(_np.int16)).view(torch.bfloat16)
+                  if dst.dtype.name == "bfloat16"
+                  else torch.from_numpy(dst))
+            td.copy_(torch.from_numpy(src).movedim(p_ax, 0))
+        except Exception:
+            _np.copyto(dst, _np.moveaxis(src, p_ax, 0), casting="unsafe")
+        if verbose:
+            print(f"  probe-major copy {dst.shape[0]}x{na}x{nb} "
+                  f"{dst.dtype} {_time.perf_counter() - t0:.1f}s",
+                  flush=True)
+
+    _pm_into(ne_pad[1:n_p + 1], domain.ne)
+    ne_pad[0] = ne_pad[1]
+    extra_vols = []
     if layout.inv_brems:
-        extras_h += [_pm(domain.Te, ex_np), _pm(domain.Z, ex_np)]
+        extra_vols += [domain.Te, domain.Z]
     if layout.B_on:
         B_h = _np.asarray(domain.B)
-        extras_h += [_pm(B_h[..., a_ax], ex_np), _pm(B_h[..., b_ax], ex_np),
-                     _pm(B_h[..., p_ax], ex_np)]
+        extra_vols += [B_h[..., a_ax], B_h[..., b_ax], B_h[..., p_ax]]
+    n_extra = len(extra_vols)
+    ex_pad = _np.zeros((n_hi + 1, n_extra, na, nb), ex_np)
+    for j, vol in enumerate(extra_vols):
+        _pm_into(ex_pad[:n_p, j], vol)
+    del extra_vols
+    if layout.B_on:
         del B_h
-    zero_plane = _np.zeros((na, nb), ne_h.dtype)
-    zero_ex = _np.zeros((na, nb), ex_np)
-
-    def ne_plane(i):
-        if i < 0:
-            return ne_h[0]          # duplicated front margin (one-sided)
-        if i >= n_p:
-            return zero_plane       # zero field outside the box
-        return ne_h[i]
-
-    n_extra = len(extras_h)
 
     write = _channel_batch_writer(
         layout, pref=pref, da=da, db=db, dp=dp, n_p=n_p, omega=omega,
@@ -2235,8 +2254,10 @@ def build_segment_pack_upload(
     def fill(buf, scl, slab, ex, g0, seg_i, col0, k0, *, pb, lone):
         """Compute channels for pb body planes and write their blocks.
 
-        slab: (pb+2, na, nb) f32 with stencil margins; ex: (n_extra, pb,
-        na, nb); g0: first body plane's ABSOLUTE index; col0: first
+        slab: (pb+2, na, nb) f32 with stencil margins; ex: (pb, n_extra,
+        na, nb) PLANE-MAJOR (the host keeps extras interleaved so batch
+        slices are contiguous; the swap back is free on device); g0:
+        first body plane's ABSOLUTE index; col0: first
         output column; k0: first SEGMENT-LOCAL plane index (scale row).
         ``lone``: the final odd plane of an int4 segment (hi nibble
         zero). ``scl`` is the device-resident (n_seg, K+1, C) scale
@@ -2245,41 +2266,60 @@ def build_segment_pack_upload(
         device compute). Channel math lives in
         :func:`_channel_batch_writer` (shared with the synth builder).
         """
-        return write(buf, scl, slab, ex.astype(jnp.float32), g0, seg_i,
-                     col0, k0, pb, lone)
+        return write(buf, scl, slab,
+                     jnp.swapaxes(ex, 0, 1).astype(jnp.float32), g0,
+                     seg_i, col0, k0, pb, lone)
 
     buf = jnp.zeros((n_seg, na * nb, blocks * C),
                     jnp.int8 if quantized else dtype)
     scl = jnp.ones((n_seg, K + 1, C) if quantized else (1,), jnp.float32)
-    t0 = _time.perf_counter()
+
+    # batch schedule: every (seg, k0) body batch plus each segment's
+    # final plane (local K == global (s_i+1)*K: its own block, hi
+    # nibble zero for int4 — duplicated as plane 0 of the next segment,
+    # same as the monolithic builders)
+    sched = []
     for s_i in range(n_seg):
-        for k0 in range(0, K, PB):
-            g0 = s_i * K + k0
-            slab = jnp.asarray(_np.stack(
-                [ne_plane(i) for i in range(g0 - 1, g0 + PB + 1)]))
-            ex = jnp.asarray(_np.stack(
-                [[e[i] if i < n_p else zero_ex for i in range(g0, g0 + PB)]
-                 for e in extras_h])
-                if extras_h else _np.zeros((0, PB, na, nb), ex_np))
-            col0 = (k0 // 2 if quantized4 else k0) * C
-            buf, scl = fill(buf, scl, slab, ex, g0, s_i, col0, k0,
-                            pb=PB, lone=False)
-            if verbose:
-                print(f"  seg {s_i} planes {k0}..{k0 + PB} "
-                      f"({_time.perf_counter() - t0:.1f}s)", flush=True)
-        # the segment's final plane (local K == global (s_i+1)*K): its own
-        # block, hi nibble zero for int4 (duplicated as plane 0 of the
-        # next segment, same as the monolithic builders)
-        g0 = s_i * K + K
-        slab = jnp.asarray(_np.stack(
-            [ne_plane(i) for i in range(g0 - 1, g0 + 2)]))
-        ex = jnp.asarray(_np.stack(
-            [[e[i] if i < n_p else zero_ex for i in range(g0, g0 + 1)]
-             for e in extras_h])
-            if extras_h else _np.zeros((0, 1, na, nb), ex_np))
-        col0 = (K // 2 if quantized4 else K) * C
-        buf, scl = fill(buf, scl, slab, ex, g0, s_i, col0, K,
-                        pb=1, lone=quantized4)
+        sched += [(s_i, k0, PB, False) for k0 in range(0, K, PB)]
+        sched.append((s_i, K, 1, quantized4))
+
+    # PREFETCH thread: device_put is a host-side copy through the
+    # tunnel's ~160 MB/s sustained pipe, while fill is pure device
+    # compute — a depth-2 producer/consumer overlaps the two (and keeps
+    # the pipe busy during fill dispatch latency). Batch slices are
+    # contiguous views of the padded arrays: no host copy at all.
+    import queue as _queue
+    import threading as _threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=2)
+
+    def _producer():
+        try:
+            for s_i, k0, pb, lone in sched:
+                g0 = s_i * K + k0
+                slab = jax.device_put(ne_pad[g0:g0 + pb + 2])
+                ex = jax.device_put(ex_pad[g0:g0 + pb])
+                q.put((s_i, k0, pb, lone, slab, ex))
+        except Exception as e:          # surface in the consumer
+            q.put(e)
+
+    t0 = _time.perf_counter()
+    th = _threading.Thread(target=_producer, daemon=True)
+    th.start()
+    for _ in sched:
+        item = q.get()
+        if isinstance(item, Exception):
+            raise item
+        s_i, k0, pb, lone, slab, ex = item
+        g0 = s_i * K + k0
+        col0 = (k0 // 2 if quantized4 else k0) * C
+        buf, scl = fill(buf, scl, slab, ex, g0, s_i, col0, k0,
+                        pb=pb, lone=lone)
+        if verbose and pb == PB:
+            jax.block_until_ready(buf)
+            print(f"  seg {s_i} planes {k0}..{k0 + pb} "
+                  f"({_time.perf_counter() - t0:.1f}s)", flush=True)
+    th.join()
 
     scales = scl if quantized else None
     origin_ab = jnp.stack([ca[0], cb[0]])
@@ -2403,7 +2443,7 @@ def build_segment_pack_synth(
 
         gs < 0 clamps to plane 0 (duplicated front stencil margin) and
         gs >= n_p evaluates to zero — the exact boundary semantics of
-        build_segment_pack_upload's ne_plane/zero_ex.
+        build_segment_pack_upload's padded plane table.
         """
         n = gs.shape[0]
         x, y, z = _xyz(jnp.clip(gs, 0, n_p - 1))
