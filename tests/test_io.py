@@ -248,6 +248,33 @@ def test_fringe_phase_extraction():
     assert np.isfinite(p).all()
 
 
+def test_fringe_visibility_marks_depleted_pixels():
+    """Sideband amplitude = fringe confidence: ~1 where fringes are
+    clean, ~0 where the shot's modulation is gone (refraction-depleted
+    pixels demodulate to garbage phase but near-zero visibility)."""
+    from synthpy_tpu.analysis.fringes import extract_phase, phase_difference
+
+    ny, nx = 128, 160
+    y, x = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    phi = 1.2 * np.exp(-((x - 80) ** 2 + (y - 64) ** 2) / 400.0)
+    kx = 2 * np.pi * 12 / nx
+    # kill the fringe modulation in a band (keep the mean intensity)
+    dead = (x > 20) & (x < 40) & (y > 30) & (y < 98)
+    shot = 10 + np.where(dead, 0.0, 5.0) * np.cos(kx * x + phi)
+    bkg = 10 + 5 * np.cos(kx * x)
+
+    p, a = extract_phase(shot, (0, 12), return_amplitude=True)
+    assert np.isfinite(p).all() and (a >= 0).all()
+
+    dphi, vis = phase_difference(shot, bkg, return_visibility=True)
+    assert abs(dphi[64, 80] - 1.2) < 0.1
+    assert vis[64, 140] > 0.8          # clean region: near-unit ratio
+    assert vis[64, 30] < 0.3           # dead band: low confidence
+    # non-visibility call shape/value unchanged
+    d2 = phase_difference(shot, bkg)
+    assert np.array_equal(d2, dphi)
+
+
 def test_vti_base64_appended_reader(tmp_path):
     """Reader handles base64-encoded appended payloads (VTK writers vary)."""
     import base64
