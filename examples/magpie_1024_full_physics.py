@@ -38,8 +38,16 @@ route (the path data-driven scenes, e.g. FLASH dumps, must take);
 `--tier streamed` keeps the r3 host-pack route for packs that exceed
 HBM even quantised.
 
+Round-5 route (`--tier pvti`): the production data-driven path end to
+end — the SAME scene is read from on-disk .pvti volumes (the
+reference's actual input format, reference examples/jobs/run_scripts/
+pvti_trace_mpi.py:71-92) via io.vti.read_pvti into host arrays, and
+takes the upload route from there. First use writes the scene to
+scratch/magpie_scene_<dim>/ once (~26 GB, prep time reported
+separately — an experiment's dump already exists on disk).
+
 Usage: python examples/magpie_1024_full_physics.py [dim] [total_rays]
-           [chunk_rays] [--tier synth|int4|int8|streamed]
+           [chunk_rays] [--tier synth|int4|int8|streamed|pvti]
 (defaults 1024, 1e8, 4e6 — CPU smoke: 33 20000 10000)
 """
 import json
@@ -160,6 +168,58 @@ def build_scene(dim):
     return d
 
 
+def scene_to_pvti(dim, dirpath):
+    """Materialise the z-pinch scene to .pvti on disk, one channel each.
+
+    One-time prep for the ``pvti`` tier (the role an experiment's dump
+    plays). Channels are written one at a time so host peak stays one
+    volume + its Fortran-order copy.
+    """
+    from synthpy_tpu.io.vti import export_scalar_field
+
+    os.makedirs(dirpath, exist_ok=True)
+    fns = scene_fns(np)
+    x = np.linspace(-EXT, EXT, dim, dtype=np.float32)
+    X, Y, Z_ = x[:, None, None], x[None, :, None], x[None, None, :]
+    coords = (x, x, x)
+
+    def _one(name, arr):
+        arr = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(arr, np.float32), (dim,) * 3))
+        export_scalar_field(arr, coords,
+                            fname=os.path.join(dirpath, name), name=name)
+
+    _one("ne", fns["ne"](X, Y, Z_))
+    bx, by, bz = fns["B"](X, Y, Z_)
+    for nm, comp in (("Bx", bx), ("By", by), ("Bz", bz)):
+        _one(nm, comp)
+    del bx, by, bz
+    _one("Te", fns["Te"](X, Y, Z_))
+    _one("Z", fns["Z"](X, Y, Z_))
+
+
+def load_scene_pvti(dim, dirpath):
+    """The data-driven production path: host volumes from on-disk .pvti."""
+    from synthpy_tpu.io.vti import read_pvti
+
+    def _rd(name):
+        arr, _, _ = read_pvti(os.path.join(dirpath, name + ".pvti"))
+        return np.asarray(arr, np.float32)
+
+    d = ScalarDomain(2 * EXT, dim)
+    d.external_ne(_rd("ne"), host=True)
+    B = np.empty((dim, dim, dim, 3), np.float32)
+    for i, nm in enumerate(("Bx", "By", "Bz")):
+        B[..., i] = _rd(nm)
+    d.external_B(B, host=True)
+    del B
+    d.external_Te(_rd("Te"), host=True)
+    d.external_Z(_rd("Z"), host=True)
+    d.inv_brems = True
+    d.phaseshift = True
+    return d
+
+
 def scene_closures(dim):
     """The SAME z-pinch scene as jittable closures + a flag-only domain."""
     d = ScalarDomain(2 * EXT, dim)
@@ -170,9 +230,22 @@ def scene_closures(dim):
 
 
 def main():
+    t_prep = 0.0
+    if TIER == "pvti":
+        pvti_dir = os.path.join(_HERE, "..", "scratch",
+                                f"magpie_scene_{DIM}")
+        if not os.path.exists(os.path.join(pvti_dir, "Z.pvti")):
+            t0 = time.perf_counter()
+            scene_to_pvti(DIM, pvti_dir)
+            t_prep = time.perf_counter() - t0
+            print(json.dumps({"pvti_write_s": round(t_prep, 1)}),
+                  flush=True)
+
     t0 = time.perf_counter()
     if TIER == "synth":
         d, fields = scene_closures(DIM)
+    elif TIER == "pvti":
+        d = load_scene_pvti(DIM, pvti_dir)
     else:
         d = build_scene(DIM)
     t_scene = time.perf_counter() - t0
@@ -201,7 +274,7 @@ def main():
         from synthpy_tpu.tracer.zscan import build_segment_pack_upload
 
         K = 256 if DIM >= 256 else 8
-        dt = {"int4": "int4", "int8": jnp.int8}[TIER]
+        dt = {"int4": "int4", "int8": jnp.int8, "pvti": "int4"}[TIER]
         # dithered quantisation: zero-mean error walk on the smooth
         # pinch profile (ROADMAP round-3e envelope)
         hpack = build_segment_pack_upload(d, K=K, dtype=dt,
@@ -240,6 +313,8 @@ def main():
 
     rec = {"dim": DIM, "total_rays": TOTAL, "chunk_rays": CHUNK,
            "tier": TIER, "integrator": integrator, "K": K,
+           **({"pvti_write_s": round(t_prep, 1)} if TIER == "pvti"
+              else {}),
            "channels": 8, "pack_gb": round(pack_gb, 2),
            "scene_s": round(t_scene, 1), "pack_s": round(t_pack, 1),
            "campaign_s": round(t_campaign, 1),

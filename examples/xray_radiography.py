@@ -46,9 +46,8 @@ from synthpy_tpu.optics.xray import (  # noqa: E402
     grey_emissivity,
     make_opacity_lookup,
     point_projection_radiograph,
-    point_projection_radiograph_streamed,
-    radiography_streamed,
     self_emission_image,
+    xray_survey_streamed,
 )
 
 res = int(sys.argv[1]) if len(sys.argv) > 1 and not sys.argv[1].startswith(
@@ -102,11 +101,16 @@ t0 = time.time()
 pp_kw = dict(source_distance=8e-3, detector_distance=80e-3,
              bins=(431, 321), Lx=90.0, Ly=67.0, probing_direction="y")
 if STREAMED:
-    trans, emiss = radiography_streamed(
-        rho, Te, kfn, ds, "y", emiss_fn=grey_emissivity(kfn),
-        plane_batch=32)
-    pp = point_projection_radiograph_streamed(
-        rho, Te, kfn, [ax] * 3, plane_batch=32, **pp_kw)
+    # ONE pass over the host (rho, Te) stack feeds all three
+    # accumulators (r4 ran radiography_streamed + point_projection
+    # separately and re-uploaded the 8.6 GB stack twice: 610.7 s at
+    # 1024^3; the survey is bitwise-parity gated against both,
+    # tests/test_xray.py::test_xray_survey_single_pass_matches_...)
+    imgs = xray_survey_streamed(
+        rho, Te, kfn, [ax] * 3, emiss_fn=grey_emissivity(kfn),
+        plane_batch=32, **pp_kw)
+    trans, emiss, pp = (imgs["transmission"], imgs["emission"],
+                        imgs["point_projection"])
 else:
     trans = attenuation_image(rho, Te, kfn, ds, probing_direction="y")
     emiss = self_emission_image(rho, Te, grey_emissivity(kfn), ds, "y")
@@ -116,16 +120,22 @@ trans, emiss, pp = (np.asarray(a) for a in (trans, emiss, pp))
 elapsed = time.time() - t0
 
 M = (8e-3 + 2 * half + 80e-3) / (8e-3 + half)
-print(json.dumps({
+row = {
     "res": res,
     "streamed": STREAMED,
+    "single_pass_survey": STREAMED,
     "backend": jax.default_backend(),
     "elapsed_s": round(elapsed, 3),
     "magnification": round(M, 2),
     "min_transmission_parallel": float(trans.min()),
     "min_transmission_pp": float(pp.min()),
     "emission_peak_over_median": float(emiss.max() / np.median(emiss)),
-}))
+}
+print(json.dumps(row, allow_nan=False))
+if res >= 1024:
+    with open(os.path.join(os.path.dirname(_HERE), "scratch",
+                           "results_xray_proton_1024.jsonl"), "a") as f:
+        f.write(json.dumps(row, allow_nan=False) + "\n")
 
 out = os.path.join(_HERE, "xray_radiographs.npz")
 np.savez_compressed(out, parallel=trans, point_projection=pp,

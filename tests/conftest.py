@@ -102,6 +102,7 @@ _SLOW = {
     "test_radiography_streamed_matches_dense",
     "test_point_projection_streamed_matches_dense_quadrature",
     "test_xray_survey_single_pass_matches_individual_streams",
+    "test_pvti_scene_drives_upload_route_identically",
 }
 
 

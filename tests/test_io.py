@@ -363,3 +363,68 @@ def test_unwrap_2d_anchored_and_rectify():
     rim = np.hypot(y - 48, x - 40) > 35
     u_r = rectify_phase_offset(u_c, rim)
     np.testing.assert_allclose(u_r, true, atol=1e-9)
+
+
+def test_pvti_scene_drives_upload_route_identically(tmp_path):
+    """The production data-driven path (examples/magpie_1024_full_physics
+    --tier pvti): a multi-channel scene written to per-channel .pvti
+    files, read back into host arrays, and traced through the upload
+    pack route must be BITWISE-identical to tracing the in-memory host
+    arrays directly (f32 survives the VTK raw-appended roundtrip
+    exactly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from synthpy_tpu import pipeline
+    from synthpy_tpu.fields import ScalarDomain
+    from synthpy_tpu.tracer import init_beam
+    from synthpy_tpu.tracer.zscan import build_segment_pack_upload
+
+    dim, ext = 17, 5e-3
+    x = np.linspace(-ext, ext, dim, dtype=np.float32)
+    X, Y, Z = x[:, None, None], x[None, :, None], x[None, None, :]
+    rng = np.random.default_rng(3)
+    ne = (2e24 * np.exp(-(X**2 + Y**2 + 0.5 * Z**2) / (2e-3) ** 2)
+          ).astype(np.float32)
+    Te = (50.0 + 5.0 * rng.standard_normal((dim,) * 3)).astype(np.float32)
+    Zb = np.full((dim,) * 3, 4.0, np.float32)
+    B = np.zeros((dim,) * 3 + (3,), np.float32)
+    B[..., 1] = 2.0
+
+    def make_domain(ne_a, Te_a, Z_a, B_a):
+        d = ScalarDomain(2 * ext, dim)
+        d.external_ne(ne_a, host=True)
+        d.external_B(B_a, host=True)
+        d.external_Te(Te_a, host=True)
+        d.external_Z(Z_a, host=True)
+        d.inv_brems = True
+        d.phaseshift = True
+        return d
+
+    # on-disk route: one .pvti per channel, read back
+    coords = (x, x, x)
+    chans = {"ne": ne, "Te": Te, "Z": Zb,
+             "Bx": B[..., 0], "By": B[..., 1], "Bz": B[..., 2]}
+    for name, arr in chans.items():
+        export_scalar_field(np.ascontiguousarray(arr), coords,
+                            fname=str(tmp_path / name), name=name)
+
+    def rd(name):
+        arr, _, _ = read_pvti(str(tmp_path / (name + ".pvti")))
+        return np.asarray(arr, np.float32)
+
+    B2 = np.stack([rd("Bx"), rd("By"), rd("Bz")], axis=-1)
+    d_mem = make_domain(ne, Te, Zb, B)
+    d_disk = make_domain(rd("ne"), rd("Te"), rd("Z"), B2)
+
+    s0 = init_beam(jax.random.PRNGKey(0), 2000, 2.5e-3, 0.0, ext,
+                   "circular")
+    imgs = []
+    for d in (d_mem, d_disk):
+        spack = build_segment_pack_upload(d, K=4, dtype="int4",
+                                          plane_batch=4, dither=7)
+        im = pipeline.run(d, s0, solver="zscan_seg", spack=spack,
+                          diagnostic="shadowgraphy", bins=(64, 48),
+                          critical_guard=None, integrator="rk2s2")
+        imgs.append(np.asarray(im))
+    np.testing.assert_array_equal(imgs[0], imgs[1])
