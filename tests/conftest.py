@@ -103,7 +103,42 @@ _SLOW = {
     "test_point_projection_streamed_matches_dense_quadrature",
     "test_xray_survey_single_pass_matches_individual_streams",
     "test_pvti_scene_drives_upload_route_identically",
+    # round-5 second widening (VERDICT r4 #7, measured
+    # /tmp/suite_durations_r5.log -> scratch/suite_durations_r5.log):
+    # the 5-15 s band that crept in with the r4/r5 builders. All are
+    # parity/equivalence gates whose failure would also trip a faster
+    # default-lane cousin: upload/synth builder parity keeps the f32
+    # upload variant + test_full_physics_scale_builders_trace default;
+    # chunking keeps test_streamed_march_ray_chunking; rk2-vs-rk4
+    # keeps test_zscan_segments_rk2_matches_rk4_and_oracle and the [z]
+    # probing direction; adaptive keeps oracle + null + local-amax.
+    "test_synth_builder_matches_upload_builder[int8]",
+    "test_synth_builder_matches_upload_builder[int4]",
+    "test_pack_dtype_auto_advisor_and_pipeline_mode",
+    "test_upload_builder_bit_identical_to_device_builder[int8]",
+    "test_upload_builder_bit_identical_to_device_builder[int4]",
+    "test_b_table_tiers_accuracy_and_host_build",
+    "test_trace_cli_pp_axis_matches_single_device",
+    "test_trace_cli_mesh_grid_nondivisible_int8",
+    "test_pipeline_run_grid_axis_slab_weights_matches_single_device",
+    "test_zscan_segments_ray_chunking",
+    "test_decimate_quantise_commute",
+    "test_decimated_rk2s4_stride8_image_equivalent",
+    "test_pipeline_rk2_image_close_to_rk4",
+    "test_zscan_segments_full_K_image_equivalence",
+    "test_streamed_march_device_cache",
+    "test_rk2_matches_rk4_all_probing_directions[y]",
+    "test_three_solvers_agree",
+    "test_polarimetry_gridded_solver_agrees_with_analytic",
+    "test_pipeline_run_analytic_image_close_to_gridded",
+    "test_fresnel_gaussian_beam_expands_correctly",
 }
+# A persistent XLA compilation cache for the suite was probed and
+# FALSIFIED (round 5): cc.set_cache_dir makes warm re-runs ~3.4x
+# faster on CPU, but the default lane is compile-bound on FIRST runs
+# (fresh clone/CI), every cached load logs two cpu_aot_loader E-lines,
+# and the cache would have to ship as committed binaries to help a
+# fresh checkout. /tmp/cache_probe2.py.
 
 
 def pytest_collection_modifyitems(config, items):
