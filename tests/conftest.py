@@ -132,6 +132,18 @@ _SLOW = {
     "test_polarimetry_gridded_solver_agrees_with_analytic",
     "test_pipeline_run_analytic_image_close_to_gridded",
     "test_fresnel_gaussian_beam_expands_correctly",
+    # round-5b trim (VERDICT r4 #7, durations scratch/suite_durations_r5
+    # .log): the quantised upload/synth builder parity gates keep their
+    # f32 cousins in the default lane; the pp-axis CLI route keeps the
+    # nondivisible-int8 CLI mesh gate; the advisor and B-table-tier
+    # gates are envelope checks with fast smoke cousins.
+    "test_synth_builder_matches_upload_builder[int8]",
+    "test_synth_builder_matches_upload_builder[int4]",
+    "test_upload_builder_bit_identical_to_device_builder[int8]",
+    "test_upload_builder_bit_identical_to_device_builder[int4]",
+    "test_pack_dtype_auto_advisor_and_pipeline_mode",
+    "test_b_table_tiers_accuracy_and_host_build",
+    "test_trace_cli_pp_axis_matches_single_device",
 }
 # A persistent XLA compilation cache for the suite was probed and
 # FALSIFIED (round 5): cc.set_cache_dir makes warm re-runs ~3.4x
