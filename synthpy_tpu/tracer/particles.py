@@ -53,6 +53,7 @@ def build_B_table(
     dtype=jnp.bfloat16,
     plane_batch: int = 32,
     dither: Optional[int] = None,
+    host_quantize: bool = True,
     verbose: bool = False,
 ) -> BTable:
     """Upload a HOST-resident B grid into a reduced-dtype device table.
@@ -69,6 +70,18 @@ def build_B_table(
 
     Accepts a ScalarDomain with ``external_B(host=True)`` (or device) B.
     For f32/bf16 inputs already on device, this is just a cast.
+
+    ``host_quantize`` (int8 + host-resident grid only): quantise each
+    plane batch in numpy BEFORE the transfer, so only the int8 bytes
+    cross the tunnel — 4x fewer than the f32-up/device-quantise route.
+    The measured axon tunnel sustains only ~23 MB/s at GB-scale
+    transfers (round 5: 12.9 GB f32 up in ~560 s for the 1024^3 bf16
+    table), so bytes-crossed IS the build time. Undithered, the host
+    route is bit-identical to the device route (same f32 divide /
+    round-half-even / clip); with ``dither`` the noise stream is a
+    numpy Philox keyed by (dither, plane) instead of the device
+    threefry — same U(-0.5, 0.5) statistics, different draws, inside
+    the same test-gated accuracy envelope (tests/test_particles.py).
     """
     import numpy as np
 
@@ -89,6 +102,34 @@ def build_B_table(
     else:
         scale = None
         out_dtype = dtype
+
+    if is_int8 and host_quantize and isinstance(B, np.ndarray):
+        # quantise on the host; only int8 bytes cross the tunnel.
+        # f32 divide + round-half-even + clip match the device route
+        # bit-for-bit when undithered.
+        scale_np = (np.maximum(m, 1e-30) / 127.0).astype(np.float32)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def put(tab, b, i0):
+            return jax.lax.dynamic_update_slice(tab, b, (i0, 0, 0, 0))
+
+        import time as _t
+        tab = jnp.zeros((nx, ny, nz, 3), jnp.int8)
+        for i0 in range(0, nx, plane_batch):
+            t0 = _t.perf_counter()
+            q = B[i0:i0 + plane_batch].astype(np.float32) / scale_np
+            if dither is not None:
+                rng = np.random.Generator(
+                    np.random.Philox(key=[int(dither), i0]))
+                q = q + (rng.random(q.shape, dtype=np.float32)
+                         - np.float32(0.5))
+            b = np.clip(np.round(q), -127, 127).astype(np.int8)
+            tab = put(tab, jnp.asarray(b), i0)
+            if verbose:
+                print(f"  B planes {i0}..{min(i0 + plane_batch, nx)} "
+                      f"host-q ({_t.perf_counter() - t0:.1f}s)",
+                      flush=True)
+        return BTable(tab, scale)
 
     @partial(jax.jit, donate_argnums=(0,), static_argnames=("i0",))
     def write(tab, batch, *, i0: int):

@@ -170,3 +170,13 @@ def test_b_table_tiers_accuracy_and_host_build():
         # |v| invariance survives quantisation (Boris property)
         np.testing.assert_allclose(
             np.sqrt((sf[:, 3:] ** 2).sum(axis=1)), v, rtol=1e-6)
+
+    # undithered int8: the host-quantise route (numpy divide/round/clip,
+    # only int8 bytes cross the tunnel — round 5) is BIT-identical to
+    # the device-quantise route
+    t_host = build_B_table(d, dtype=jnp.int8, plane_batch=7)
+    t_dev = build_B_table(d, dtype=jnp.int8, plane_batch=7,
+                          host_quantize=False)
+    assert np.array_equal(np.asarray(t_host.grid), np.asarray(t_dev.grid))
+    np.testing.assert_allclose(np.asarray(t_host.scale),
+                               np.asarray(t_dev.scale))
