@@ -56,8 +56,11 @@ differentiable (reference full_solver.py:376-403) and its probing
 direction is a per-run scalar, never jointly fitted.
 
 Usage: python examples/inverse_tomography_multiview.py \
-          [dim] [rays_per_view] [iters] [n_views] [lr] [target]
-(CPU smoke: dim=33 rays=50000 iters=40 n_views=3 finishes in ~2 min.)
+          [dim] [rays_per_view] [iters] [n_views] [lr] [target] [budget_s]
+(CPU smoke: dim=33 rays=50000 iters=40 n_views=3 finishes in ~2 min.
+budget_s caps the OPTIMISATION wall clock: the loop stops at the first
+iteration past the budget and the record carries the iterations that
+actually ran — large-dim runs always leave a measurement behind.)
 n_views=1 runs the single-view baseline on the identical truth and
 parameterisation — the apples-to-apples comparison for rel_l2_full.
 Measured results: scratch/results_tomography_r5.jsonl.
@@ -92,6 +95,7 @@ ITERS = int(sys.argv[3]) if len(sys.argv) > 3 else 300
 N_VIEWS = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 LR = float(sys.argv[5]) if len(sys.argv) > 5 else 3e-2
 TARGET = sys.argv[6] if len(sys.argv) > 6 else "phase"   # phase | wrap
+BUDGET_S = float(sys.argv[7]) if len(sys.argv) > 7 else None
 
 EXT = 5e-3
 NE_SCALE = 5e23        # few-fringe object: demodulable at detector res
@@ -267,13 +271,19 @@ def main():
     state = opt.init(params)
 
     t0 = time.time()
+    iters_done = 0
     for i in range(ITERS):
         params, state, l, data, terms = step(params, state, wv)
+        iters_done = i + 1
         if i % max(ITERS // 10, 1) == 0 or i == ITERS - 1:
             print(f"iter {i:4d}  loss {float(l):.6f}  "
                   f"data {float(data):.6f}", flush=True)
         if not np.isfinite(float(l)):
             print("loss went non-finite; aborting fit", flush=True)
+            break
+        if BUDGET_S is not None and time.time() - t0 > BUDGET_S:
+            print(f"wall budget {BUDGET_S:.0f}s reached after "
+                  f"{iters_done} iters", flush=True)
             break
     jax.block_until_ready(params)
     wall = time.time() - t0
@@ -290,12 +300,13 @@ def main():
         return round(v, nd) if np.isfinite(v) else None
 
     peak = peak_hbm_gb()
-    rec = {"dim": DIM, "rays_per_view": RAYS, "iters": ITERS,
+    rec = {"dim": DIM, "rays_per_view": RAYS, "iters": iters_done,
+           "iters_scheduled": ITERS,
            "views": list(VIEWS), "target": TARGET,
            "prior": "grf_modal(k^-4), linear field",
            "sig": SIG, "lr": LR, "n_modes": n_modes,
            "wall_s": round(wall, 1),
-           "s_per_iter": round(wall / ITERS, 3),
+           "s_per_iter": round(wall / max(iters_done, 1), 3),
            "rel_l2_full": _fin(rel_full),
            "rel_l2_core": _fin(rel_core),
            "g_max": _fin(g_rec.max(), 3),
